@@ -1,0 +1,142 @@
+"""The coupled SPH + shape-matching + monodomain model.
+
+TPU-native re-architecture of the reference hot path
+(compute_SPH_SM_monodomain, /root/reference/SPH_SM_monodomain/
+SPH_SM_monodomain.cpp:794-829): one pure function `step` composed of the
+phase transforms in exactly the reference order —
+
+  1. neighbor table        (Find_neighbors, cpp:199-213)
+  2. corrected velocity    (calculate_corrected_velocity, cpp:653-667)
+  3. XSPH intermediate     (calculate_intermediate_velocity, cpp:669-701)
+  4. density + pressure    (Compute_Density_SingPressure, cpp:448-513)
+  5. FHN cell model        (calculate_cell_model, cpp:575-593)
+  6. force + Vm diffusion  (Compute_Force, cpp:515-573)
+  7. integrate + walls     (Update_Properties, cpp:596-651)
+
+The whole step compiles to a single XLA program; `simulate` runs N steps
+under `lax.scan` with the stim-off protocol of the reference app
+(main.cpp:329-334) expressed as `lax.cond` — zero host sync per step.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SimConfig
+from ..state import ParticleState
+from ..ops.grid import build_neighbor_table
+from ..ops.shape_matching import corrected_velocity
+from ..ops.sph import (density_pressure, force_and_diffusion,
+                       xsph_intermediate_velocity)
+from ..ops.electrophysiology import fhn_cell_model, turn_off_stim
+from ..ops.integrate import update_properties
+
+
+class StepAux(NamedTuple):
+    """Per-step diagnostics (no host sync; consume at the end of a run)."""
+    overflow: jax.Array  # particles dropped from full hash-grid cells
+
+
+@partial(jax.jit, static_argnames=("cfg", "cell_capacity",
+                                   "neighbor_capacity"))
+def step(state: ParticleState, cfg: SimConfig, cell_capacity: int,
+         neighbor_capacity: int) -> tuple[ParticleState, StepAux]:
+    """One coupled simulation step (Animation -> compute_SPH_SM_monodomain)."""
+    nbr = build_neighbor_table(state.pos, state.pos, state.active, cfg,
+                               cell_capacity, neighbor_capacity)
+    state = corrected_velocity(state, cfg)
+    state = xsph_intermediate_velocity(state, nbr, cfg)
+    state = density_pressure(state, nbr, cfg)
+    state = fhn_cell_model(state, cfg)
+    state = force_and_diffusion(state, nbr, cfg)
+    state = update_properties(state, cfg)
+    return state, StepAux(overflow=nbr.overflow)
+
+
+def _step_with_protocol(state: ParticleState, i: jax.Array, cfg: SimConfig,
+                        cell_capacity: int, neighbor_capacity: int,
+                        stim_off_step: int):
+    if stim_off_step >= 0:
+        state = jax.lax.cond(i == stim_off_step,
+                             lambda s: turn_off_stim(s, cfg),
+                             lambda s: s, state)
+    return step(state, cfg, cell_capacity, neighbor_capacity)
+
+
+@partial(jax.jit, static_argnames=("cfg", "cell_capacity",
+                                   "neighbor_capacity", "num_steps",
+                                   "stim_off_step", "record_every"))
+def simulate(state: ParticleState, cfg: SimConfig, cell_capacity: int,
+             neighbor_capacity: int, num_steps: int, stim_off_step: int = -1,
+             record_every: int = 0):
+    """Run `num_steps` coupled steps under lax.scan.
+
+    `stim_off_step` mirrors the reference app protocol: turnOffStim fires
+    BEFORE executing that step index (main.cpp:329-334 fires when half the
+    step budget remains). -1 disables.
+
+    If `record_every` > 0, returns (state, aux, traj) where traj is a dict of
+    downsampled (T, ...) trajectories of positions and voltages — the
+    readback the reference exposes via Get_Paticles for rendering.
+    """
+
+    def body(carry, i):
+        st, acc_overflow = carry
+        st, aux = _step_with_protocol(st, i, cfg, cell_capacity,
+                                      neighbor_capacity, stim_off_step)
+        rec = (st.pos, st.vm) if record_every else ()
+        return (st, jnp.maximum(acc_overflow, aux.overflow)), rec
+
+    (state, max_overflow), recs = jax.lax.scan(
+        body, (state, jnp.asarray(0, jnp.int32)), jnp.arange(num_steps))
+    aux = StepAux(overflow=max_overflow)
+    if record_every:
+        pos_t, vm_t = recs
+        traj = {"pos": pos_t[::record_every], "vm": vm_t[::record_every]}
+        return state, aux, traj
+    return state, aux
+
+
+def run_protocol(scene, num_steps: int = 500, stim_off_step: int | None = None,
+                 chunk: int = 100, record_every: int = 0, callback=None):
+    """Host-side chunked driver for long runs.
+
+    Replays the reference app's experiment protocol (main.cpp:73, 329-334):
+    `num_steps` total, turnOffStim before the step at `stim_off_step`
+    (default: num_steps // 2). Device work is dispatched in `chunk`-step
+    jitted scans so a single device call stays bounded (tunnel/runtime
+    execution limits) and `callback(step_idx, state)` can observe progress.
+
+    Returns (state, StepAux, traj|None).
+    """
+    state, cfg = scene.state, scene.cfg
+    if stim_off_step is None:
+        stim_off_step = num_steps // 2
+    trajs = []
+    max_overflow = 0
+    done = 0
+    while done < num_steps:
+        n = min(chunk, num_steps - done)
+        # map the global stim-off index into this chunk (or disable)
+        off = stim_off_step - done if done <= stim_off_step < done + n else -1
+        out = simulate(state, cfg, scene.cell_capacity,
+                       scene.neighbor_capacity, num_steps=n,
+                       stim_off_step=off, record_every=record_every)
+        if record_every:
+            state, aux, traj = out
+            trajs.append(traj)
+        else:
+            state, aux = out
+        max_overflow = max(max_overflow, int(aux.overflow))
+        done += n
+        if callback is not None:
+            callback(done, state)
+    aux = StepAux(overflow=jnp.asarray(max_overflow, jnp.int32))
+    if record_every:
+        traj = {k: jnp.concatenate([t[k] for t in trajs]) for k in trajs[0]}
+        return state, aux, traj
+    return state, aux, None

@@ -1,0 +1,144 @@
+"""Shape matching (Mueller et al.) with velocity correction.
+
+Replaces component C7 (/root/reference/SPH_SM_monodomain/SPH_SM_monodomain.cpp:
+215-446, 653-667). The reference's serial accumulation loops become two MXU
+matmuls ((3,N)@(N,3) and (3,N)@(N,9)/(9,N)@(N,9)) plus a tiny fixed-iteration
+polar decomposition — under multi-chip sharding the matmuls psum across the
+mesh (see parallel/sharded_step.py); nothing here forces a host sync.
+
+Reference quirks preserved:
+  - fixed particles weigh x100 in the center-of-mass only (cpp:247), plain
+    mass in Apq/Aqq (cpp:267).
+  - anti-flip negates entries (0,1), (1,1), (2,2) when det(Apq) < 0
+    (cpp:294-299) — in the quadratic path the same entries of A9's linear
+    block, applied AFTER the beta blend (cpp:410-414).
+  - gravity unconditionally overwrites any external-force contribution to
+    predicted_vel (cpp:226-231 vs 218-223) — `apply_external_forces` keeps
+    that behavior in strict mode.
+  - volume conservation clamps 1/sqrt(|det|) at 2.0 (cpp:311-320, 416-427).
+  - corrected_vel has NO fixed-particle skip (cpp:663-666).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_HI = jax.lax.Precision.HIGHEST
+
+from ..config import SimConfig
+from ..state import ParticleState
+from .linalg import det3, invert3, polar_decomposition, pseudo_inverse
+
+# anti-flip sign pattern: negate (0,1), (1,1), (2,2) (cpp:296-298)
+_FLIP_SIGNS = jnp.array([[1.0, -1.0, 1.0],
+                         [1.0, -1.0, 1.0],
+                         [1.0, 1.0, -1.0]], dtype=jnp.float32)
+
+
+def apply_external_forces(state: ParticleState, cfg: SimConfig,
+                          external_forces=None) -> ParticleState:
+    """predicted_vel = vel + g*dt/m for non-fixed particles (cpp:215-232).
+
+    `external_forces` (N,3) mirrors the reference's forcesArray API; in strict
+    mode its contribution is overwritten by the gravity loop exactly like
+    cpp:229 overwrites cpp:222 (and the reference always passes NULL anyway).
+    """
+    g = jnp.asarray(cfg.gravity, dtype=state.vel.dtype)
+    pv = state.vel + g[None, :] * (cfg.time_delta / state.mass)[:, None]
+    if external_forces is not None and not cfg.strict_reference_mode:
+        pv = pv + external_forces * (cfg.time_delta / state.mass)[:, None]
+    pv = jnp.where(state.fixed[:, None], state.predicted_vel, pv)
+    return state.replace(predicted_vel=pv)
+
+
+def _volume_scale(det, dtype):
+    """1/sqrt(|det|) clamped at 2, or 1 when det == 0 (cpp:311-320)."""
+    nz = det != 0.0
+    s = 1.0 / jnp.sqrt(jnp.abs(jnp.where(nz, det, 1.0)))
+    s = jnp.minimum(s, 2.0)
+    return jnp.where(nz, s, jnp.asarray(1.0, dtype))
+
+
+def project_positions(state: ParticleState, cfg: SimConfig,
+                      axis_name: str | None = None) -> jnp.ndarray:
+    """Goal positions from a global best-fit transform (cpp:234-446).
+
+    Returns new goal_pos; fixed particles keep their previous goal
+    (cpp:324-329 / 429-443 skip fixed).
+
+    When `axis_name` is given (inside shard_map over a particle-sharded
+    mesh), every global accumulation — mass sum, centers of mass, Apq/Aqq
+    (and the 9-D moments in the quadratic path) — is psum'd across the mesh;
+    the tiny decomposition then runs replicated on every device. This is the
+    TPU-native form of the serial reduction loops (SURVEY.md §2).
+    """
+    def allsum(x):
+        return jax.lax.psum(x, axis_name) if axis_name else x
+
+    dtype = state.pos.dtype
+    act = state.active.astype(dtype)
+    m = state.mass * act                                   # plain mass (cpp:267)
+    m_cm = m * jnp.where(state.fixed, cfg.fixed_mass_scale, 1.0)  # cpp:247
+
+    mass_sum = allsum(jnp.sum(m_cm))
+    cm = allsum(jnp.matmul(m_cm, state.pos, precision=_HI)) / mass_sum  # cpp:244-253
+    ocm = allsum(jnp.matmul(m_cm, state.orig_pos, precision=_HI)) / mass_sum
+
+    p = state.pos - cm
+    q = state.orig_pos - ocm
+
+    pm = p * m[:, None]
+    Apq = allsum(jnp.matmul(pm.T, q, precision=_HI))       # (3,3), cpp:269-279
+    Aqq = allsum(jnp.matmul((q * m[:, None]).T, q, precision=_HI))  # cpp:281-291
+
+    if not cfg.quadratic_match:
+        # anti-flip BEFORE polar decomposition in the linear path (cpp:294-302)
+        if not cfg.allow_flip:
+            flip = det3(Apq) < 0.0
+            Apq = jnp.where(flip, Apq * _FLIP_SIGNS, Apq)
+        R, _ = polar_decomposition(Apq, cfg.jacobi_iterations)
+
+        A = jnp.matmul(Apq, invert3(Aqq), precision=_HI)                             # cpp:307-309
+        if cfg.volume_conservation:
+            A = A * _volume_scale(det3(A), dtype)          # cpp:311-320
+        T = R * (1.0 - cfg.sm_beta) + A * cfg.sm_beta      # cpp:322
+        goal = jnp.matmul(q, T.T, precision=_HI) + cm                                # cpp:324-329
+    else:
+        # quadratic basis q9 = (x, y, z, x2, y2, z2, xy, yz, zx) (cpp:348-350)
+        x, y, z = q[:, 0], q[:, 1], q[:, 2]
+        q9 = jnp.stack([x, y, z, x * x, y * y, z * z, x * y, y * z, z * x],
+                       axis=1)                             # (N, 9)
+        # polar R of the (possibly flipped) Apq — the reference computes the
+        # flip + polar before branching (cpp:294-302)
+        if not cfg.allow_flip:
+            flip = det3(Apq) < 0.0
+            Apq = jnp.where(flip, Apq * _FLIP_SIGNS, Apq)
+        R, _ = polar_decomposition(Apq, cfg.jacobi_iterations)
+
+        A9pq = allsum(jnp.matmul(pm.T, q9, precision=_HI))       # (3,9), cpp:352-381
+        A9qq = allsum(jnp.matmul((q9 * m[:, None]).T, q9, precision=_HI))  # (9,9), cpp:383-385
+        A9 = jnp.matmul(A9pq, pseudo_inverse(A9qq, cfg.jacobi_iterations), precision=_HI) * cfg.sm_beta
+        A9 = A9.at[:, :3].add((1.0 - cfg.sm_beta) * R)     # cpp:390-403
+        det = det3(A9[:, :3])                              # cpp:405-408
+        if not cfg.allow_flip:                             # cpp:410-414
+            flip = det < 0.0
+            signs9 = jnp.ones((3, 9), dtype).at[0, 1].set(-1.0) \
+                        .at[1, 1].set(-1.0).at[2, 2].set(-1.0)
+            A9 = jnp.where(flip, A9 * signs9, A9)
+        if cfg.volume_conservation:                        # cpp:416-427
+            A9 = A9 * _volume_scale(det, dtype)
+        goal = jnp.matmul(q9, A9.T, precision=_HI) + cm                              # cpp:429-443
+
+    return jnp.where(state.fixed[:, None], state.goal_pos, goal)
+
+
+def corrected_velocity(state: ParticleState, cfg: SimConfig,
+                       axis_name: str | None = None) -> ParticleState:
+    """Full SM velocity-correction phase (calculate_corrected_velocity,
+    cpp:653-667): external forces -> goal positions -> corrected_vel."""
+    state = apply_external_forces(state, cfg)
+    goal = project_positions(state, cfg, axis_name=axis_name)
+    cv = state.predicted_vel + (goal - state.pos) * (
+        (1.0 / cfg.time_delta) * cfg.sm_alpha)             # cpp:661-666
+    return state.replace(goal_pos=goal, corrected_vel=cv)

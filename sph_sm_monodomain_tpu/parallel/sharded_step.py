@@ -1,0 +1,164 @@
+"""Multi-chip particle sharding via shard_map over a 1-D device mesh.
+
+The reference has zero parallelism (SURVEY.md §2 'Parallelism & distributed
+communication': serial loops, no threads/MPI/NCCL). This module is its
+TPU-native replacement:
+
+  - particles are sharded along the padded particle axis over mesh axis "p"
+    (the DP/SP-equivalent for a particle system);
+  - neighbor interactions gather from ALL_GATHERed global field arrays —
+    an O(N) ICI collective per step, vs O(N*K) local compute, so compute
+    scales with devices while communication stays linear;
+  - the shape-matching global moments (center of mass, Apq/Aqq) are psum'd
+    (ops/shape_matching.py axis_name path) — the only all-reduce the physics
+    requires;
+  - pointwise phases (FHN, integration, stimulus) run purely on local shards.
+
+Everything happens inside ONE jitted shard_map program per step: no host
+round-trips, collectives ride ICI.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import SimConfig
+from ..state import ParticleState
+from ..ops.grid import build_neighbor_table
+from ..ops.shape_matching import corrected_velocity
+from ..ops.sph import (density_pressure_arrays, force_diffusion_arrays,
+                       xsph_arrays)
+from ..ops.electrophysiology import fhn_cell_model, turn_off_stim
+from ..ops.integrate import update_properties
+
+AXIS = "p"
+
+
+def make_mesh(devices=None, axis: str = AXIS) -> Mesh:
+    """1-D device mesh over all (or the given) devices."""
+    devices = devices if devices is not None else jax.devices()
+    return jax.make_mesh((len(devices),), (axis,), devices=devices)
+
+
+def state_pspec(axis: str = AXIS) -> ParticleState:
+    """PartitionSpec pytree for ParticleState: every per-particle array is
+    sharded on its leading axis; the scalar stim flag is replicated."""
+    per_particle = P(axis)
+    return ParticleState(
+        pos=per_particle, vel=per_particle, predicted_vel=per_particle,
+        corrected_vel=per_particle, inter_vel=per_particle, acc=per_particle,
+        orig_pos=per_particle, goal_pos=per_particle, mass=per_particle,
+        dens=per_particle, pres=per_particle, vm=per_particle,
+        inter_vm=per_particle, iion=per_particle, stim=per_particle,
+        w=per_particle, fixed=per_particle, active=per_particle,
+        is_stim_on=P(),
+    )
+
+
+def shard_state(state: ParticleState, mesh: Mesh,
+                axis: str = AXIS) -> ParticleState:
+    """Place a (host/single-device) state onto the mesh, particle-sharded."""
+    spec = state_pspec(axis)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), state, spec)
+
+
+def _sharded_step_body(state: ParticleState, cfg: SimConfig,
+                       cell_capacity: int, neighbor_capacity: int,
+                       axis: str = AXIS):
+    """One coupled step on LOCAL shards (runs inside shard_map)."""
+    def ag(x):
+        return jax.lax.all_gather(x, axis, tiled=True)
+
+    # global gather sources for the neighbor sweeps
+    g_pos, g_active, g_mass = ag(state.pos), ag(state.active), ag(state.mass)
+
+    # 1. neighbor table: buckets over the GLOBAL cloud (replicated compute,
+    #    cheap), candidates/compaction for LOCAL queries only.
+    nbr = build_neighbor_table(state.pos, g_pos, g_active, cfg,
+                               cell_capacity, neighbor_capacity)
+
+    # 2. shape matching: local moments + psum (ops/shape_matching.py)
+    state = corrected_velocity(state, cfg, axis_name=axis)
+
+    # 3. XSPH (needs previous-step global densities + fresh corrected vel)
+    g_cvel, g_dens_prev = ag(state.corrected_vel), ag(state.dens)
+    inter = xsph_arrays(state.pos, state.corrected_vel, g_pos, g_cvel,
+                        g_mass, g_dens_prev, nbr, cfg)
+    state = state.replace(inter_vel=inter)
+
+    # 4. density + pressure (local queries, global positions)
+    dens, pres = density_pressure_arrays(state.pos, state.vm, state.stim,
+                                         state.mass, g_pos, g_mass, nbr, cfg)
+    state = state.replace(dens=dens, pres=pres)
+
+    # 5. FHN reaction (pointwise)
+    state = fhn_cell_model(state, cfg)
+
+    # 6. force + Vm diffusion (needs freshly updated global fields)
+    g_ivel, g_pres = ag(state.inter_vel), ag(state.pres)
+    g_vm, g_dens = ag(state.vm), ag(state.dens)
+    acc, inter_vm = force_diffusion_arrays(
+        state.pos, state.inter_vel, state.pres, state.vm, state.dens,
+        state.iion, state.stim, state.mass, g_pos, g_ivel, g_pres, g_vm,
+        g_mass, g_dens, nbr, cfg)
+    state = state.replace(acc=acc, inter_vm=inter_vm)
+
+    # 7. integrate + walls (pointwise)
+    state = update_properties(state, cfg)
+
+    # overflow: bucket overflow is replicated (identical on every device);
+    # compaction drops are per-shard -> psum gives a correct global signal
+    # (bucket part scaled by device count — only zero/nonzero matters).
+    overflow = jax.lax.psum(nbr.overflow, axis)
+    return state, overflow
+
+
+def make_sharded_step(mesh: Mesh, cfg: SimConfig, cell_capacity: int,
+                      neighbor_capacity: int, axis: str = AXIS):
+    """Build a jitted multi-chip step: ParticleState -> (ParticleState, i32).
+
+    state must be sharded with `state_pspec` over `mesh` (see shard_state).
+    """
+    spec = state_pspec(axis)
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh, in_specs=(spec,),
+             out_specs=(spec, P()))
+    def sharded_step(state):
+        return _sharded_step_body(state, cfg, cell_capacity,
+                                  neighbor_capacity, axis)
+
+    return sharded_step
+
+
+def make_sharded_simulate(mesh: Mesh, cfg: SimConfig, cell_capacity: int,
+                          neighbor_capacity: int, num_steps: int,
+                          stim_off_step: int = -1, axis: str = AXIS):
+    """Build a jitted multi-chip N-step scan with the reference stim-off
+    protocol (main.cpp:329-334)."""
+    spec = state_pspec(axis)
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh, in_specs=(spec,),
+             out_specs=(spec, P()))
+    def sharded_simulate(state):
+        def body(carry, i):
+            st, ovf = carry
+            if stim_off_step >= 0:
+                st = jax.lax.cond(i == stim_off_step,
+                                  lambda s: turn_off_stim(s, cfg),
+                                  lambda s: s, st)
+            st, o = _sharded_step_body(st, cfg, cell_capacity,
+                                       neighbor_capacity, axis)
+            return (st, jnp.maximum(ovf, o)), None
+
+        (state, overflow), _ = jax.lax.scan(
+            body, (state, jnp.asarray(0, jnp.int32)), jnp.arange(num_steps))
+        return state, overflow
+
+    return sharded_simulate

@@ -1,0 +1,159 @@
+"""Particle state: structure-of-arrays pytree.
+
+TPU-native replacement for the reference's AoS `Particle` struct and raw
+`Particle[50000]` array (/root/reference/SPH_SM_monodomain/Particle.h:7-41,
+SPH_SM_monodomain.cpp:51). Every field is a flat JAX array over a padded,
+static particle capacity; an `active` mask marks live lanes so all shapes stay
+static under jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import SimConfig
+
+PAD_MULTIPLE = 128  # lane width: keep the particle axis a multiple of the VPU lane count
+
+
+def _round_up(n: int, m: int = PAD_MULTIPLE) -> int:
+    return ((n + m - 1) // m) * m
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=[
+             "pos", "vel", "predicted_vel", "corrected_vel", "inter_vel", "acc",
+             "orig_pos", "goal_pos", "mass", "dens", "pres",
+             "vm", "inter_vm", "iion", "stim", "w",
+             "fixed", "active", "is_stim_on",
+         ],
+         meta_fields=[])
+@dataclasses.dataclass(frozen=True)
+class ParticleState:
+    """SoA particle state (Particle.h:10-29 fields, padded + masked).
+
+    Shapes: (N, 3) for vectors, (N,) for scalars, with N the padded capacity.
+    `is_stim_on` mirrors the engine-level bool at SPH_SM_monodomain.h:68.
+    """
+
+    pos: jax.Array            # Particle.h:10
+    vel: jax.Array            # Particle.h:11
+    predicted_vel: jax.Array  # Particle.h:12
+    corrected_vel: jax.Array  # Particle.h:14
+    inter_vel: jax.Array      # Particle.h:13
+    acc: jax.Array            # Particle.h:15
+    orig_pos: jax.Array       # Particle.h:18 (mOriginalPos)
+    goal_pos: jax.Array       # Particle.h:19 (mGoalPos)
+    mass: jax.Array           # Particle.h:16
+    dens: jax.Array           # Particle.h:22
+    pres: jax.Array           # Particle.h:23
+    vm: jax.Array             # Particle.h:25 (Vm)
+    inter_vm: jax.Array       # Particle.h:26
+    iion: jax.Array           # Particle.h:27
+    stim: jax.Array           # Particle.h:28
+    w: jax.Array              # Particle.h:29
+    fixed: jax.Array          # Particle.h:20 (mFixed), bool
+    active: jax.Array         # live-lane mask (replaces Number_Particles), bool
+    is_stim_on: jax.Array     # scalar bool (h:68)
+
+    @property
+    def capacity(self) -> int:
+        return self.pos.shape[0]
+
+    @property
+    def num_active(self) -> jax.Array:
+        return jnp.sum(self.active.astype(jnp.int32))
+
+    def displacement(self) -> jax.Array:
+        """|orig_pos - pos| per particle (Particle.h:31-34 getDisplacement)."""
+        return jnp.linalg.norm(self.orig_pos - self.pos, axis=-1)
+
+    def replace(self, **kw) -> "ParticleState":
+        return dataclasses.replace(self, **kw)
+
+
+def init_fluid(positions, cfg: SimConfig, velocities=None,
+               pad_to: int | None = None) -> ParticleState:
+    """Seed a fluid from a point cloud (Init_Fluid / Init_Particle,
+    SPH_SM_monodomain.cpp:93-125).
+
+    Reference semantics preserved: capacity clamp (cpp:103-104) drops particles
+    beyond `cfg.max_particles`; vel=0, acc=0, dens=rho0, mass=0.2, all EP fields
+    zero, goal = orig = pos, fixed = False.
+
+    Padded lanes get positions far outside the world so they never hash into a
+    grid cell, and `active=False` keeps them inert in every phase.
+    """
+    positions = np.asarray(positions, dtype=np.float32)
+    if positions.ndim != 2 or positions.shape[1] != 3:
+        raise ValueError(f"positions must be (N, 3), got {positions.shape}")
+    n = min(positions.shape[0], cfg.max_particles)  # capacity clamp cpp:103
+    positions = positions[:n]
+    if velocities is None:
+        velocities = np.zeros_like(positions)
+    else:
+        velocities = np.asarray(velocities, dtype=np.float32)[:n]
+
+    cap = pad_to if pad_to is not None else _round_up(max(n, 1))
+    if cap < n:
+        raise ValueError(f"pad_to={cap} smaller than particle count {n}")
+
+    far = 4.0 * max(cfg.world_size)  # outside the grid -> invalid hash (cpp:138-140)
+    pos = np.full((cap, 3), far, dtype=np.float32)
+    pos[:n] = positions
+    vel = np.zeros((cap, 3), dtype=np.float32)
+    vel[:n] = velocities
+
+    zeros3 = jnp.zeros((cap, 3), jnp.float32)
+    zeros1 = jnp.zeros((cap,), jnp.float32)
+    active = np.zeros((cap,), dtype=bool)
+    active[:n] = True
+
+    return ParticleState(
+        pos=jnp.asarray(pos),
+        vel=jnp.asarray(vel),
+        predicted_vel=zeros3,
+        corrected_vel=zeros3,
+        inter_vel=zeros3,
+        acc=zeros3,
+        orig_pos=jnp.asarray(pos),
+        goal_pos=jnp.asarray(pos),
+        mass=jnp.full((cap,), cfg.particle_mass, jnp.float32),
+        dens=jnp.full((cap,), cfg.stand_density, jnp.float32),
+        pres=zeros1,
+        vm=zeros1,
+        inter_vm=zeros1,
+        iion=zeros1,
+        stim=zeros1,
+        w=zeros1,
+        fixed=jnp.zeros((cap,), bool),
+        active=jnp.asarray(active),
+        is_stim_on=jnp.asarray(False),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint / resume (SURVEY.md §5: the reference has none; pytree state makes
+# this trivial and enables golden-trajectory tests).
+# ---------------------------------------------------------------------------
+
+def save_checkpoint(path: str, state: ParticleState, step: int = 0) -> None:
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    arrays["__step__"] = np.asarray(step, dtype=np.int64)
+    np.savez_compressed(path, **arrays)
+
+
+def load_checkpoint(path: str) -> tuple[ParticleState, int]:
+    data = np.load(path)
+    step = int(data["__step__"])
+    template = jax.tree_util.tree_structure(
+        ParticleState(*([jnp.zeros(())] * 19)))
+    n = template.num_leaves
+    leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(n)]
+    return jax.tree_util.tree_unflatten(template, leaves), step

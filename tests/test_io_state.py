@@ -1,0 +1,82 @@
+"""Loader, scene, state, and checkpoint tests (C3, C4, C13, D1)."""
+
+import numpy as np
+import pytest
+
+from sph_sm_monodomain_tpu import (SimConfig, build_scene, init_fluid,
+                                   load_checkpoint, read_cloud_csv,
+                                   save_checkpoint)
+from sph_sm_monodomain_tpu.utils.io import (ASSETS_DIR, cube_positions,
+                                            rescale_into_world)
+
+CFG = SimConfig()
+
+needs_assets = pytest.mark.skipif(not ASSETS_DIR.exists(),
+                                  reason="data assets not present")
+
+
+@needs_assets
+def test_biceps_18475_subsample_rule():
+    # reference loader: keep first 3000 rows, then every 7th (main.cpp:157-176)
+    pts = read_cloud_csv(ASSETS_DIR / "biceps_simple_out_18475.csv",
+                         subsample_freq=7)
+    assert pts.shape == (5211, 3)  # SURVEY.md C4: 5,211 effective particles
+    full = read_cloud_csv(ASSETS_DIR / "biceps_simple_out_18475.csv")
+    assert full.shape == (18475, 3)
+
+
+@needs_assets
+def test_scene_builds_and_stimulates():
+    sc = build_scene("biceps_18475")
+    assert sc.num_particles == 5211
+    st = sc.state
+    n = sc.num_particles
+    stim = np.asarray(st.stim)[:n]
+    # turnOnStim_Mesh effectively stimulates the whole cloud (SURVEY.md C13)
+    assert (stim == CFG.stim_strength).mean() > 0.99
+    fixed = np.asarray(st.fixed)[:n]
+    x = np.asarray(st.pos)[:n, 0]
+    y = np.asarray(st.pos)[:n, 1]
+    want_fixed = ((x >= 0.0) & (x <= 0.07)) | ((x >= 0.90) & (y >= 0.80))
+    np.testing.assert_array_equal(fixed, want_fixed)
+
+
+def test_cube_scene_seeding():
+    pts = cube_positions(CFG)
+    assert pts.shape[0] > 1000
+    assert (pts[:, 0] >= 0.45 - 1e-6).all() and (pts[:, 0] < 1.05).all()
+    assert (pts[:, 1] >= 0.0).all() and (pts[:, 1] < 0.6).all()
+
+
+def test_rescale_into_world():
+    pts = np.array([[-10, 0, 5], [20, 3, 9]], np.float32)
+    out = rescale_into_world(pts, CFG)
+    assert (out >= 0).all() and (out <= 1.5).all()
+
+
+def test_capacity_clamp():
+    cfg = CFG.replace(max_particles=10)
+    pts = np.random.default_rng(0).random((50, 3)).astype(np.float32)
+    st = init_fluid(pts, cfg)
+    assert int(st.num_active) == 10  # cpp:103-104 drops the rest
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    pts = np.random.default_rng(1).random((40, 3)).astype(np.float32)
+    st = init_fluid(pts, CFG)
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, st, step=123)
+    st2, step_no = load_checkpoint(path)
+    assert step_no == 123
+    np.testing.assert_array_equal(np.asarray(st.pos), np.asarray(st2.pos))
+    np.testing.assert_array_equal(np.asarray(st.active),
+                                  np.asarray(st2.active))
+
+
+def test_displacement():
+    pts = np.zeros((4, 3), np.float32) + 0.5
+    st = init_fluid(pts, CFG)
+    st = st.replace(pos=st.pos.at[0, 0].add(0.3))
+    d = np.asarray(st.displacement())
+    np.testing.assert_allclose(d[0], 0.3, rtol=1e-6)
+    np.testing.assert_allclose(d[1:4], 0.0)
