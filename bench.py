@@ -1,0 +1,58 @@
+"""Benchmark: coupled SPH+SM+monodomain step throughput on the real chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline (BASELINE.md): the reference C++ app on an i7-4770 single core runs
+~74.7 ms/step at 5,211 particles (results_171114.csv, sigma=0.383 era) —
+~0.0698 M particle-steps/s. We report particle-steps/s on the flagship
+biceps scene and vs_baseline against that anchor.
+
+Timing discipline: only scan-amortized timing is trustworthy through the
+remote-TPU tunnel (per-call timings lie in both directions); we time K steps
+inside one lax.scan program, subtracting nothing.
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def main():
+    steps = int(os.environ.get("BENCH_STEPS", "50"))
+    scene_name = os.environ.get("BENCH_SCENE", "biceps_18475")
+    import jax
+    import sph_sm_monodomain_tpu as smt
+
+    sc = smt.build_scene(scene_name)
+    state, cfg = sc.state, sc.cfg
+
+    def run(n):
+        out = smt.simulate(state, cfg, sc.cell_capacity,
+                           sc.neighbor_capacity, num_steps=n)
+        jax.tree_util.tree_map(lambda x: x.block_until_ready(), out[0])
+        return out
+
+    # compile + warmup
+    run(steps)
+    t0 = time.time()
+    out = run(steps)
+    dt = time.time() - t0
+    ms_per_step = dt / steps * 1e3
+    pstep_per_s = sc.num_particles / (dt / steps)
+
+    # reference anchor: 74.7 ms/step at 5,211 particles (BASELINE.md)
+    baseline_pstep_per_s = 5211 / 74.7e-3
+    print(json.dumps({
+        "metric": f"particle-steps/sec ({scene_name}, {sc.num_particles} particles, coupled SPH+SM+monodomain)",
+        "value": round(pstep_per_s, 1),
+        "unit": "particle-steps/s",
+        "vs_baseline": round(pstep_per_s / baseline_pstep_per_s, 3),
+    }))
+    # extra diagnostics on stderr (not part of the contract)
+    print(f"# {ms_per_step:.2f} ms/step over {steps} scanned steps; "
+          f"overflow={int(out[1].overflow)}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,213 @@
+"""Command-line driver — the headless replacement for the reference's GLUT
+app (components C15/C16, /root/reference/main.cpp).
+
+Replays the reference experiment protocol (500 steps, stim off at half —
+main.cpp:73, 329-334), with a real flag system replacing the reference's
+hard-coded constants (SURVEY.md §5 'Config / flag system: none'), PNG frame
+rendering replacing the GL window, a timing report in the reference's
+print_report CSV schema (cpp:785-792), and checkpoint save/resume (which the
+reference lacks).
+
+Usage examples:
+  python -m sph_sm_monodomain_tpu.cli --scene biceps_18475 --steps 500
+  python -m sph_sm_monodomain_tpu.cli --scene cube --steps 200 \
+      --render-every 20 --render-dir frames/ --render-mode voltage
+  python -m sph_sm_monodomain_tpu.cli --scene susane --mode sph \
+      --steps 300 --report out.csv
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="sph_sm_monodomain_tpu",
+        description="TPU-native coupled SPH + shape matching + monodomain "
+                    "muscle simulation")
+    p.add_argument("--scene", default="biceps_18475",
+                   help="scene name (biceps_18475, biceps_4944, cube, "
+                        "susane, rectus_femoris, ...)")
+    p.add_argument("--mode", default="coupled",
+                   choices=["coupled", "sph", "sm", "monodomain"],
+                   help="model variant")
+    p.add_argument("--steps", type=int, default=500,
+                   help="total steps (reference: 500, main.cpp:73)")
+    p.add_argument("--stim-off-step", type=int, default=None,
+                   help="turnOffStim before this step (default steps//2, "
+                        "main.cpp:329); -1 disables")
+    p.add_argument("--replicate", type=int, default=1,
+                   help="tile the cloud k times along x (multi-muscle)")
+    p.add_argument("--chunk", type=int, default=100,
+                   help="steps per device dispatch")
+    # physics overrides (the ~30 constants of the reference ctor)
+    p.add_argument("--set", action="append", default=[], metavar="K=V",
+                   help="override any SimConfig field, e.g. --set "
+                        "mu_viscosity=50 --set quadratic_match=true")
+    p.add_argument("--corrected-physics", action="store_true",
+                   help="disable the reference's quirks "
+                        "(strict_reference_mode off)")
+    # outputs
+    p.add_argument("--report", default=None,
+                   help="append a print_report-schema CSV row to this file")
+    p.add_argument("--profile-phases", action="store_true",
+                   help="measure per-phase timings for the report "
+                        "(slower: compiles each phase separately)")
+    p.add_argument("--render-every", type=int, default=0,
+                   help="render every Nth step to PNG")
+    p.add_argument("--render-dir", default="frames")
+    p.add_argument("--render-mode", default="displacement",
+                   choices=["displacement", "voltage"])
+    p.add_argument("--save-checkpoint", default=None, metavar="PATH.npz")
+    p.add_argument("--load-checkpoint", default=None, metavar="PATH.npz")
+    p.add_argument("--devices", type=int, default=1,
+                   help=">1: shard particles over a device mesh")
+    return p
+
+
+def _apply_overrides(cfg, pairs):
+    import dataclasses
+    fields = {f.name: f.type for f in dataclasses.fields(cfg)}
+    kw = {}
+    for pair in pairs:
+        k, _, v = pair.partition("=")
+        if k not in fields:
+            sys.exit(f"unknown config field {k!r}; have {sorted(fields)}")
+        cur = getattr(cfg, k)
+        if isinstance(cur, bool):
+            kw[k] = v.lower() in ("1", "true", "yes", "on")
+        elif isinstance(cur, int):
+            kw[k] = int(v)
+        elif isinstance(cur, float):
+            kw[k] = float(v)
+        elif isinstance(cur, tuple):
+            kw[k] = tuple(float(x) for x in v.split(","))
+        else:
+            kw[k] = v
+    return cfg.replace(**kw) if kw else cfg
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    import jax
+    import numpy as np
+    from .config import SimConfig
+    from .utils.io import build_scene
+    from .utils import render as render_mod
+    from .utils.report import profile_phases, report_row, REPORT_HEADER
+    from .state import save_checkpoint, load_checkpoint
+    from . import models
+    from .models import variants
+
+    cfg = SimConfig()
+    if args.corrected_physics:
+        cfg = cfg.replace(strict_reference_mode=False,
+                          quirk_double_self_density=False,
+                          quirk_pressure_stim_gate=False,
+                          quirk_iion_accumulate=False,
+                          quirk_stim_radius_squared=False)
+    if args.mode == "sph":
+        cfg = variants.sph_only_config(cfg)
+    cfg = _apply_overrides(cfg, args.set)
+
+    scene = build_scene(args.scene, cfg, replicate=args.replicate,
+                        stim=args.mode in ("coupled", "monodomain"))
+    cfg = scene.cfg
+    state = scene.state
+    start_step = 0
+    if args.load_checkpoint:
+        state, start_step = load_checkpoint(args.load_checkpoint)
+        print(f"resumed from {args.load_checkpoint} at step {start_step}")
+
+    stim_off = (args.steps // 2 if args.stim_off_step is None
+                else args.stim_off_step)
+    print(f"scene={scene.name} n={scene.num_particles} "
+          f"capacity={state.capacity} cell_cap={scene.cell_capacity} "
+          f"nbr_cap={scene.neighbor_capacity} mode={args.mode} "
+          f"backend={jax.default_backend()}")
+
+    frames = []
+    render_every = args.render_every
+
+    t0 = time.time()
+    if args.mode == "monodomain":
+        tables = variants.monodomain_prepare(
+            state, cfg, scene.cell_capacity, scene.neighbor_capacity)
+        for i in range(args.steps):
+            state = variants.step_monodomain_only(state, tables, cfg)
+            if render_every and i % render_every == 0:
+                frames.append((i, state))
+        overflow = 0
+    elif args.mode in ("sph", "sm"):
+        step_fn = (variants.step_sph_only if args.mode == "sph"
+                   else variants.step_sm_only)
+        overflow = 0
+        for i in range(args.steps):
+            state, aux = step_fn(state, cfg, scene.cell_capacity,
+                                 scene.neighbor_capacity)
+            overflow = max(overflow, int(aux.overflow))
+            if render_every and i % render_every == 0:
+                frames.append((i, state))
+    else:
+        scene = scene._replace(state=state)
+        if render_every:
+            def cb(done, st):
+                frames.append((done, st))
+            state, aux, _ = models.run_protocol(
+                scene, num_steps=args.steps, stim_off_step=stim_off,
+                chunk=min(args.chunk, max(render_every, 1)), callback=cb)
+        else:
+            state, aux, _ = models.run_protocol(
+                scene, num_steps=args.steps, stim_off_step=stim_off,
+                chunk=args.chunk)
+        overflow = int(aux.overflow)
+    jax.tree_util.tree_map(lambda x: x.block_until_ready(), state)
+    wall = time.time() - t0
+    avg_step = wall / max(args.steps, 1)
+    print(f"{args.steps} steps in {wall:.2f}s ({avg_step*1e3:.2f} ms/step, "
+          f"incl. compile), overflow={overflow}")
+    if overflow:
+        print("WARNING: neighbor-table overflow detected — rebuild the "
+              "scene with larger cell/neighbor capacities for exact physics",
+              file=sys.stderr)
+
+    n = scene.num_particles
+    disp = np.asarray(state.displacement())[:n]
+    vm = np.asarray(state.vm)[:n]
+    print(f"displacement mean={disp.mean():.4f} max={disp.max():.4f} | "
+          f"Vm [{vm.min():.2f}, {vm.max():.2f}]")
+
+    if args.save_checkpoint:
+        save_checkpoint(args.save_checkpoint, state, step=args.steps)
+        print(f"checkpoint -> {args.save_checkpoint}")
+
+    if render_every:
+        states = [s for _, s in frames]
+        paths = render_mod.render_frames(
+            states, cfg, args.render_dir,
+            stim_off_step=(stim_off // max(render_every, 1)
+                           if stim_off >= 0 else -1),
+            mode=args.render_mode)
+        print(f"{len(paths)} frames -> {args.render_dir}/")
+
+    if args.report:
+        phases = {}
+        if args.profile_phases:
+            phases = profile_phases(scene.state, cfg, scene.cell_capacity,
+                                    scene.neighbor_capacity)
+        row = report_row(cfg, args.steps, avg_step, phases)
+        import os
+        write_header = not os.path.exists(args.report)
+        with open(args.report, "a") as f:
+            if write_header:
+                f.write(REPORT_HEADER + "\n")
+            f.write(row + "\n")
+        print(f"report row -> {args.report}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

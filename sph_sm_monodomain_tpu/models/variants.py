@@ -1,0 +1,123 @@
+"""Model variants: SPH-only, monodomain-only, SM-only.
+
+The reference runs only the fully-coupled model, but its phases are
+separable and BASELINE.json's benchmark configs call for decoupled modes:
+  - "SPH-only mode (density/pressure/viscosity, no activation)"
+  - "monodomain-only FHN wave propagation ... (diffusion + reaction, frozen
+    particles)"
+Each variant reuses the exact phase transforms of the coupled model
+(ops/sph.py, ops/electrophysiology.py, ops/shape_matching.py) so physics
+stays consistent with the reference semantics.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SimConfig
+from ..state import ParticleState
+from ..ops.grid import NeighborTable, build_neighbor_table
+from ..ops.shape_matching import apply_external_forces, corrected_velocity
+from ..ops.sph import (density_pressure, force_and_diffusion,
+                       xsph_intermediate_velocity)
+from ..ops.electrophysiology import fhn_cell_model
+from ..ops.integrate import update_properties
+from .monodomain import StepAux
+
+
+def sph_only_config(cfg: SimConfig | None = None) -> SimConfig:
+    """Config for pure-fluid runs: the stim pressure gate (a coupled-model
+    quirk, cpp:493-503) must be off or an unstimulated fluid has no pressure
+    forces at all; voltage coupling is inert since Vm stays 0."""
+    cfg = cfg or SimConfig()
+    return cfg.replace(quirk_pressure_stim_gate=False)
+
+
+@partial(jax.jit, static_argnames=("cfg", "cell_capacity",
+                                   "neighbor_capacity"))
+def step_sph_only(state: ParticleState, cfg: SimConfig, cell_capacity: int,
+                  neighbor_capacity: int) -> tuple[ParticleState, StepAux]:
+    """Pure SPH: gravity -> XSPH -> density/pressure -> forces -> integrate.
+
+    No shape matching (corrected_vel = predicted_vel) and no
+    electrophysiology (EP state untouched; inter_vm zeroed so the voltage
+    update in Update_Properties is a no-op)."""
+    nbr = build_neighbor_table(state.pos, state.pos, state.active, cfg,
+                               cell_capacity, neighbor_capacity)
+    state = apply_external_forces(state, cfg)
+    state = state.replace(corrected_vel=state.predicted_vel)
+    state = xsph_intermediate_velocity(state, nbr, cfg)
+    state = density_pressure(state, nbr, cfg)
+    state = force_and_diffusion(state, nbr, cfg)
+    state = state.replace(inter_vm=jnp.zeros_like(state.inter_vm))
+    state = update_properties(state, cfg)
+    return state, StepAux(overflow=nbr.overflow)
+
+
+@partial(jax.jit, static_argnames=("cfg", "cell_capacity",
+                                   "neighbor_capacity"))
+def step_sm_only(state: ParticleState, cfg: SimConfig, cell_capacity: int,
+                 neighbor_capacity: int) -> tuple[ParticleState, StepAux]:
+    """Shape matching + gravity only: viscoelastic solid, no fluid forces,
+    no electrophysiology."""
+    nbr = build_neighbor_table(state.pos, state.pos, state.active, cfg,
+                               cell_capacity, neighbor_capacity)
+    state = corrected_velocity(state, cfg)
+    state = state.replace(inter_vel=state.corrected_vel,
+                          acc=jnp.zeros_like(state.acc),
+                          inter_vm=jnp.zeros_like(state.inter_vm))
+    state = update_properties(state, cfg)
+    return state, StepAux(overflow=nbr.overflow)
+
+
+class MonodomainTables(NamedTuple):
+    """Precomputed geometry for frozen-particle electrophysiology."""
+    nbr: NeighborTable
+    dens: jax.Array
+
+
+@partial(jax.jit, static_argnames=("cfg", "cell_capacity",
+                                   "neighbor_capacity"))
+def monodomain_prepare(state: ParticleState, cfg: SimConfig,
+                       cell_capacity: int,
+                       neighbor_capacity: int) -> MonodomainTables:
+    """Frozen particles: the neighbor table and SPH densities are static —
+    build them once (vs every step in the coupled model)."""
+    nbr = build_neighbor_table(state.pos, state.pos, state.active, cfg,
+                               cell_capacity, neighbor_capacity)
+    st = density_pressure(state, nbr, cfg)
+    return MonodomainTables(nbr=nbr, dens=st.dens)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def step_monodomain_only(state: ParticleState, tables: MonodomainTables,
+                         cfg: SimConfig) -> ParticleState:
+    """FHN reaction + SPH-discretized diffusion on a frozen cloud
+    (the reaction-diffusion core of Compute_Force cpp:562-571 +
+    calculate_cell_model cpp:575-593 + the Vm update of cpp:612-616)."""
+    state = state.replace(dens=tables.dens)
+    state = fhn_cell_model(state, cfg)
+    state = force_and_diffusion(state, tables.nbr, cfg)
+    dt = cfg.time_delta
+    vm = state.vm + state.inter_vm * dt / state.mass
+    vm = jnp.clip(vm, -cfg.max_voltage, cfg.max_voltage)
+    return state.replace(vm=jnp.where(state.active, vm, state.vm))
+
+
+@partial(jax.jit, static_argnames=("cfg", "num_steps", "record_every"))
+def simulate_monodomain_only(state: ParticleState, tables: MonodomainTables,
+                             cfg: SimConfig, num_steps: int,
+                             record_every: int = 0):
+    """Scan driver for the frozen-cloud FHN wave (BASELINE config 3)."""
+    def body(st, _):
+        st = step_monodomain_only(st, tables, cfg)
+        return st, (st.vm if record_every else ())
+
+    state, vms = jax.lax.scan(body, state, None, length=num_steps)
+    if record_every:
+        return state, vms[::record_every]
+    return state

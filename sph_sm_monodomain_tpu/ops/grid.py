@@ -147,15 +147,16 @@ def compact_candidates(pos_q: jax.Array, pos_g: jax.Array, idx: jax.Array,
     return out, out_mask, overflow
 
 
-def build_neighbor_table(pos_q: jax.Array, pos_g: jax.Array,
-                         active_g: jax.Array, cfg: SimConfig,
-                         cell_capacity: int, neighbor_capacity: int
-                         ) -> NeighborTable:
-    """Find_neighbors + stencil expansion + compaction in one call
-    (cpp:199-213 + 462-481, restructured for static shapes).
+def build_neighbor_table_bucketed(pos_q: jax.Array, pos_g: jax.Array,
+                                  active_g: jax.Array, cfg: SimConfig,
+                                  cell_capacity: int, neighbor_capacity: int
+                                  ) -> NeighborTable:
+    """Bucket + scatter-compaction neighbor table (reference-ordered).
 
-    `pos_q` = query particles (local shard); `pos_g`/`active_g` = the full
-    particle set the table indexes into (single chip: pos_q is pos_g).
+    Kept for exact fp-sum-order parity with the reference's insertion-order
+    iteration; the default `build_neighbor_table` below uses the
+    scatter-free sorted-window construction, which is ~100x faster on TPU
+    (XLA serializes the (N, 27C) compaction scatter).
     """
     ids = cell_hash(cell_coords(pos_g, cfg), cfg)
     buckets, overflow = build_buckets(ids, active_g, cfg, cell_capacity)
@@ -163,6 +164,77 @@ def build_neighbor_table(pos_q: jax.Array, pos_g: jax.Array,
     idx, mask, dropped = compact_candidates(pos_q, pos_g, raw_idx, raw_mask,
                                             cfg, neighbor_capacity)
     return NeighborTable(idx=idx, mask=mask, overflow=overflow + dropped)
+
+
+# (dy, dz) offsets of the 9 x-contiguous stencil runs, z-major like the
+# reference loop order (cpp:462-464).
+_RUN_OFFSETS = np.array([(dy, dz) for dz in (-1, 0, 1) for dy in (-1, 0, 1)],
+                        dtype=np.int32)
+
+
+def build_neighbor_table(pos_q: jax.Array, pos_g: jax.Array,
+                         active_g: jax.Array, cfg: SimConfig,
+                         cell_capacity: int, neighbor_capacity: int
+                         ) -> NeighborTable:
+    """Sorted-window neighbor table (scatter-free, TPU-native).
+
+    Find_neighbors + the 27-cell stencil (cpp:199-213, 462-481), restructured
+    around a spatial sort: with the linear hash x + Gx*(y + Gy*z)
+    (cpp:142), the three x-neighbor cells at a fixed (y, z) are CONTIGUOUS
+    in cell-sorted particle order, so each query's stencil is exactly 9
+    contiguous runs of the sorted array. Each run becomes a fixed-width
+    window `start + iota(W)` masked by the true run length — no scatter, no
+    per-row compaction, and candidates arrive sorted (gather locality).
+
+    `neighbor_capacity` is the TOTAL table width K; the per-run window is
+    W = K // 9 (use ops.grid.auto_window_capacity to size it). Runs longer
+    than W are truncated and counted in `overflow`.
+
+    Returned indices are GLOBAL particle ids (original order), so the table
+    is a drop-in for the SPH phases; `pos_q` may be a shard of `pos_g`.
+    """
+    w = neighbor_capacity // 9
+    if w * 9 != neighbor_capacity:
+        raise ValueError("neighbor_capacity must be a multiple of 9 for the "
+                         "window table")
+    n_g = pos_g.shape[0]
+    n_q = pos_q.shape[0]
+    gx, gy, gz = cfg.grid_size
+
+    ids0 = cell_hash(cell_coords(pos_g, cfg), cfg)
+    ids = jnp.where((ids0 >= 0) & active_g, ids0, cfg.num_cells)
+    order = jnp.argsort(ids, stable=True).astype(jnp.int32)
+    sorted_ids = ids[order]
+
+    c = cell_coords(pos_q, cfg)
+    cx, cy, cz = c[..., 0], c[..., 1], c[..., 2]
+    off = jnp.asarray(_RUN_OFFSETS)
+    y = cy[:, None] + off[None, :, 0]                    # (Nq, 9)
+    z = cz[:, None] + off[None, :, 1]
+    # a query whose own cell is out of grid contributes no runs (hash -1
+    # behavior, cpp:138-140)
+    q_ok = (cx >= 0) & (cx < gx) & (cy >= 0) & (cy < gy) \
+        & (cz >= 0) & (cz < gz)
+    run_ok = q_ok[:, None] & (y >= 0) & (y < gy) & (z >= 0) & (z < gz)
+    xlo = jnp.maximum(cx - 1, 0)
+    xhi = jnp.minimum(cx + 1, gx - 1)
+    lo_hash = xlo[:, None] + gx * (y + gy * z)
+    hi_hash = xhi[:, None] + gx * (y + gy * z) + 1
+    start = jnp.searchsorted(sorted_ids,
+                             jnp.where(run_ok, lo_hash, 0)).astype(jnp.int32)
+    end = jnp.searchsorted(sorted_ids,
+                           jnp.where(run_ok, hi_hash, 0)).astype(jnp.int32)
+    end = jnp.where(run_ok, end, start)
+    length = end - start
+
+    wi = jax.lax.broadcasted_iota(jnp.int32, (n_q, 9, w), 2)
+    sidx = jnp.minimum(start[:, :, None] + wi, n_g - 1)
+    mask = wi < length[:, :, None]
+    idx = jnp.where(mask, order[sidx], 0)
+    overflow = jnp.sum(jnp.maximum(length - w, 0)).astype(jnp.int32)
+    return NeighborTable(idx=idx.reshape(n_q, 9 * w),
+                         mask=mask.reshape(n_q, 9 * w),
+                         overflow=overflow)
 
 
 def auto_cell_capacity(positions: np.ndarray, cfg: SimConfig,
@@ -210,3 +282,25 @@ def auto_neighbor_capacity(positions: np.ndarray, cfg: SimConfig,
         else minimum
     cap = max(cap, minimum)
     return ((cap + 7) // 8) * 8
+
+
+def auto_window_capacity(positions: np.ndarray, cfg: SimConfig,
+                         headroom: float = 1.3, minimum: int = 16) -> int:
+    """Size the sorted-window table: per-run width W = headroom * the max
+    occupancy of any 3 consecutive x-cells at init. Returns the TOTAL table
+    width K = 9 * W (what build_neighbor_table expects as
+    neighbor_capacity). Host-side, runs once at scene build."""
+    gx, gy, gz = cfg.grid_size
+    coords = (np.asarray(positions) / cfg.cell_size).astype(np.int64)
+    inside = ((coords >= 0).all(1)
+              & (coords[:, 0] < gx) & (coords[:, 1] < gy) & (coords[:, 2] < gz))
+    c = coords[inside]
+    occ = np.bincount(c[:, 0] + gx * (c[:, 1] + gy * c[:, 2]),
+                      minlength=cfg.num_cells).reshape(gz, gy, gx)
+    padded = np.zeros((gz, gy, gx + 2), np.int64)
+    padded[:, :, 1:-1] = occ
+    run3 = padded[:, :, :-2] + padded[:, :, 1:-1] + padded[:, :, 2:]
+    w = int(np.ceil(run3.max() * headroom)) if run3.size else minimum
+    w = max(w, minimum)
+    w = ((w + 7) // 8) * 8
+    return 9 * w

@@ -31,9 +31,10 @@ from ..state import ParticleState
 from .linalg import det3, invert3, polar_decomposition, pseudo_inverse
 
 # anti-flip sign pattern: negate (0,1), (1,1), (2,2) (cpp:296-298)
-_FLIP_SIGNS = jnp.array([[1.0, -1.0, 1.0],
+import numpy as _np
+_FLIP_SIGNS = _np.array([[1.0, -1.0, 1.0],
                          [1.0, -1.0, 1.0],
-                         [1.0, 1.0, -1.0]], dtype=jnp.float32)
+                         [1.0, 1.0, -1.0]], dtype=_np.float32)
 
 
 def apply_external_forces(state: ParticleState, cfg: SimConfig,

@@ -16,7 +16,7 @@ import numpy as np
 
 from ..config import SimConfig
 from ..state import ParticleState, init_fluid
-from ..ops.grid import auto_cell_capacity, auto_neighbor_capacity
+from ..ops.grid import auto_cell_capacity, auto_window_capacity
 from ..ops import electrophysiology as ep
 
 _REPO_ROOT = Path(__file__).resolve().parents[2]
@@ -158,7 +158,7 @@ def build_scene(name: str, cfg: SimConfig | None = None, replicate: int = 1,
         else:
             state = ep.turn_on_stim_mesh(state, pts, cfg)   # main.cpp:487
     cap = cfg.cell_capacity or auto_cell_capacity(pts, cfg)
-    k_nbr = auto_neighbor_capacity(pts, cfg)
+    k_nbr = auto_window_capacity(pts, cfg)
     return Scene(state=state, cfg=cfg, cell_capacity=cap,
                  neighbor_capacity=k_nbr,
                  num_particles=int(pts.shape[0]), name=name)

@@ -1,0 +1,118 @@
+"""Headless point-cloud renderer (PNG frames), replacing the GLUT display.
+
+Replaces component C15 (/root/reference/main.cpp:40-352): same displacement
+colormap (`set_color`, main.cpp:122-143), same displacement range
+[-0.05, 0.05] (main.cpp:213), same post-stim fade ramp (main.cpp:221-222),
+plus the voltage colormap the reference left commented out (main.cpp:210).
+Renders with an orthographic camera (orbitable azimuth/elevation standing in
+for the GLUT mouse orbit, main.cpp:354-381) into a numpy image buffer; no GL
+required.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import SimConfig
+from ..state import ParticleState
+
+
+def set_color(value, lo: float, hi: float) -> np.ndarray:
+    """Blue->yellow->red ramp, exactly main.cpp:122-143 (value compared to
+    mid_distance = (hi-lo)/2, NOT re-centered on lo — a reference quirk)."""
+    value = np.asarray(value, dtype=np.float32)
+    mid = (hi - lo) / 2.0
+    ratio_lo = value / mid
+    ratio_hi = (value - mid) / mid
+    low = np.stack([ratio_lo, ratio_lo, 1.0 - ratio_lo], axis=-1)
+    high = np.stack([np.ones_like(ratio_hi), 1.0 - ratio_hi,
+                     np.zeros_like(ratio_hi)], axis=-1)
+    rgb = np.where((value <= mid)[..., None], low, high)
+    return np.clip(rgb, 0.0, 1.0)
+
+
+def _project(pos: np.ndarray, azimuth: float, elevation: float,
+             world: np.ndarray):
+    """Orthographic orbit camera around the world center."""
+    center = world / 2.0
+    p = pos - center
+    ca, sa = np.cos(azimuth), np.sin(azimuth)
+    ce, se = np.cos(elevation), np.sin(elevation)
+    x = p[:, 0] * ca + p[:, 2] * sa
+    z = -p[:, 0] * sa + p[:, 2] * ca
+    y = p[:, 1] * ce - z * se
+    depth = p[:, 1] * se + z * ce
+    return x, y, depth
+
+
+def render_points(state: ParticleState, cfg: SimConfig,
+                  mode: str = "displacement", size: int = 600,
+                  azimuth: float = 0.0, elevation: float = 0.0,
+                  point_px: int = 2, fade_ratio: float = 1.0,
+                  background=(26, 26, 26)) -> np.ndarray:
+    """Render active particles to an (size, size, 3) uint8 image.
+
+    mode: 'displacement' (main.cpp:213, range [-0.05, 0.05], optionally
+    scaled by `fade_ratio` like the post-stim ramp at main.cpp:221-222) or
+    'voltage' (the commented-out variant at main.cpp:210, range
+    [-200, max_voltage]).
+    """
+    act = np.asarray(state.active)
+    pos = np.asarray(state.pos)[act]
+    if mode == "displacement":
+        val = np.asarray(state.displacement())[act] * fade_ratio
+        rgb = set_color(val, -0.05, 0.05)
+    elif mode == "voltage":
+        rgb = set_color(np.asarray(state.vm)[act], -200.0, cfg.max_voltage)
+    else:
+        raise ValueError(f"unknown render mode {mode!r}")
+
+    world = np.asarray(cfg.world_size, dtype=np.float32)
+    x, y, depth = _project(pos, azimuth, elevation, world)
+    half = float(world.max()) * 0.75
+    px = ((x / half * 0.5 + 0.5) * (size - 1)).astype(np.int64)
+    py = ((-y / half * 0.5 + 0.5) * (size - 1)).astype(np.int64)
+
+    img = np.zeros((size, size, 3), dtype=np.uint8)
+    img[:] = background
+    zbuf = np.full((size, size), -np.inf, dtype=np.float32)
+    order = np.argsort(depth)  # back-to-front
+    colors = (rgb * 255).astype(np.uint8)
+    r = point_px // 2
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            qx = np.clip(px[order] + dx, 0, size - 1)
+            qy = np.clip(py[order] + dy, 0, size - 1)
+            img[qy, qx] = colors[order]
+            zbuf[qy, qx] = depth[order]
+    return img
+
+
+def save_png(path: str, img: np.ndarray) -> None:
+    try:
+        from PIL import Image
+        Image.fromarray(img).save(path)
+    except ImportError:  # raw PPM fallback
+        path = path.rsplit(".", 1)[0] + ".ppm"
+        with open(path, "wb") as f:
+            f.write(f"P6 {img.shape[1]} {img.shape[0]} 255\n".encode())
+            f.write(img.tobytes())
+
+
+def render_frames(states, cfg: SimConfig, out_dir: str, stim_off_step: int,
+                  mode: str = "displacement", **kw) -> list:
+    """Render a trajectory (list of states or (T,...) pos/vm dict) to PNGs,
+    applying the reference's post-stim fade (main.cpp:221-222)."""
+    import os
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for i, st in enumerate(states):
+        fade = 1.0
+        if 0 <= stim_off_step <= i and mode == "displacement":
+            # ratio = 1 - 0.008 * (steps since stim off), main.cpp:221
+            fade = max(0.0, 1.0 - 0.008 * (i - stim_off_step))
+        img = render_points(st, cfg, mode=mode, fade_ratio=fade, **kw)
+        p = os.path.join(out_dir, f"frame_{i:05d}.png")
+        save_png(p, img)
+        paths.append(p)
+    return paths

@@ -1,0 +1,108 @@
+"""Per-phase timing + CSV report, reproducing the reference's report format.
+
+Replaces component C14 (/root/reference/SPH_SM_monodomain/
+SPH_SM_monodomain.cpp:785-824): the reference wraps each of the 7 step
+phases in chrono timers and prints one semicolon-separated row
+(schema documented at cpp:787). Two fixes over the reference:
+  - accumulators are properly initialized (the reference's are
+    default-constructed chrono durations, hence garbage columns in its
+    committed results CSVs — SURVEY.md §5);
+  - phase timing on TPU is measured scan-amortized (many iterations of the
+    phase inside one compiled program), because the fused jitted step has no
+    meaningful per-phase host timers and per-call timings through a remote
+    tunnel are unreliable.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SimConfig
+from ..state import ParticleState
+from ..ops import grid, sph
+from ..ops.shape_matching import corrected_velocity
+from ..ops.electrophysiology import fhn_cell_model
+from ..ops.integrate import update_properties
+
+REPORT_HEADER = ("Avg FPS;Avg Step Duration;Time Steps;Find neighbors;"
+                 "Corrected Velocity;Intermediate Velocity;Density-Pressure;"
+                 "Cell model;Compute Force;Update Properties;K;Alpha;Beta;Mu;"
+                 "sigma;Stim strength;FH_VT;FH_VP;FH_VR;C1;C2;C3;C4")
+
+
+def _scan_time(body: Callable, init, length: int = 20, reps: int = 3) -> float:
+    """Median seconds per iteration of `body` inside one lax.scan program."""
+    @jax.jit
+    def run(x):
+        out, _ = jax.lax.scan(lambda c, _: (body(c), None), x, None,
+                              length=length)
+        return out
+
+    out = run(init)
+    jax.tree_util.tree_map(lambda y: y.block_until_ready(), out)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        out = run(init)
+        jax.tree_util.tree_map(lambda y: y.block_until_ready(), out)
+        best = min(best, (time.time() - t0) / length)
+    return best
+
+
+def profile_phases(state: ParticleState, cfg: SimConfig, cell_capacity: int,
+                   neighbor_capacity: int, length: int = 20) -> dict:
+    """Scan-amortized per-phase seconds, mirroring the 7 timed phases of
+    compute_SPH_SM_monodomain (cpp:794-824)."""
+    nbr = jax.jit(lambda p, a: grid.build_neighbor_table(
+        p, p, a, cfg, cell_capacity, neighbor_capacity))(state.pos,
+                                                         state.active)
+    jax.tree_util.tree_map(lambda x: x.block_until_ready(), nbr)
+    mut = 1.0000001  # tiny mutation so scan iterations can't be CSE'd away
+
+    phases = {
+        "find_neighbors": lambda p: p * mut + 0e-9 * grid.build_neighbor_table(
+            p, p, state.active, cfg, cell_capacity,
+            neighbor_capacity).idx[0, 0],
+        "corrected_velocity": lambda s: corrected_velocity(s, cfg).replace(
+            pos=s.pos * mut),
+        "intermediate_velocity": lambda s: s.replace(
+            corrected_vel=sph.xsph_intermediate_velocity(
+                s, nbr, cfg).inter_vel * 0.999),
+        "density_pressure": lambda s: s.replace(
+            vm=sph.density_pressure(s, nbr, cfg).dens * 1e-6 + s.vm * 0.99),
+        "cell_model": lambda s: fhn_cell_model(s, cfg).replace(
+            vm=s.vm * 0.9999),
+        "compute_force": lambda s: s.replace(
+            vm=sph.force_and_diffusion(s, nbr, cfg).acc[:, 0] * 1e-9
+            + s.vm * 0.99),
+        "update_properties": lambda s: update_properties(s, cfg),
+    }
+    out = {}
+    for name, body in phases.items():
+        init = state.pos if name == "find_neighbors" else state
+        out[name] = _scan_time(body, init, length=length)
+    return out
+
+
+def report_row(cfg: SimConfig, total_steps: int, avg_step_s: float,
+               phase_seconds: dict, avg_fps: float | None = None) -> str:
+    """One semicolon row in the reference print_report order (cpp:787-791)."""
+    if avg_fps is None:
+        avg_fps = 1.0 / avg_step_s if avg_step_s > 0 else 0.0
+    p = phase_seconds
+    cols = [
+        avg_fps, avg_step_s, total_steps,
+        p.get("find_neighbors", 0.0), p.get("corrected_velocity", 0.0),
+        p.get("intermediate_velocity", 0.0), p.get("density_pressure", 0.0),
+        p.get("cell_model", 0.0), p.get("compute_force", 0.0),
+        p.get("update_properties", 0.0),
+        cfg.k_stiffness, cfg.sm_alpha, cfg.sm_beta, cfg.mu_viscosity,
+        cfg.sigma, cfg.stim_strength, cfg.fh_vt, cfg.fh_vp, cfg.fh_vr,
+        cfg.fh_c1, cfg.fh_c2, cfg.fh_c3, cfg.fh_c4,
+    ]
+    return ";".join(f"{c:g}" if isinstance(c, float) else str(c)
+                    for c in cols)

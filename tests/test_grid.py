@@ -14,13 +14,10 @@ def _random_cloud(rng, n, lo=0.2, hi=0.7):
 
 
 def _brute_stencil_pairs(pos):
-    # stencil adjacency AND within 2h support (compaction drops zero-weight
-    # candidates beyond the widest kernel support)
+    # the window table yields exactly the reference's 27-cell stencil set
     cell = (pos / CFG.cell_size).astype(np.int64)
     d = np.abs(cell[:, None, :] - cell[None, :, :])
-    adj = (d <= 1).all(-1)
-    r2 = ((pos[:, None] - pos[None, :]) ** 2).sum(-1)
-    return adj & (r2 <= (2 * CFG.kernel_h) ** 2)
+    return (d <= 1).all(-1)
 
 
 def test_candidates_match_brute_force_stencil(rng):
@@ -29,7 +26,7 @@ def test_candidates_match_brute_force_stencil(rng):
     nbr = grid.build_neighbor_table(jnp.asarray(pos), jnp.asarray(pos),
                                     jnp.asarray(active),
                                     CFG, cell_capacity=64,
-                                    neighbor_capacity=512)
+                                    neighbor_capacity=9 * 64)
     assert int(nbr.overflow) == 0
     want = _brute_stencil_pairs(pos)
     got = np.zeros_like(want)
@@ -45,7 +42,7 @@ def test_candidates_cover_kernel_support(rng):
     nbr = grid.build_neighbor_table(jnp.asarray(pos), jnp.asarray(pos),
                                     jnp.ones(400, bool),
                                     CFG, cell_capacity=64,
-                                    neighbor_capacity=512)
+                                    neighbor_capacity=9 * 64)
     idx, mask = np.asarray(nbr.idx), np.asarray(nbr.mask)
     d2 = ((pos[:, None] - pos[None, :]) ** 2).sum(-1)
     within = d2 <= CFG.kernel_h ** 2
@@ -60,7 +57,7 @@ def test_each_particle_is_own_candidate_once(rng):
     nbr = grid.build_neighbor_table(jnp.asarray(pos), jnp.asarray(pos),
                                     jnp.ones(200, bool),
                                     CFG, cell_capacity=32,
-                                    neighbor_capacity=256)
+                                    neighbor_capacity=9 * 32)
     idx, mask = np.asarray(nbr.idx), np.asarray(nbr.mask)
     for i in range(200):
         assert (idx[i][mask[i]] == i).sum() == 1
@@ -74,22 +71,33 @@ def test_inactive_and_out_of_grid_excluded(rng):
     nbr = grid.build_neighbor_table(jnp.asarray(pos), jnp.asarray(pos),
                                     jnp.asarray(active),
                                     CFG, cell_capacity=64,
-                                    neighbor_capacity=512)
+                                    neighbor_capacity=9 * 64)
     idx, mask = np.asarray(nbr.idx), np.asarray(nbr.mask)
     flat = idx[mask]
     assert 10 not in flat and 20 not in flat
 
 
 def test_overflow_counted(rng):
-    # 20 coincident particles, capacity 8 -> 12 dropped
+    # 20 coincident particles, per-run window W=8 -> every query truncates
+    # its (single) 20-long run by 12 entries
     pos = np.full((20, 3), 0.5, np.float32)
     nbr = grid.build_neighbor_table(jnp.asarray(pos), jnp.asarray(pos),
                                     jnp.ones(20, bool),
                                     CFG, cell_capacity=8,
-                                    neighbor_capacity=64)
+                                    neighbor_capacity=9 * 8)
+    assert int(nbr.overflow) == 12 * 20
+    # kept candidates are the FIRST 8 by particle index (stable sort)
+    idx, mask = np.asarray(nbr.idx), np.asarray(nbr.mask)
+    assert set(idx[0][mask[0]]) == set(range(8))
+
+
+def test_overflow_counted_bucketed(rng):
+    # legacy bucketed path: cell capacity 8 -> 12 particles dropped
+    pos = np.full((20, 3), 0.5, np.float32)
+    nbr = grid.build_neighbor_table_bucketed(
+        jnp.asarray(pos), jnp.asarray(pos), jnp.ones(20, bool), CFG,
+        cell_capacity=8, neighbor_capacity=64)
     assert int(nbr.overflow) == 12
-    # kept candidates are the FIRST 8 by particle index (stable sort,
-    # matching the reference's insertion order)
     idx, mask = np.asarray(nbr.idx), np.asarray(nbr.mask)
     assert set(idx[0][mask[0]]) == set(range(8))
 

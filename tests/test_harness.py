@@ -1,0 +1,83 @@
+"""Harness-parity tests: renderer colormap, report schema, CLI smoke."""
+
+import os
+
+import numpy as np
+
+from sph_sm_monodomain_tpu import SimConfig, init_fluid
+from sph_sm_monodomain_tpu.utils.render import render_points, set_color
+from sph_sm_monodomain_tpu.utils.report import REPORT_HEADER, report_row
+
+CFG = SimConfig()
+
+
+def test_set_color_matches_reference_ramp():
+    # main.cpp:122-143: value <= mid -> (r, r, 1-r); value > mid -> (1, 1-r, 0)
+    lo, hi = -0.05, 0.05
+    mid = (hi - lo) / 2  # 0.05
+    c = set_color(np.array([0.025]), lo, hi)[0]  # ratio = 0.5
+    np.testing.assert_allclose(c, [0.5, 0.5, 0.5], atol=1e-6)
+    c = set_color(np.array([0.075]), lo, hi)[0]  # above mid: ratio = 0.5
+    np.testing.assert_allclose(c, [1.0, 0.5, 0.0], atol=1e-6)
+    c = set_color(np.array([0.0]), lo, hi)[0]    # zero -> pure blue
+    np.testing.assert_allclose(c, [0.0, 0.0, 1.0], atol=1e-6)
+
+
+def test_render_points_shape_and_content(rng):
+    pts = np.clip(rng.random((100, 3)).astype(np.float32), 0.1, 1.4)
+    st = init_fluid(pts, CFG)
+    img = render_points(st, CFG, size=128)
+    assert img.shape == (128, 128, 3) and img.dtype == np.uint8
+    # some pixels differ from background
+    assert (img != 26).any()
+    img_v = render_points(st, CFG, mode="voltage", size=64)
+    assert img_v.shape == (64, 64, 3)
+
+
+def test_report_row_schema():
+    phases = {k: 0.001 for k in
+              ("find_neighbors", "corrected_velocity",
+               "intermediate_velocity", "density_pressure", "cell_model",
+               "compute_force", "update_properties")}
+    row = report_row(CFG, 500, 0.01, phases)
+    cols = row.split(";")
+    assert len(cols) == len(REPORT_HEADER.split(";")) == 23
+    # parameter columns in reference order (cpp:791)
+    assert float(cols[10]) == CFG.k_stiffness
+    assert float(cols[11]) == CFG.sm_alpha
+    assert float(cols[14]) == round(CFG.sigma, 10) or \
+        abs(float(cols[14]) - CFG.sigma) < 1e-6
+    assert float(cols[22]) == CFG.fh_c4
+
+
+def test_cli_smoke(tmp_path):
+    from sph_sm_monodomain_tpu.cli import main
+    report = tmp_path / "report.csv"
+    ckpt = tmp_path / "state.npz"
+    rc = main(["--scene", "cube", "--steps", "3", "--stim-off-step", "-1",
+               "--chunk", "2", "--report", str(report),
+               "--save-checkpoint", str(ckpt)])
+    assert rc == 0
+    assert report.exists() and ckpt.exists()
+    lines = report.read_text().strip().splitlines()
+    assert lines[0] == REPORT_HEADER and len(lines) == 2
+    # resume from checkpoint
+    rc = main(["--scene", "cube", "--steps", "2", "--stim-off-step", "-1",
+               "--load-checkpoint", str(ckpt)])
+    assert rc == 0
+
+
+def test_cli_mode_variants(tmp_path):
+    from sph_sm_monodomain_tpu.cli import main
+    for mode in ("sph", "sm", "monodomain"):
+        rc = main(["--scene", "cube", "--steps", "2", "--mode", mode])
+        assert rc == 0
+
+
+def test_cli_render(tmp_path):
+    from sph_sm_monodomain_tpu.cli import main
+    out = tmp_path / "frames"
+    rc = main(["--scene", "cube", "--steps", "4", "--stim-off-step", "-1",
+               "--render-every", "2", "--render-dir", str(out)])
+    assert rc == 0
+    assert len(list(out.glob("frame_*.png"))) == 2

@@ -32,11 +32,11 @@ def mesh():
 def test_sharded_step_matches_single_chip(rng, mesh):
     st, n = _state(rng)
     sharded = shard_state(st, mesh)
-    step_fn = make_sharded_step(mesh, CFG, 32, 512)
+    step_fn = make_sharded_step(mesh, CFG, 32, 9 * 64)
 
     ref = st
     for i in range(3):
-        ref, _ = step(ref, CFG, 32, 512)
+        ref, _ = step(ref, CFG, 32, 9 * 64)
         sharded, ovf = step_fn(sharded)
         assert int(ovf) == 0
 
@@ -57,7 +57,7 @@ def test_sharded_step_matches_single_chip(rng, mesh):
 def test_sharded_simulate_with_stim_off(rng, mesh):
     st, n = _state(rng, 200)
     sharded = shard_state(st, mesh)
-    sim = make_sharded_simulate(mesh, CFG, 32, 512, num_steps=6,
+    sim = make_sharded_simulate(mesh, CFG, 32, 9 * 64, num_steps=6,
                                 stim_off_step=3)
     out, ovf = sim(sharded)
     assert int(ovf) == 0
@@ -67,7 +67,7 @@ def test_sharded_simulate_with_stim_off(rng, mesh):
 
     # matches the single-chip scan driver
     from sph_sm_monodomain_tpu import simulate
-    ref, _ = simulate(st, CFG, 32, 512, num_steps=6, stim_off_step=3)
+    ref, _ = simulate(st, CFG, 32, 9 * 64, num_steps=6, stim_off_step=3)
     np.testing.assert_allclose(np.asarray(ref.pos)[:n],
                                np.asarray(out.pos)[:n], atol=1e-4)
     np.testing.assert_allclose(np.asarray(ref.vm)[:n],
@@ -77,7 +77,7 @@ def test_sharded_simulate_with_stim_off(rng, mesh):
 def test_sharded_output_sharding_preserved(rng, mesh):
     st, _ = _state(rng, 160)
     sharded = shard_state(st, mesh)
-    step_fn = make_sharded_step(mesh, CFG, 32, 256)
+    step_fn = make_sharded_step(mesh, CFG, 32, 9 * 32)
     out, _ = step_fn(sharded)
     # output stays particle-sharded over the mesh (no silent replication)
     shd = out.pos.sharding

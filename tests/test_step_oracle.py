@@ -50,7 +50,7 @@ def test_step_matches_oracle_stimulated(rng):
     assert (o["stim"] > 0).all()
 
     for i in range(5):
-        state, aux = step(state, CFG, 32, 512)
+        state, aux = step(state, CFG, 32, 9 * 64)
         assert int(aux.overflow) == 0
         o = oracle_step(o, CFG)
         _compare(state, o, n, i)
@@ -64,7 +64,7 @@ def test_step_matches_oracle_after_stim_off(rng):
     o = state_to_oracle(state, n)
 
     for i in range(3):
-        state, _ = step(state, CFG, 32, 512)
+        state, _ = step(state, CFG, 32, 9 * 64)
         o = oracle_step(o, CFG)
 
     state = turn_off_stim(state, CFG)
@@ -73,7 +73,7 @@ def test_step_matches_oracle_after_stim_off(rng):
     np.testing.assert_array_equal(np.asarray(state.pres)[:n], o["pres"])
 
     for i in range(3):
-        state, _ = step(state, CFG, 32, 512)
+        state, _ = step(state, CFG, 32, 9 * 64)
         o = oracle_step(o, CFG)
         _compare(state, o, n, i, atol_pos=5e-5)
 
@@ -85,7 +85,7 @@ def test_step_matches_oracle_quadratic_match(rng):
     state = init_fluid(pts, cfg)
     state = set_stim(state, (0.55, 0.55, 0.55), 0.5, cfg.stim_strength, cfg)
     o = state_to_oracle(state, n)
-    state, _ = step(state, cfg, 32, 512)
+    state, _ = step(state, cfg, 32, 9 * 64)
     # oracle has no quadratic path; just check physical sanity + shape here
     assert np.isfinite(np.asarray(state.pos)[:n]).all()
     assert np.isfinite(np.asarray(state.vm)[:n]).all()
@@ -99,7 +99,7 @@ def test_padded_lanes_stay_inert(rng):
     state = set_stim(state, (0.55, 0.55, 0.55), 0.5, CFG.stim_strength, CFG)
     pad_pos0 = np.asarray(state.pos)[100:]
     for _ in range(3):
-        state, _ = step(state, CFG, 32, 512)
+        state, _ = step(state, CFG, 32, 9 * 64)
     np.testing.assert_array_equal(np.asarray(state.pos)[100:], pad_pos0)
     np.testing.assert_array_equal(np.asarray(state.vm)[100:], 0.0)
 
@@ -113,7 +113,7 @@ def test_fixed_particles_never_move(rng):
     state = state.replace(fixed=jnp.asarray(fixed))
     p0 = np.asarray(state.pos)[:10]
     for _ in range(4):
-        state, _ = step(state, CFG, 32, 512)
+        state, _ = step(state, CFG, 32, 9 * 64)
     np.testing.assert_array_equal(np.asarray(state.pos)[:10], p0)
     # but their voltage DOES evolve (cpp:612 applies to all)
     assert not np.allclose(np.asarray(state.vm)[:10], 0.0)

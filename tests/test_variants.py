@@ -1,0 +1,81 @@
+"""Model variant tests: SPH-only, SM-only, monodomain-only (BASELINE configs)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from sph_sm_monodomain_tpu import SimConfig, init_fluid
+from sph_sm_monodomain_tpu.models import variants
+from sph_sm_monodomain_tpu.ops.electrophysiology import set_stim
+
+CFG = SimConfig()
+
+
+def _blob(rng, n=200):
+    pts = rng.normal(size=(n, 3)).astype(np.float32) * 0.05 + 0.6
+    return np.clip(pts, 0.05, 1.2)
+
+
+def test_sph_only_falls_and_has_pressure(rng):
+    cfg = variants.sph_only_config(CFG)
+    assert not cfg.quirk_pressure_stim_gate
+    pts = _blob(rng)
+    st = init_fluid(pts, cfg)
+    y0 = np.asarray(st.pos)[:200, 1].mean()
+    for _ in range(5):
+        st, aux = variants.step_sph_only(st, cfg, 32, 9 * 64)
+        assert int(aux.overflow) == 0
+    assert np.asarray(st.pos)[:200, 1].mean() < y0  # gravity acts
+    # pressure is live without any stimulus (gate disabled)
+    assert np.abs(np.asarray(st.pres)[:200]).max() > 0
+    # EP state untouched
+    np.testing.assert_array_equal(np.asarray(st.vm)[:200], 0.0)
+    np.testing.assert_array_equal(np.asarray(st.iion)[:200], 0.0)
+
+
+def test_sm_only_preserves_shape(rng):
+    pts = _blob(rng, 150)
+    st = init_fluid(pts, CFG)
+    for _ in range(10):
+        st, _ = variants.step_sm_only(st, CFG, 32, 9 * 64)
+    # shape matching pulls toward the (falling) rest shape: displacement
+    # stays finite/small and relative geometry roughly intact
+    disp = np.asarray(st.displacement())[:150]
+    assert np.isfinite(disp).all()
+    # no SPH forces -> acc stays zero
+    np.testing.assert_array_equal(np.asarray(st.acc)[:150], 0.0)
+
+
+def test_monodomain_only_wave_propagates(rng):
+    pts = _blob(rng, 250)
+    st = init_fluid(pts, CFG)
+    # stimulate a small region around one particle only
+    st = set_stim(st, tuple(pts[0]), 0.001, CFG.stim_strength, CFG)
+    n_stim = int((np.asarray(st.stim)[:250] > 0).sum())
+    assert 0 < n_stim < 250, "stimulus should be local"
+    tables = variants.monodomain_prepare(st, CFG, 32, 9 * 64)
+    pos0 = np.asarray(st.pos)
+    vm_prev = np.asarray(st.vm)[:250]
+    st2 = st
+    for _ in range(200):
+        st2 = variants.step_monodomain_only(st2, tables, CFG)
+    vm = np.asarray(st2.vm)[:250]
+    # particles never move
+    np.testing.assert_array_equal(np.asarray(st2.pos), pos0)
+    # voltage rose somewhere (wave active) and spread beyond init
+    assert vm.max() > vm_prev.max()
+    assert (np.abs(vm) > 1e-3).sum() > n_stim
+
+
+def test_monodomain_only_scan_driver(rng):
+    pts = _blob(rng, 150)
+    st = init_fluid(pts, CFG)
+    st = set_stim(st, (0.6, 0.6, 0.6), 0.5, CFG.stim_strength, CFG)
+    tables = variants.monodomain_prepare(st, CFG, 32, 9 * 64)
+    out, vms = variants.simulate_monodomain_only(st, tables, CFG,
+                                                 num_steps=20, record_every=5)
+    assert vms.shape[0] == 4
+    loop = st
+    for _ in range(20):
+        loop = variants.step_monodomain_only(loop, tables, CFG)
+    np.testing.assert_allclose(np.asarray(out.vm), np.asarray(loop.vm),
+                               atol=1e-5)
