@@ -41,6 +41,84 @@ class StepAux(NamedTuple):
     overflow: jax.Array  # particles dropped from full hash-grid cells
 
 
+@partial(jax.jit, static_argnames=("cfg", "q_block", "w_window"))
+def step_fused(state: ParticleState, cfg: SimConfig, q_block: int,
+               w_window: int) -> tuple[ParticleState, StepAux]:
+    """One coupled step with the fused Pallas sweeps (ops/pallas_sweeps.py).
+
+    Physics-equivalent to `step` (same phase order as
+    compute_SPH_SM_monodomain, cpp:794-824); the three neighbor phases run
+    as two VMEM-resident kernels over cell-sorted data instead of XLA
+    gathers. fp summation order differs from the bucketed path (sorted
+    candidates, MXU contractions) — trajectories agree to fp32 tolerance.
+    """
+    from ..ops import kernels as K
+    from ..ops.pallas_sweeps import sweep_a, sweep_b, sweep_bookkeeping
+
+    order, inv, qstart, qend, blk_start, overflow = sweep_bookkeeping(
+        state.pos, state.active, cfg, q_block, w_window)
+
+    # phase 2: shape matching (original order; MXU reductions)
+    state = corrected_velocity(state, cfg)
+
+    # sorted views
+    pos_s = state.pos[order]
+    mass_s = state.mass[order]
+    cvel_s = state.corrected_vel[order]
+    vm_s = state.vm[order]
+    stim_s = state.stim[order]
+    iion_s = state.iion[order]
+    w_rec_s = state.w[order]
+    active_s = state.active[order]
+
+    # phases 3+4: fused XSPH + density (prev-step densities for volumes)
+    vol_prev = mass_s / state.dens[order]
+    dens_s, xsph_s = sweep_a(pos_s, cvel_s, vol_prev, mass_s, qstart, qend,
+                             blk_start, q_block, w_window, cfg)
+    inter_vel_s = cvel_s + xsph_s * cfg.velocity_mixing     # cpp:699
+    if cfg.quirk_double_self_density:                       # cpp:483
+        dens_s = dens_s + mass_s * K.poly6(jnp.zeros_like(dens_s), cfg)
+    pres_s = cfg.k_stiffness * (dens_s - cfg.stand_density) \
+        - vm_s * cfg.voltage_constant                       # cpp:486-491
+    clamped = jnp.clip(pres_s, -cfg.max_pressure, cfg.max_pressure)
+    if cfg.quirk_pressure_stim_gate:                        # cpp:493-503
+        pres_s = jnp.where(stim_s > 0.0, clamped,
+                           jnp.asarray(-0.0, pres_s.dtype))
+    else:
+        pres_s = clamped
+
+    # phase 5: FHN reaction (pointwise, sorted space; cpp:575-593)
+    denom = cfg.fh_vp - cfg.fh_vr
+    asd = (cfg.fh_vt - cfg.fh_vr) / denom
+    u = (vm_s - cfg.fh_vr) / denom
+    d_iion = cfg.time_delta * (cfg.fh_c1 * u * (u - asd) * (u - 1.0)
+                               + cfg.fh_c2 * w_rec_s) / mass_s
+    iion_s = (iion_s + d_iion) if cfg.quirk_iion_accumulate else d_iion
+    w_rec_s = w_rec_s + cfg.time_delta * cfg.fh_c3 \
+        * (u - cfg.fh_c4 * w_rec_s) / mass_s
+
+    # phase 6: fused force + Vm Laplacian (current densities)
+    vol_now = mass_s / dens_s
+    acc_raw_s, lap_s = sweep_b(pos_s, inter_vel_s, vol_now, pres_s, vm_s,
+                               qstart, qend, blk_start, q_block, w_window,
+                               cfg)
+    acc_s = acc_raw_s / dens_s[:, None]                     # cpp:568
+    inter_vm_s = lap_s + (cfg.sigma / (cfg.beta_sv_ratio
+                                       * cfg.cm_capacitance)) * lap_s \
+        - (iion_s - stim_s * cfg.time_delta / mass_s) / cfg.cm_capacitance
+
+    # keep padded lanes inert in sorted space too
+    del active_s
+
+    # unsort and integrate (phase 7)
+    state = state.replace(
+        dens=dens_s[inv], pres=pres_s[inv], inter_vel=inter_vel_s[inv],
+        iion=iion_s[inv], w=w_rec_s[inv], acc=acc_s[inv],
+        inter_vm=inter_vm_s[inv])
+    state = update_properties(state, cfg)
+    return state, StepAux(overflow=overflow)
+
+
 @partial(jax.jit, static_argnames=("cfg", "cell_capacity",
                                    "neighbor_capacity"))
 def step(state: ParticleState, cfg: SimConfig, cell_capacity: int,
@@ -59,20 +137,25 @@ def step(state: ParticleState, cfg: SimConfig, cell_capacity: int,
 
 def _step_with_protocol(state: ParticleState, i: jax.Array, cfg: SimConfig,
                         cell_capacity: int, neighbor_capacity: int,
-                        stim_off_step: int):
+                        stim_off_step: int, fused: bool = False,
+                        q_block: int = 128, w_window: int = 512):
     if stim_off_step >= 0:
         state = jax.lax.cond(i == stim_off_step,
                              lambda s: turn_off_stim(s, cfg),
                              lambda s: s, state)
+    if fused:
+        return step_fused(state, cfg, q_block, w_window)
     return step(state, cfg, cell_capacity, neighbor_capacity)
 
 
 @partial(jax.jit, static_argnames=("cfg", "cell_capacity",
                                    "neighbor_capacity", "num_steps",
-                                   "stim_off_step", "record_every"))
+                                   "stim_off_step", "record_every",
+                                   "fused", "q_block", "w_window"))
 def simulate(state: ParticleState, cfg: SimConfig, cell_capacity: int,
              neighbor_capacity: int, num_steps: int, stim_off_step: int = -1,
-             record_every: int = 0):
+             record_every: int = 0, fused: bool = False, q_block: int = 128,
+             w_window: int = 512):
     """Run `num_steps` coupled steps under lax.scan.
 
     `stim_off_step` mirrors the reference app protocol: turnOffStim fires
@@ -87,7 +170,8 @@ def simulate(state: ParticleState, cfg: SimConfig, cell_capacity: int,
     def body(carry, i):
         st, acc_overflow = carry
         st, aux = _step_with_protocol(st, i, cfg, cell_capacity,
-                                      neighbor_capacity, stim_off_step)
+                                      neighbor_capacity, stim_off_step,
+                                      fused, q_block, w_window)
         rec = (st.pos, st.vm) if record_every else ()
         return (st, jnp.maximum(acc_overflow, aux.overflow)), rec
 
@@ -102,7 +186,8 @@ def simulate(state: ParticleState, cfg: SimConfig, cell_capacity: int,
 
 
 def run_protocol(scene, num_steps: int = 500, stim_off_step: int | None = None,
-                 chunk: int = 100, record_every: int = 0, callback=None):
+                 chunk: int = 100, record_every: int = 0, callback=None,
+                 fused: bool | None = None):
     """Host-side chunked driver for long runs.
 
     Replays the reference app's experiment protocol (main.cpp:73, 329-334):
@@ -114,6 +199,9 @@ def run_protocol(scene, num_steps: int = 500, stim_off_step: int | None = None,
     Returns (state, StepAux, traj|None).
     """
     state, cfg = scene.state, scene.cfg
+    if fused is None:
+        # the fused Pallas sweeps are compiled (not interpreted) only on TPU
+        fused = jax.default_backend() == "tpu"
     if stim_off_step is None:
         stim_off_step = num_steps // 2
     trajs = []
@@ -125,7 +213,9 @@ def run_protocol(scene, num_steps: int = 500, stim_off_step: int | None = None,
         off = stim_off_step - done if done <= stim_off_step < done + n else -1
         out = simulate(state, cfg, scene.cell_capacity,
                        scene.neighbor_capacity, num_steps=n,
-                       stim_off_step=off, record_every=record_every)
+                       stim_off_step=off, record_every=record_every,
+                       fused=fused, q_block=scene.q_block,
+                       w_window=scene.block_window)
         if record_every:
             state, aux, traj = out
             trajs.append(traj)

@@ -1,0 +1,352 @@
+"""Fused Pallas TPU kernels for the SPH neighbor sweeps.
+
+The performance core of the framework (SURVEY.md §7.6): the three neighbor
+phases of the reference (calculate_intermediate_velocity cpp:669-701,
+Compute_Density_SingPressure cpp:448-513, Compute_Force cpp:515-573) fused
+into TWO VMEM-resident sweeps over cell-sorted particle data:
+
+  sweep A: XSPH partial velocity + density summation (one pair-geometry
+           pass serves both; XSPH uses last step's densities via
+           precomputed neighbor volumes, matching the reference phase order)
+  sweep B: pressure + viscosity accelerations + monodomain Vm Laplacian
+
+Why this maps well to the hardware:
+  - particles are sorted by cell hash; with hash = x + Gx*(y + Gy*z)
+    (cpp:142) a block of Q consecutive sorted queries spans a CONTIGUOUS
+    hash interval, and each of the 9 (dy,dz) stencil offsets maps it to
+    another contiguous interval -> every (block, run) candidate set is ONE
+    contiguous row range of the sorted arrays. The kernel reads dense
+    (16, W) windows with dynamic slices — no gathers, no scatters.
+  - candidate features live as (16, N): N on the 128-lane axis, so VMEM
+    holds them unpadded (a (N, 16) layout would lane-pad 8x).
+  - pair geometry (dx, r^2, kernel weights) is exact fp32 on the VPU;
+    weighted neighbor sums are (Q, W) x (W, 3) contractions on the MXU at
+    HIGHEST precision.
+  - per-query run bounds make superset windows exact: candidates outside a
+    query's own 3-x-cell run are masked, so results equal the reference's
+    27-cell stencil sums.
+
+Block windows wider than the static W are truncated and counted (overflow
+-> caller rebuilds with a larger W). Outputs are in sorted order; the
+caller permutes back with the inverse permutation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import SimConfig
+
+_PAIR_EPS = 1e-12  # INF guard, SPH_SM_monodomain.h:24
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# Bookkeeping (XLA, scatter-free)
+# ---------------------------------------------------------------------------
+
+# (dy, dz) run offsets, z-major like the reference stencil loop (cpp:462-464)
+_RUN_OFFSETS = np.array([(dy, dz) for dz in (-1, 0, 1) for dy in (-1, 0, 1)],
+                        dtype=np.int32)
+
+
+def sweep_bookkeeping(pos: jax.Array, active: jax.Array, cfg: SimConfig,
+                      q_block: int, w_window: int):
+    """Sort + window bookkeeping for the fused sweeps.
+
+    Returns (order, inv, qstart, qend, blk_start, overflow):
+      order (N,)        sorted-row -> original index
+      inv (N,)          original -> sorted-row
+      qstart/qend (N,16) per-sorted-query exact run bounds (9 used columns)
+      blk_start (B,16)  per-block candidate window starts (9 used columns)
+      overflow ()       truncated candidate rows (window too narrow)
+    """
+    n = pos.shape[0]
+    gx, gy, gz = cfg.grid_size
+    num_cells = cfg.num_cells
+
+    coords = (pos / cfg.cell_size).astype(jnp.int32)
+    x, y, z = coords[..., 0], coords[..., 1], coords[..., 2]
+    inside = ((x >= 0) & (x < gx) & (y >= 0) & (y < gy)
+              & (z >= 0) & (z < gz))
+    ids0 = x + gx * (y + gy * z)
+    ids = jnp.where(inside & active, ids0, num_cells)
+    order = jnp.argsort(ids, stable=True).astype(jnp.int32)
+    sorted_ids = ids[order]
+    inv = jnp.argsort(order, stable=True).astype(jnp.int32)
+
+    # per-query exact run bounds (sorted space, queries in sorted order)
+    cs = coords[order]
+    cx, cy, cz = cs[..., 0], cs[..., 1], cs[..., 2]
+    off = jnp.asarray(_RUN_OFFSETS)
+    yy = cy[:, None] + off[None, :, 0]
+    zz = cz[:, None] + off[None, :, 1]
+    q_ok = (sorted_ids < num_cells)[:, None] & (yy >= 0) & (yy < gy) \
+        & (zz >= 0) & (zz < gz)
+    xlo = jnp.maximum(cx - 1, 0)
+    xhi = jnp.minimum(cx + 1, gx - 1)
+    lo_hash = xlo[:, None] + gx * (yy + gy * zz)
+    hi_hash = xhi[:, None] + gx * (yy + gy * zz) + 1
+    qstart = jnp.searchsorted(sorted_ids,
+                              jnp.where(q_ok, lo_hash, 0)).astype(jnp.int32)
+    qend = jnp.searchsorted(sorted_ids,
+                            jnp.where(q_ok, hi_hash, 0)).astype(jnp.int32)
+    qend = jnp.where(q_ok, qend, qstart)
+
+    # per-block superset windows: the block's hash interval +- one x cell,
+    # shifted by the run offset (always contiguous: the hash is linear)
+    b = n // q_block
+    h_lo = sorted_ids[::q_block][:b]                       # (B,)
+    h_hi = sorted_ids[q_block - 1::q_block][:b]
+    d = (gx * (off[:, 0] + gy * off[:, 1]))[None, :]       # (1, 9)
+    blo = jnp.clip(h_lo[:, None] + d - 1, 0, num_cells)
+    bhi = jnp.clip(h_hi[:, None] + d + 2, 0, num_cells)
+    blk_start = jnp.searchsorted(sorted_ids, blo).astype(jnp.int32)
+    blk_end = jnp.searchsorted(sorted_ids, bhi).astype(jnp.int32)
+    # lane-align starts (Mosaic requires 128-multiple dynamic slices on the
+    # lane dim); the per-query bounds mask the extra leading rows away
+    blk_start = (blk_start // 128) * 128
+    # clamp so the static window never reads out of bounds
+    blk_start = jnp.minimum(blk_start, jnp.int32(max(n - w_window, 0)))
+    overflow = jnp.sum(jnp.maximum(blk_end - blk_start - w_window, 0))
+
+    pad16 = lambda a: jnp.pad(a, ((0, 0), (0, 16 - a.shape[1])))
+    return (order, inv, pad16(qstart), pad16(qend), pad16(blk_start),
+            overflow.astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# Kernel bodies
+# ---------------------------------------------------------------------------
+
+def _dotT(a, b):
+    """(Q, W) x (R, W) -> (Q, R) contraction over W, fp32 on the MXU."""
+    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                               precision=_HI,
+                               preferred_element_type=jnp.float32)
+
+
+def _sweep_a_kernel(blk_start_ref, qm_ref, qs_ref, qe_ref, feats_ref,
+                    out_ref, *, cfg: SimConfig, w_window: int):
+    """XSPH + density.
+
+    qm cols: [x, y, z, cvx, cvy, cvz]; feats rows: [x, y, z, cvx, cvy, cvz,
+    vol(prev), mass]. out cols: [dens, xsph_x, xsph_y, xsph_z, 0...].
+    """
+    bid = pl.program_id(0)
+    q = qm_ref.shape[0]
+    h2 = jnp.float32(cfg.kernel_h * cfg.kernel_h)
+    p6c = jnp.float32(cfg.poly6_constant)
+
+    qx, qy, qz = qm_ref[:, 0:1], qm_ref[:, 1:2], qm_ref[:, 2:3]
+    qcv = qm_ref[:, 3:6]                                    # (Q, 3)
+
+    dens = jnp.zeros((q, 1), jnp.float32)
+    xsph = jnp.zeros((q, 3), jnp.float32)
+    wiota = jax.lax.broadcasted_iota(jnp.int32, (1, w_window), 1)
+
+    for r in range(9):
+        start = pl.multiple_of(blk_start_ref[bid, r], 128)
+        cand = feats_ref[:, pl.ds(start, w_window)]          # (16, W)
+        rows = start + wiota                                 # (1, W)
+        m = (rows >= qs_ref[:, r:r + 1]) & (rows < qe_ref[:, r:r + 1])
+        dx = qx - cand[0:1, :]
+        dy = qy - cand[1:2, :]
+        dz = qz - cand[2:3, :]
+        r2 = dx * dx + dy * dy + dz * dz                     # (Q, W)
+        t = h2 - r2
+        w6 = jnp.where(m & (r2 <= h2), p6c * t * t * t, 0.0)
+        dens += jnp.sum(w6 * cand[7:8, :], axis=1, keepdims=True)
+        wv = w6 * cand[6:7, :]                               # * vol_j
+        xsph += _dotT(wv, cand[3:6, :]) \
+            - jnp.sum(wv, axis=1, keepdims=True) * qcv
+
+    out_ref[:, 0:1] = dens
+    out_ref[:, 1:4] = xsph
+    out_ref[:, 4:8] = jnp.zeros((q, 4), jnp.float32)
+
+
+def _sweep_b_kernel(blk_start_ref, qm_ref, qs_ref, qe_ref, feats_ref,
+                    out_ref, *, cfg: SimConfig, w_window: int):
+    """Force + Vm Laplacian.
+
+    qm cols: [x, y, z, ivx, ivy, ivz, pres, vm]; feats rows: [x, y, z, ivx,
+    ivy, ivz, vol, pres, vm]. out cols: [ax, ay, az, lap, 0...] (acc BEFORE
+    the /dens_i of cpp:568, applied by the caller).
+    """
+    bid = pl.program_id(0)
+    q = qm_ref.shape[0]
+    h = jnp.float32(cfg.kernel_h)
+    spiky_c = jnp.float32(cfg.spiky_constant)
+    bs_c = jnp.float32(cfg.b_spline_constant)
+    mu = jnp.float32(cfg.mu_viscosity)
+
+    qpos = qm_ref[:, 0:3]
+    qx, qy, qz = qm_ref[:, 0:1], qm_ref[:, 1:2], qm_ref[:, 2:3]
+    qiv = qm_ref[:, 3:6]
+    qp = qm_ref[:, 6:7]
+    qvm = qm_ref[:, 7:8]
+
+    acc = jnp.zeros((q, 3), jnp.float32)
+    lap = jnp.zeros((q, 1), jnp.float32)
+    wiota = jax.lax.broadcasted_iota(jnp.int32, (1, w_window), 1)
+
+    for r in range(9):
+        start = pl.multiple_of(blk_start_ref[bid, r], 128)
+        cand = feats_ref[:, pl.ds(start, w_window)]          # (16, W)
+        rows = start + wiota
+        m = (rows >= qs_ref[:, r:r + 1]) & (rows < qe_ref[:, r:r + 1])
+        dx = qx - cand[0:1, :]
+        dy = qy - cand[1:2, :]
+        dz = qz - cand[2:3, :]
+        r2 = dx * dx + dy * dy + dz * dz
+        pair = m & (r2 > _PAIR_EPS)                          # cpp:546
+        rr = jnp.sqrt(jnp.where(pair, r2, 1.0))
+        vol_j = cand[6:7, :]
+
+        # pressure (cpp:550-554): acc -= d * vol*(p_i+p_j)/2 * Spiky(r) / r
+        hr = h - rr
+        spiky = jnp.where(pair & (rr <= h), -spiky_c * hr * hr, 0.0)
+        f_p = vol_j * (qp + cand[7:8, :]) * 0.5 * spiky / rr
+        f_p = jnp.where(pair, f_p, 0.0)
+        acc -= qpos * jnp.sum(f_p, axis=1, keepdims=True) \
+            - _dotT(f_p, cand[0:3, :])
+
+        # viscosity (cpp:556-560): acc += (uj - ui) * vol * mu * Visco(r)
+        f_v = jnp.where(pair & (rr <= h), vol_j * mu * spiky_c * hr, 0.0)
+        acc += _dotT(f_v, cand[3:6, :]) \
+            - jnp.sum(f_v, axis=1, keepdims=True) * qiv
+
+        # monodomain Laplacian (cpp:562-563): B_spline_2, support [0, 2h)
+        qr = rr / h
+        w2 = jnp.where(qr < 1.0, bs_c * (-3.0 + 4.5 * qr),
+                       jnp.where(qr < 2.0, bs_c * 1.5 * (2.0 - qr), 0.0))
+        vw = jnp.where(pair, vol_j * w2, 0.0)
+        lap += _dotT(vw, cand[8:9, :]) \
+            - jnp.sum(vw, axis=1, keepdims=True) * qvm
+
+    out_ref[:, 0:3] = acc
+    out_ref[:, 3:4] = lap
+    out_ref[:, 4:8] = jnp.zeros((q, 4), jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers
+# ---------------------------------------------------------------------------
+
+def _call_sweep(kernel, feats_t, qmat, qstart, qend, blk_start, q_block,
+                w_window, cfg, interpret):
+    n = qmat.shape[0]
+    b = n // q_block
+    if feats_t.shape[1] < w_window:
+        # small scenes: the static window may exceed N; zero-pad candidate
+        # columns (padded rows sit beyond every qend bound -> masked out)
+        feats_t = jnp.pad(feats_t,
+                          ((0, 0), (0, w_window - feats_t.shape[1])))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((q_block, 16), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_block, 16), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_block, 16), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # (16, N) candidates
+        ],
+        out_specs=pl.BlockSpec((q_block, 8), lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(kernel, cfg=cfg, w_window=w_window),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, 8), jnp.float32),
+        interpret=interpret,
+    )(blk_start, qmat, qstart, qend, feats_t)
+
+
+def _pad_cols(cols, n):
+    rows = list(cols)
+    while len(rows) < 16:
+        rows.append(jnp.zeros((n,), jnp.float32))
+    return jnp.stack(rows, axis=0)                           # (16, N)
+
+
+def sweep_a(pos_s, cvel_s, vol_s, mass_s, qstart, qend, blk_start,
+            q_block: int, w_window: int, cfg: SimConfig,
+            interpret: bool | None = None):
+    """Fused XSPH + density over sorted arrays.
+
+    Returns (dens (N,), xsph_partial (N, 3)), sorted order. `vol_s` must use
+    LAST step's densities (reference phase order, cpp:794-824)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    n = pos_s.shape[0]
+    feats_t = _pad_cols([pos_s[:, 0], pos_s[:, 1], pos_s[:, 2],
+                         cvel_s[:, 0], cvel_s[:, 1], cvel_s[:, 2],
+                         vol_s, mass_s], n)
+    qmat = jnp.concatenate([pos_s, cvel_s,
+                            jnp.zeros((n, 10), jnp.float32)], axis=1)
+    out = _call_sweep(_sweep_a_kernel, feats_t, qmat, qstart, qend,
+                      blk_start, q_block, w_window, cfg, interpret)
+    return out[:, 0], out[:, 1:4]
+
+
+def sweep_b(pos_s, ivel_s, vol_s, pres_s, vm_s, qstart, qend, blk_start,
+            q_block: int, w_window: int, cfg: SimConfig,
+            interpret: bool | None = None):
+    """Fused pressure+viscosity forces and Vm Laplacian over sorted arrays.
+
+    Returns (acc_raw (N, 3), lap (N,)), sorted order; acc_raw is BEFORE the
+    division by the query's own density (cpp:568). `vol_s` uses CURRENT
+    densities."""
+    if interpret is None:
+        interpret = _interpret_default()
+    n = pos_s.shape[0]
+    feats_t = _pad_cols([pos_s[:, 0], pos_s[:, 1], pos_s[:, 2],
+                         ivel_s[:, 0], ivel_s[:, 1], ivel_s[:, 2],
+                         vol_s, pres_s, vm_s], n)
+    qmat = jnp.concatenate([pos_s, ivel_s, pres_s[:, None], vm_s[:, None],
+                            jnp.zeros((n, 8), jnp.float32)], axis=1)
+    out = _call_sweep(_sweep_b_kernel, feats_t, qmat, qstart, qend,
+                      blk_start, q_block, w_window, cfg, interpret)
+    return out[:, 0:3], out[:, 3]
+
+
+def auto_block_window(positions: np.ndarray, cfg: SimConfig, q_block: int,
+                      headroom: float = 1.5, minimum: int = 256) -> int:
+    """Static block-window width W for the fused sweeps, from the initial
+    cloud: the widest (block, run) candidate range, x headroom, rounded up
+    to a lane multiple of 128. Host-side, once per scene."""
+    gx, gy, gz = cfg.grid_size
+    num_cells = cfg.num_cells
+    coords = (np.asarray(positions) / cfg.cell_size).astype(np.int64)
+    inside = ((coords >= 0).all(1) & (coords[:, 0] < gx)
+              & (coords[:, 1] < gy) & (coords[:, 2] < gz))
+    ids = np.where(inside, coords[:, 0] + gx * (coords[:, 1]
+                                                + gy * coords[:, 2]),
+                   num_cells)
+    sorted_ids = np.sort(ids)
+    n = len(sorted_ids)
+    b = max(n // q_block, 1)
+    h_lo = sorted_ids[::q_block][:b]
+    h_hi = sorted_ids[q_block - 1::q_block][:b]
+    d = (gx * (_RUN_OFFSETS[:, 0] + gy * _RUN_OFFSETS[:, 1]))[None, :]
+    blo = np.clip(h_lo[:, None] + d - 1, 0, num_cells)
+    bhi = np.clip(h_hi[:, None] + d + 2, 0, num_cells)
+    width = (np.searchsorted(sorted_ids, bhi)
+             - np.searchsorted(sorted_ids, blo)).max() if n else minimum
+    w = max(int(np.ceil(width * headroom)), minimum)
+    # +128 for the lane-alignment left-shift of the window start
+    return ((w + 127) // 128) * 128 + 128

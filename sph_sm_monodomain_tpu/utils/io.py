@@ -17,6 +17,7 @@ import numpy as np
 from ..config import SimConfig
 from ..state import ParticleState, init_fluid
 from ..ops.grid import auto_cell_capacity, auto_window_capacity
+from ..ops.pallas_sweeps import auto_block_window
 from ..ops import electrophysiology as ep
 
 _REPO_ROOT = Path(__file__).resolve().parents[2]
@@ -33,6 +34,10 @@ def read_cloud_csv(path, subsample_freq: int = 0,
     18,475-point biceps file; callers pass subsample_freq=7 for it
     (main.cpp:482), yielding 5,211 points.
     """
+    from ..runtime import parse_cloud_csv
+    native = parse_cloud_csv(path, subsample_freq, subsample_after)
+    if native is not None:
+        return native
     pts = []
     counter = 0
     with open(path) as f:
@@ -92,9 +97,11 @@ class Scene(NamedTuple):
     state: ParticleState
     cfg: SimConfig
     cell_capacity: int       # hash-grid bucket width (static)
-    neighbor_capacity: int   # compacted neighbor-list width (static)
+    neighbor_capacity: int   # window neighbor-table width K = 9*W (static)
     num_particles: int
     name: str
+    q_block: int = 128       # fused-sweep query block size (static)
+    block_window: int = 512  # fused-sweep candidate window width (static)
 
 
 _SCENE_FILES = {
@@ -159,6 +166,9 @@ def build_scene(name: str, cfg: SimConfig | None = None, replicate: int = 1,
             state = ep.turn_on_stim_mesh(state, pts, cfg)   # main.cpp:487
     cap = cfg.cell_capacity or auto_cell_capacity(pts, cfg)
     k_nbr = auto_window_capacity(pts, cfg)
+    q_block = 128
     return Scene(state=state, cfg=cfg, cell_capacity=cap,
                  neighbor_capacity=k_nbr,
-                 num_particles=int(pts.shape[0]), name=name)
+                 num_particles=int(pts.shape[0]), name=name,
+                 q_block=q_block,
+                 block_window=auto_block_window(pts, cfg, q_block))

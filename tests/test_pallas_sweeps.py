@@ -1,0 +1,123 @@
+"""Fused Pallas sweep kernels vs the XLA reference phases (interpret mode
+on CPU; the same code compiles natively on TPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sph_sm_monodomain_tpu import SimConfig, init_fluid
+from sph_sm_monodomain_tpu.models.monodomain import step, step_fused
+from sph_sm_monodomain_tpu.ops import grid, sph
+from sph_sm_monodomain_tpu.ops.pallas_sweeps import (auto_block_window,
+                                                     sweep_a, sweep_b,
+                                                     sweep_bookkeeping)
+from sph_sm_monodomain_tpu.ops.electrophysiology import set_stim
+
+CFG = SimConfig()
+QB = 128
+
+
+def _state(rng, n=256):
+    pts = np.clip(rng.normal(size=(n, 3)).astype(np.float32) * 0.05 + 0.6,
+                  0.05, 1.2)
+    st = init_fluid(pts, CFG)
+    st = set_stim(st, (0.6, 0.6, 0.6), 0.5, CFG.stim_strength, CFG)
+    # give fields non-trivial values
+    st = st.replace(corrected_vel=jnp.asarray(
+        rng.normal(size=st.pos.shape).astype(np.float32) * 0.1),
+        inter_vel=jnp.asarray(
+        rng.normal(size=st.pos.shape).astype(np.float32) * 0.1),
+        vm=jnp.asarray(rng.normal(size=(st.capacity,)).astype(np.float32)
+                       * 10.0))
+    return st, pts
+
+
+def test_sweep_a_matches_xla_phase(rng):
+    st, pts = _state(rng)
+    w_win = auto_block_window(pts, CFG, QB)
+    order, inv, qs, qe, bs, ovf = sweep_bookkeeping(st.pos, st.active, CFG,
+                                                    QB, w_win)
+    assert int(ovf) == 0
+    pos_s = st.pos[order]
+    mass_s = st.mass[order]
+    cvel_s = st.corrected_vel[order]
+    vol_prev = mass_s / st.dens[order]
+    dens_s, xsph_s = sweep_a(pos_s, cvel_s, vol_prev, mass_s, qs, qe, bs,
+                             QB, w_win, CFG, interpret=True)
+    dens = np.asarray(dens_s[inv])
+    xsph = np.asarray(xsph_s[inv])
+
+    # XLA reference: window-table phases
+    nbr = grid.build_neighbor_table(st.pos, st.pos, st.active, CFG, 64,
+                                    9 * 64)
+    ref_x = sph.xsph_intermediate_velocity(st, nbr, CFG).inter_vel
+    ref_d = sph.density_pressure(st, nbr, CFG).dens
+
+    n = 256
+    want_partial = (np.asarray(ref_x) - np.asarray(st.corrected_vel))[:n]
+    np.testing.assert_allclose(xsph[:n], want_partial, atol=2e-5,
+                               err_msg="xsph partial mismatch")
+    want_dens = np.asarray(ref_d)[:n] - np.asarray(st.mass)[:n] * \
+        float(315.0 / (64.0 * np.pi * CFG.kernel_h ** 9)) \
+        * CFG.kernel_h ** 6  # remove the quirk self term: m * poly6(0)
+    np.testing.assert_allclose(dens[:n], want_dens, rtol=1e-5, atol=1e-2,
+                               err_msg="density mismatch")
+
+
+def test_sweep_b_matches_xla_phase(rng):
+    st, pts = _state(rng)
+    # give dens/pres realistic values first
+    nbr = grid.build_neighbor_table(st.pos, st.pos, st.active, CFG, 64,
+                                    9 * 64)
+    st = sph.density_pressure(st, nbr, CFG)
+    ref = sph.force_and_diffusion(st, nbr, CFG)
+
+    w_win = auto_block_window(pts, CFG, QB)
+    order, inv, qs, qe, bs, ovf = sweep_bookkeeping(st.pos, st.active, CFG,
+                                                    QB, w_win)
+    pos_s = st.pos[order]
+    mass_s = st.mass[order]
+    dens_s = st.dens[order]
+    acc_raw, lap = sweep_b(pos_s, st.inter_vel[order], mass_s / dens_s,
+                           st.pres[order], st.vm[order], qs, qe, bs, QB,
+                           w_win, CFG, interpret=True)
+    acc = np.asarray((acc_raw / dens_s[:, None])[inv])
+    lap = np.asarray(lap[inv])
+
+    n = 256
+    np.testing.assert_allclose(acc[:n], np.asarray(ref.acc)[:n], atol=5e-4,
+                               err_msg="acc mismatch")
+    # reconstruct the laplacian from the reference inter_vm (cpp:571)
+    scale = CFG.sigma / (CFG.beta_sv_ratio * CFG.cm_capacitance)
+    currents = (np.asarray(st.iion) - np.asarray(st.stim) * CFG.time_delta
+                / np.asarray(st.mass)) / CFG.cm_capacitance
+    want_lap = (np.asarray(ref.inter_vm) + currents) / (1.0 + scale)
+    np.testing.assert_allclose(lap[:n], want_lap[:n], atol=5e-3,
+                               err_msg="laplacian mismatch")
+
+
+def test_step_fused_matches_step(rng):
+    st, pts = _state(rng, 200)
+    w_win = auto_block_window(pts, CFG, QB)
+    a = st
+    b = st
+    for i in range(3):
+        a, aux_a = step(a, CFG, 64, 9 * 64)
+        b, aux_b = step_fused(b, CFG, QB, w_win)
+        assert int(aux_b.overflow) == 0
+    for name, atol in (("pos", 5e-5), ("vel", 5e-3), ("vm", 5e-3),
+                       ("iion", 1e-5), ("w", 1e-6)):
+        np.testing.assert_allclose(
+            np.asarray(getattr(a, name))[:200],
+            np.asarray(getattr(b, name))[:200], atol=atol,
+            err_msg=f"{name} diverged fused vs unfused")
+    np.testing.assert_allclose(np.asarray(a.dens)[:200],
+                               np.asarray(b.dens)[:200], rtol=1e-5)
+
+
+def test_fused_padded_lanes_inert(rng):
+    st, pts = _state(rng, 150)  # capacity 256, 106 padded lanes
+    w_win = auto_block_window(pts, CFG, QB)
+    pad_pos = np.asarray(st.pos)[150:]
+    out, _ = step_fused(st, CFG, QB, w_win)
+    np.testing.assert_array_equal(np.asarray(out.pos)[150:], pad_pos)
