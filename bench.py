@@ -27,9 +27,14 @@ def main():
     sc = smt.build_scene(scene_name)
     state, cfg = sc.state, sc.cfg
 
+    fused = os.environ.get("BENCH_FUSED", "1") == "1" and \
+        jax.default_backend() == "tpu"
+
     def run(n):
         out = smt.simulate(state, cfg, sc.cell_capacity,
-                           sc.neighbor_capacity, num_steps=n)
+                           sc.neighbor_capacity, num_steps=n,
+                           fused=fused, q_block=sc.q_block,
+                           w_window=sc.block_window)
         jax.tree_util.tree_map(lambda x: x.block_until_ready(), out[0])
         return out
 

@@ -55,8 +55,8 @@ def step_fused(state: ParticleState, cfg: SimConfig, q_block: int,
     from ..ops import kernels as K
     from ..ops.pallas_sweeps import sweep_a, sweep_b, sweep_bookkeeping
 
-    order, inv, qstart, qend, blk_start, overflow = sweep_bookkeeping(
-        state.pos, state.active, cfg, q_block, w_window)
+    order, inv, qstart, qend, blk_start, blk_len = sweep_bookkeeping(
+        state.pos, state.active, cfg, q_block)
 
     # phase 2: shape matching (original order; MXU reductions)
     state = corrected_velocity(state, cfg)
@@ -74,7 +74,7 @@ def step_fused(state: ParticleState, cfg: SimConfig, q_block: int,
     # phases 3+4: fused XSPH + density (prev-step densities for volumes)
     vol_prev = mass_s / state.dens[order]
     dens_s, xsph_s = sweep_a(pos_s, cvel_s, vol_prev, mass_s, qstart, qend,
-                             blk_start, q_block, w_window, cfg)
+                             blk_start, blk_len, q_block, w_window, cfg)
     inter_vel_s = cvel_s + xsph_s * cfg.velocity_mixing     # cpp:699
     if cfg.quirk_double_self_density:                       # cpp:483
         dens_s = dens_s + mass_s * K.poly6(jnp.zeros_like(dens_s), cfg)
@@ -100,8 +100,8 @@ def step_fused(state: ParticleState, cfg: SimConfig, q_block: int,
     # phase 6: fused force + Vm Laplacian (current densities)
     vol_now = mass_s / dens_s
     acc_raw_s, lap_s = sweep_b(pos_s, inter_vel_s, vol_now, pres_s, vm_s,
-                               qstart, qend, blk_start, q_block, w_window,
-                               cfg)
+                               qstart, qend, blk_start, blk_len, q_block,
+                               w_window, cfg)
     acc_s = acc_raw_s / dens_s[:, None]                     # cpp:568
     inter_vm_s = lap_s + (cfg.sigma / (cfg.beta_sv_ratio
                                        * cfg.cm_capacitance)) * lap_s \
@@ -116,7 +116,8 @@ def step_fused(state: ParticleState, cfg: SimConfig, q_block: int,
         iion=iion_s[inv], w=w_rec_s[inv], acc=acc_s[inv],
         inter_vm=inter_vm_s[inv])
     state = update_properties(state, cfg)
-    return state, StepAux(overflow=overflow)
+    # chunked windows cover every candidate exactly: no overflow possible
+    return state, StepAux(overflow=jnp.zeros((), jnp.int32))
 
 
 @partial(jax.jit, static_argnames=("cfg", "cell_capacity",

@@ -285,7 +285,7 @@ def auto_neighbor_capacity(positions: np.ndarray, cfg: SimConfig,
 
 
 def auto_window_capacity(positions: np.ndarray, cfg: SimConfig,
-                         headroom: float = 1.3, minimum: int = 16) -> int:
+                         headroom: float = 1.8, minimum: int = 16) -> int:
     """Size the sorted-window table: per-run width W = headroom * the max
     occupancy of any 3 consecutive x-cells at init. Returns the TOTAL table
     width K = 9 * W (what build_neighbor_table expects as

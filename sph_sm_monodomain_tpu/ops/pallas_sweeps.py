@@ -61,15 +61,18 @@ _RUN_OFFSETS = np.array([(dy, dz) for dz in (-1, 0, 1) for dy in (-1, 0, 1)],
 
 
 def sweep_bookkeeping(pos: jax.Array, active: jax.Array, cfg: SimConfig,
-                      q_block: int, w_window: int):
+                      q_block: int):
     """Sort + window bookkeeping for the fused sweeps.
 
-    Returns (order, inv, qstart, qend, blk_start, overflow):
+    Returns (order, inv, qstart, qend, blk_start, blk_len):
       order (N,)        sorted-row -> original index
       inv (N,)          original -> sorted-row
       qstart/qend (N,16) per-sorted-query exact run bounds (9 used columns)
       blk_start (B,16)  per-block candidate window starts (9 used columns)
-      overflow ()       truncated candidate rows (window too narrow)
+      blk_len (B,16)    per-block candidate window lengths — the kernels
+                        iterate ceil(len / w_chunk) fixed-width chunks, so
+                        coverage is exact regardless of the static chunk
+                        width (no overflow / truncation).
     """
     n = pos.shape[0]
     gx, gy, gz = cfg.grid_size
@@ -116,13 +119,11 @@ def sweep_bookkeeping(pos: jax.Array, active: jax.Array, cfg: SimConfig,
     # lane-align starts (Mosaic requires 128-multiple dynamic slices on the
     # lane dim); the per-query bounds mask the extra leading rows away
     blk_start = (blk_start // 128) * 128
-    # clamp so the static window never reads out of bounds
-    blk_start = jnp.minimum(blk_start, jnp.int32(max(n - w_window, 0)))
-    overflow = jnp.sum(jnp.maximum(blk_end - blk_start - w_window, 0))
+    blk_len = blk_end - blk_start
 
     pad16 = lambda a: jnp.pad(a, ((0, 0), (0, 16 - a.shape[1])))
     return (order, inv, pad16(qstart), pad16(qend), pad16(blk_start),
-            overflow.astype(jnp.int32))
+            pad16(blk_len))
 
 
 # ---------------------------------------------------------------------------
@@ -136,8 +137,8 @@ def _dotT(a, b):
                                preferred_element_type=jnp.float32)
 
 
-def _sweep_a_kernel(blk_start_ref, qm_ref, qs_ref, qe_ref, feats_ref,
-                    out_ref, *, cfg: SimConfig, w_window: int):
+def _sweep_a_kernel(blk_start_ref, blk_len_ref, qm_ref, qs_ref, qe_ref,
+                    feats_ref, out_ref, *, cfg: SimConfig, w_chunk: int):
     """XSPH + density.
 
     qm cols: [x, y, z, cvx, cvy, cvz]; feats rows: [x, y, z, cvx, cvy, cvz,
@@ -153,31 +154,41 @@ def _sweep_a_kernel(blk_start_ref, qm_ref, qs_ref, qe_ref, feats_ref,
 
     dens = jnp.zeros((q, 1), jnp.float32)
     xsph = jnp.zeros((q, 3), jnp.float32)
-    wiota = jax.lax.broadcasted_iota(jnp.int32, (1, w_window), 1)
+    wiota = jax.lax.broadcasted_iota(jnp.int32, (1, w_chunk), 1)
 
     for r in range(9):
         start = pl.multiple_of(blk_start_ref[bid, r], 128)
-        cand = feats_ref[:, pl.ds(start, w_window)]          # (16, W)
-        rows = start + wiota                                 # (1, W)
-        m = (rows >= qs_ref[:, r:r + 1]) & (rows < qe_ref[:, r:r + 1])
-        dx = qx - cand[0:1, :]
-        dy = qy - cand[1:2, :]
-        dz = qz - cand[2:3, :]
-        r2 = dx * dx + dy * dy + dz * dz                     # (Q, W)
-        t = h2 - r2
-        w6 = jnp.where(m & (r2 <= h2), p6c * t * t * t, 0.0)
-        dens += jnp.sum(w6 * cand[7:8, :], axis=1, keepdims=True)
-        wv = w6 * cand[6:7, :]                               # * vol_j
-        xsph += _dotT(wv, cand[3:6, :]) \
-            - jnp.sum(wv, axis=1, keepdims=True) * qcv
+        trips = pl.cdiv(blk_len_ref[bid, r], w_chunk)
+        qs_r = qs_ref[:, r:r + 1]
+        qe_r = qe_ref[:, r:r + 1]
+
+        def chunk(c, carry, start=start, qs_r=qs_r, qe_r=qe_r):
+            d_acc, x_acc = carry
+            off = pl.multiple_of(start + c * w_chunk, 128)
+            cand = feats_ref[:, pl.ds(off, w_chunk)]         # (16, Wc)
+            rows = off + wiota                               # (1, Wc)
+            m = (rows >= qs_r) & (rows < qe_r)
+            dx = qx - cand[0:1, :]
+            dy = qy - cand[1:2, :]
+            dz = qz - cand[2:3, :]
+            r2 = dx * dx + dy * dy + dz * dz                 # (Q, Wc)
+            t = h2 - r2
+            w6 = jnp.where(m & (r2 <= h2), p6c * t * t * t, 0.0)
+            d_acc = d_acc + jnp.sum(w6 * cand[7:8, :], axis=1, keepdims=True)
+            wv = w6 * cand[6:7, :]                           # * vol_j
+            x_acc = x_acc + _dotT(wv, cand[3:6, :]) \
+                - jnp.sum(wv, axis=1, keepdims=True) * qcv
+            return d_acc, x_acc
+
+        dens, xsph = jax.lax.fori_loop(0, trips, chunk, (dens, xsph))
 
     out_ref[:, 0:1] = dens
     out_ref[:, 1:4] = xsph
     out_ref[:, 4:8] = jnp.zeros((q, 4), jnp.float32)
 
 
-def _sweep_b_kernel(blk_start_ref, qm_ref, qs_ref, qe_ref, feats_ref,
-                    out_ref, *, cfg: SimConfig, w_window: int):
+def _sweep_b_kernel(blk_start_ref, blk_len_ref, qm_ref, qs_ref, qe_ref,
+                    feats_ref, out_ref, *, cfg: SimConfig, w_chunk: int):
     """Force + Vm Laplacian.
 
     qm cols: [x, y, z, ivx, ivy, ivz, pres, vm]; feats rows: [x, y, z, ivx,
@@ -199,41 +210,52 @@ def _sweep_b_kernel(blk_start_ref, qm_ref, qs_ref, qe_ref, feats_ref,
 
     acc = jnp.zeros((q, 3), jnp.float32)
     lap = jnp.zeros((q, 1), jnp.float32)
-    wiota = jax.lax.broadcasted_iota(jnp.int32, (1, w_window), 1)
+    wiota = jax.lax.broadcasted_iota(jnp.int32, (1, w_chunk), 1)
 
     for r in range(9):
         start = pl.multiple_of(blk_start_ref[bid, r], 128)
-        cand = feats_ref[:, pl.ds(start, w_window)]          # (16, W)
-        rows = start + wiota
-        m = (rows >= qs_ref[:, r:r + 1]) & (rows < qe_ref[:, r:r + 1])
-        dx = qx - cand[0:1, :]
-        dy = qy - cand[1:2, :]
-        dz = qz - cand[2:3, :]
-        r2 = dx * dx + dy * dy + dz * dz
-        pair = m & (r2 > _PAIR_EPS)                          # cpp:546
-        rr = jnp.sqrt(jnp.where(pair, r2, 1.0))
-        vol_j = cand[6:7, :]
+        trips = pl.cdiv(blk_len_ref[bid, r], w_chunk)
+        qs_r = qs_ref[:, r:r + 1]
+        qe_r = qe_ref[:, r:r + 1]
 
-        # pressure (cpp:550-554): acc -= d * vol*(p_i+p_j)/2 * Spiky(r) / r
-        hr = h - rr
-        spiky = jnp.where(pair & (rr <= h), -spiky_c * hr * hr, 0.0)
-        f_p = vol_j * (qp + cand[7:8, :]) * 0.5 * spiky / rr
-        f_p = jnp.where(pair, f_p, 0.0)
-        acc -= qpos * jnp.sum(f_p, axis=1, keepdims=True) \
-            - _dotT(f_p, cand[0:3, :])
+        def chunk(c, carry, start=start, qs_r=qs_r, qe_r=qe_r):
+            a_acc, l_acc = carry
+            off = pl.multiple_of(start + c * w_chunk, 128)
+            cand = feats_ref[:, pl.ds(off, w_chunk)]         # (16, Wc)
+            rows = off + wiota
+            m = (rows >= qs_r) & (rows < qe_r)
+            dx = qx - cand[0:1, :]
+            dy = qy - cand[1:2, :]
+            dz = qz - cand[2:3, :]
+            r2 = dx * dx + dy * dy + dz * dz
+            pair = m & (r2 > _PAIR_EPS)                      # cpp:546
+            rr = jnp.sqrt(jnp.where(pair, r2, 1.0))
+            vol_j = cand[6:7, :]
 
-        # viscosity (cpp:556-560): acc += (uj - ui) * vol * mu * Visco(r)
-        f_v = jnp.where(pair & (rr <= h), vol_j * mu * spiky_c * hr, 0.0)
-        acc += _dotT(f_v, cand[3:6, :]) \
-            - jnp.sum(f_v, axis=1, keepdims=True) * qiv
+            # pressure (cpp:550-554): acc -= d*vol*(p_i+p_j)/2*Spiky(r)/r
+            hr = h - rr
+            spiky = jnp.where(pair & (rr <= h), -spiky_c * hr * hr, 0.0)
+            f_p = vol_j * (qp + cand[7:8, :]) * 0.5 * spiky / rr
+            f_p = jnp.where(pair, f_p, 0.0)
+            a_acc = a_acc - (qpos * jnp.sum(f_p, axis=1, keepdims=True)
+                             - _dotT(f_p, cand[0:3, :]))
 
-        # monodomain Laplacian (cpp:562-563): B_spline_2, support [0, 2h)
-        qr = rr / h
-        w2 = jnp.where(qr < 1.0, bs_c * (-3.0 + 4.5 * qr),
-                       jnp.where(qr < 2.0, bs_c * 1.5 * (2.0 - qr), 0.0))
-        vw = jnp.where(pair, vol_j * w2, 0.0)
-        lap += _dotT(vw, cand[8:9, :]) \
-            - jnp.sum(vw, axis=1, keepdims=True) * qvm
+            # viscosity (cpp:556-560): acc += (uj - ui)*vol*mu*Visco(r)
+            f_v = jnp.where(pair & (rr <= h),
+                            vol_j * mu * spiky_c * hr, 0.0)
+            a_acc = a_acc + _dotT(f_v, cand[3:6, :]) \
+                - jnp.sum(f_v, axis=1, keepdims=True) * qiv
+
+            # monodomain Laplacian (cpp:562-563): B_spline_2 on [0, 2h)
+            qr = rr / h
+            w2 = jnp.where(qr < 1.0, bs_c * (-3.0 + 4.5 * qr),
+                           jnp.where(qr < 2.0, bs_c * 1.5 * (2.0 - qr), 0.0))
+            vw = jnp.where(pair, vol_j * w2, 0.0)
+            l_acc = l_acc + _dotT(vw, cand[8:9, :]) \
+                - jnp.sum(vw, axis=1, keepdims=True) * qvm
+            return a_acc, l_acc
+
+        acc, lap = jax.lax.fori_loop(0, trips, chunk, (acc, lap))
 
     out_ref[:, 0:3] = acc
     out_ref[:, 3:4] = lap
@@ -244,17 +266,15 @@ def _sweep_b_kernel(blk_start_ref, qm_ref, qs_ref, qe_ref, feats_ref,
 # pallas_call wrappers
 # ---------------------------------------------------------------------------
 
-def _call_sweep(kernel, feats_t, qmat, qstart, qend, blk_start, q_block,
-                w_window, cfg, interpret):
+def _call_sweep(kernel, feats_t, qmat, qstart, qend, blk_start, blk_len,
+                q_block, w_chunk, cfg, interpret):
     n = qmat.shape[0]
     b = n // q_block
-    if feats_t.shape[1] < w_window:
-        # small scenes: the static window may exceed N; zero-pad candidate
-        # columns (padded rows sit beyond every qend bound -> masked out)
-        feats_t = jnp.pad(feats_t,
-                          ((0, 0), (0, w_window - feats_t.shape[1])))
+    # pad candidate columns by one chunk so the last (aligned) chunk of any
+    # window can always be sliced; padded rows sit beyond every qend bound
+    feats_t = jnp.pad(feats_t, ((0, 0), (0, w_chunk)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(b,),
         in_specs=[
             pl.BlockSpec((q_block, 16), lambda i, *_: (i, 0),
@@ -263,17 +283,17 @@ def _call_sweep(kernel, feats_t, qmat, qstart, qend, blk_start, q_block,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((q_block, 16), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # (16, N) candidates
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # (16, N+Wc) candidates
         ],
         out_specs=pl.BlockSpec((q_block, 8), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        functools.partial(kernel, cfg=cfg, w_window=w_window),
+        functools.partial(kernel, cfg=cfg, w_chunk=w_chunk),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, 8), jnp.float32),
         interpret=interpret,
-    )(blk_start, qmat, qstart, qend, feats_t)
+    )(blk_start, blk_len, qmat, qstart, qend, feats_t)
 
 
 def _pad_cols(cols, n):
@@ -283,8 +303,8 @@ def _pad_cols(cols, n):
     return jnp.stack(rows, axis=0)                           # (16, N)
 
 
-def sweep_a(pos_s, cvel_s, vol_s, mass_s, qstart, qend, blk_start,
-            q_block: int, w_window: int, cfg: SimConfig,
+def sweep_a(pos_s, cvel_s, vol_s, mass_s, qstart, qend, blk_start, blk_len,
+            q_block: int, w_chunk: int, cfg: SimConfig,
             interpret: bool | None = None):
     """Fused XSPH + density over sorted arrays.
 
@@ -299,12 +319,12 @@ def sweep_a(pos_s, cvel_s, vol_s, mass_s, qstart, qend, blk_start,
     qmat = jnp.concatenate([pos_s, cvel_s,
                             jnp.zeros((n, 10), jnp.float32)], axis=1)
     out = _call_sweep(_sweep_a_kernel, feats_t, qmat, qstart, qend,
-                      blk_start, q_block, w_window, cfg, interpret)
+                      blk_start, blk_len, q_block, w_chunk, cfg, interpret)
     return out[:, 0], out[:, 1:4]
 
 
 def sweep_b(pos_s, ivel_s, vol_s, pres_s, vm_s, qstart, qend, blk_start,
-            q_block: int, w_window: int, cfg: SimConfig,
+            blk_len, q_block: int, w_chunk: int, cfg: SimConfig,
             interpret: bool | None = None):
     """Fused pressure+viscosity forces and Vm Laplacian over sorted arrays.
 
@@ -320,15 +340,20 @@ def sweep_b(pos_s, ivel_s, vol_s, pres_s, vm_s, qstart, qend, blk_start,
     qmat = jnp.concatenate([pos_s, ivel_s, pres_s[:, None], vm_s[:, None],
                             jnp.zeros((n, 8), jnp.float32)], axis=1)
     out = _call_sweep(_sweep_b_kernel, feats_t, qmat, qstart, qend,
-                      blk_start, q_block, w_window, cfg, interpret)
+                      blk_start, blk_len, q_block, w_chunk, cfg, interpret)
     return out[:, 0:3], out[:, 3]
 
 
 def auto_block_window(positions: np.ndarray, cfg: SimConfig, q_block: int,
-                      headroom: float = 1.5, minimum: int = 256) -> int:
-    """Static block-window width W for the fused sweeps, from the initial
-    cloud: the widest (block, run) candidate range, x headroom, rounded up
-    to a lane multiple of 128. Host-side, once per scene."""
+                      headroom: float = 1.8, minimum: int = 256) -> int:
+    """Static chunk width Wc for the fused sweeps.
+
+    With the dynamic-trip chunked windows, any Wc is CORRECT (coverage is
+    exact); this just balances VPU efficiency (wide chunks) against padding
+    waste on narrow windows. The median (block, run) window width at init,
+    rounded to a lane multiple of 128 and clamped to [256, 1024], works
+    well. Host-side, once per scene.
+    """
     gx, gy, gz = cfg.grid_size
     num_cells = cfg.num_cells
     coords = (np.asarray(positions) / cfg.cell_size).astype(np.int64)
@@ -345,8 +370,8 @@ def auto_block_window(positions: np.ndarray, cfg: SimConfig, q_block: int,
     d = (gx * (_RUN_OFFSETS[:, 0] + gy * _RUN_OFFSETS[:, 1]))[None, :]
     blo = np.clip(h_lo[:, None] + d - 1, 0, num_cells)
     bhi = np.clip(h_hi[:, None] + d + 2, 0, num_cells)
-    width = (np.searchsorted(sorted_ids, bhi)
-             - np.searchsorted(sorted_ids, blo)).max() if n else minimum
-    w = max(int(np.ceil(width * headroom)), minimum)
-    # +128 for the lane-alignment left-shift of the window start
-    return ((w + 127) // 128) * 128 + 128
+    widths = (np.searchsorted(sorted_ids, bhi)
+              - np.searchsorted(sorted_ids, blo))
+    med = float(np.median(widths)) * headroom if widths.size else minimum
+    w = int(np.clip(((med + 127) // 128) * 128, minimum, 1024))
+    return w

@@ -106,6 +106,7 @@ class Scene(NamedTuple):
 
 _SCENE_FILES = {
     "biceps_18475": ("biceps_simple_out_18475.csv", 7),
+    "biceps_full": ("biceps_simple_out_18475.csv", 0),
     "biceps_4944": ("biceps_simple_out_4944.csv", 0),
     "biceps_1": ("biceps_simple_out_1.csv", 0),
     "biceps_2": ("biceps_simple_out_2.csv", 0),

@@ -1,0 +1,58 @@
+// Headless test driver around the REFERENCE engine (compiled read-only from
+// /root/reference at test time; nothing from the reference is vendored).
+//
+// Loads a point cloud from a text file (one "x y z" row per particle),
+// seeds the reference SPH_SM_monodomain engine exactly like init_mesh
+// (main.cpp:479-496: Init_Fluid + turnOnStim_Mesh), runs N steps with an
+// optional turnOffStim at step T (the idle() protocol, main.cpp:329-334),
+// and dumps per-particle pos/vel/Vm/dens/pres after every step to stdout.
+// Used by test_reference_fidelity.py to diff the JAX engine's trajectories
+// against the real C++ dynamics.
+
+#include <SPH_SM_monodomain.h>
+
+#include <cstdio>
+#include <cstdlib>
+#include <vector>
+
+int main(int argc, char** argv) {
+    if (argc < 4) {
+        std::fprintf(stderr,
+                     "usage: driver cloud.txt num_steps stim_off_step\n");
+        return 2;
+    }
+    const char* cloud_path = argv[1];
+    int num_steps = std::atoi(argv[2]);
+    int stim_off = std::atoi(argv[3]);
+
+    std::vector<m3Vector> positions;
+    {
+        FILE* f = std::fopen(cloud_path, "r");
+        if (!f) { std::fprintf(stderr, "no cloud file\n"); return 2; }
+        float x, y, z;
+        while (std::fscanf(f, "%f %f %f", &x, &y, &z) == 3)
+            positions.push_back(m3Vector(x, y, z));
+        std::fclose(f);
+    }
+
+    SPH_SM_monodomain* sph = new SPH_SM_monodomain();
+    sph->Init_Fluid(positions);
+    sph->turnOnStim_Mesh(positions);
+
+    int n = sph->Get_Particle_Number();
+    std::printf("n %d\n", n);
+    for (int step = 0; step < num_steps; ++step) {
+        if (step == stim_off) sph->turnOffStim();
+        sph->Animation();
+        Particle* p = sph->Get_Paticles();
+        std::printf("step %d\n", step);
+        for (int i = 0; i < n; ++i) {
+            std::printf("%.9g %.9g %.9g %.9g %.9g %.9g %.9g %.9g %.9g\n",
+                        p[i].pos.x, p[i].pos.y, p[i].pos.z,
+                        p[i].vel.x, p[i].vel.y, p[i].vel.z,
+                        p[i].Vm, p[i].dens, p[i].pres);
+        }
+    }
+    delete sph;
+    return 0;
+}

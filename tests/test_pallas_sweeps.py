@@ -35,15 +35,13 @@ def _state(rng, n=256):
 def test_sweep_a_matches_xla_phase(rng):
     st, pts = _state(rng)
     w_win = auto_block_window(pts, CFG, QB)
-    order, inv, qs, qe, bs, ovf = sweep_bookkeeping(st.pos, st.active, CFG,
-                                                    QB, w_win)
-    assert int(ovf) == 0
+    order, inv, qs, qe, bs, bl = sweep_bookkeeping(st.pos, st.active, CFG, QB)
     pos_s = st.pos[order]
     mass_s = st.mass[order]
     cvel_s = st.corrected_vel[order]
     vol_prev = mass_s / st.dens[order]
     dens_s, xsph_s = sweep_a(pos_s, cvel_s, vol_prev, mass_s, qs, qe, bs,
-                             QB, w_win, CFG, interpret=True)
+                             bl, QB, w_win, CFG, interpret=True)
     dens = np.asarray(dens_s[inv])
     xsph = np.asarray(xsph_s[inv])
 
@@ -73,13 +71,12 @@ def test_sweep_b_matches_xla_phase(rng):
     ref = sph.force_and_diffusion(st, nbr, CFG)
 
     w_win = auto_block_window(pts, CFG, QB)
-    order, inv, qs, qe, bs, ovf = sweep_bookkeeping(st.pos, st.active, CFG,
-                                                    QB, w_win)
+    order, inv, qs, qe, bs, bl = sweep_bookkeeping(st.pos, st.active, CFG, QB)
     pos_s = st.pos[order]
     mass_s = st.mass[order]
     dens_s = st.dens[order]
     acc_raw, lap = sweep_b(pos_s, st.inter_vel[order], mass_s / dens_s,
-                           st.pres[order], st.vm[order], qs, qe, bs, QB,
+                           st.pres[order], st.vm[order], qs, qe, bs, bl, QB,
                            w_win, CFG, interpret=True)
     acc = np.asarray((acc_raw / dens_s[:, None])[inv])
     lap = np.asarray(lap[inv])
