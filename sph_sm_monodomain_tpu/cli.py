@@ -63,6 +63,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["displacement", "voltage"])
     p.add_argument("--save-checkpoint", default=None, metavar="PATH.npz")
     p.add_argument("--load-checkpoint", default=None, metavar="PATH.npz")
+    p.add_argument("--traj", default=None, metavar="PATH.bin",
+                   help="stream per-chunk [pos3, vm] frames to a binary "
+                        "trajectory file (native async writer)")
     p.add_argument("--devices", type=int, default=1,
                    help=">1: shard particles over a device mesh")
     return p
@@ -131,6 +134,19 @@ def main(argv=None) -> int:
 
     frames = []
     render_every = args.render_every
+    traj_writer = None
+    if args.traj:
+        from .runtime import TrajectoryWriter
+        traj_writer = TrajectoryWriter(args.traj, scene.num_particles,
+                                       fields=4)
+
+    def stream_frame(i, st):
+        if traj_writer is not None:
+            n_act = scene.num_particles
+            payload = np.concatenate(
+                [np.asarray(st.pos)[:n_act],
+                 np.asarray(st.vm)[:n_act, None]], axis=1)
+            traj_writer.append(i, payload)
 
     t0 = time.time()
     if args.mode == "monodomain":
@@ -153,16 +169,15 @@ def main(argv=None) -> int:
                 frames.append((i, state))
     else:
         scene = scene._replace(state=state)
-        if render_every:
-            def cb(done, st):
+        def cb(done, st):
+            if render_every:
                 frames.append((done, st))
-            state, aux, _ = models.run_protocol(
-                scene, num_steps=args.steps, stim_off_step=stim_off,
-                chunk=min(args.chunk, max(render_every, 1)), callback=cb)
-        else:
-            state, aux, _ = models.run_protocol(
-                scene, num_steps=args.steps, stim_off_step=stim_off,
-                chunk=args.chunk)
+            stream_frame(done, st)
+        state, aux, _ = models.run_protocol(
+            scene, num_steps=args.steps, stim_off_step=stim_off,
+            chunk=(min(args.chunk, max(render_every, 1)) if render_every
+                   else args.chunk),
+            callback=cb)
         overflow = int(aux.overflow)
     jax.tree_util.tree_map(lambda x: x.block_until_ready(), state)
     wall = time.time() - t0
@@ -179,6 +194,10 @@ def main(argv=None) -> int:
     vm = np.asarray(state.vm)[:n]
     print(f"displacement mean={disp.mean():.4f} max={disp.max():.4f} | "
           f"Vm [{vm.min():.2f}, {vm.max():.2f}]")
+
+    if traj_writer is not None:
+        written = traj_writer.close()
+        print(f"trajectory ({written} frames) -> {args.traj}")
 
     if args.save_checkpoint:
         save_checkpoint(args.save_checkpoint, state, step=args.steps)

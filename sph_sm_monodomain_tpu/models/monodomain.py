@@ -207,6 +207,7 @@ def run_protocol(scene, num_steps: int = 500, stim_off_step: int | None = None,
         stim_off_step = num_steps // 2
     trajs = []
     max_overflow = 0
+    regrow = 0
     done = 0
     while done < num_steps:
         n = min(chunk, num_steps - done)
@@ -218,11 +219,24 @@ def run_protocol(scene, num_steps: int = 500, stim_off_step: int | None = None,
                        fused=fused, q_block=scene.q_block,
                        w_window=scene.block_window)
         if record_every:
-            state, aux, traj = out
-            trajs.append(traj)
+            new_state, aux, traj = out
         else:
-            state, aux = out
-        max_overflow = max(max_overflow, int(aux.overflow))
+            new_state, aux = out
+            traj = None
+        step_overflow = int(aux.overflow)
+        if step_overflow and not fused and regrow < 3:
+            # failure detection + elastic recovery (SURVEY.md §5): the
+            # window table truncated candidates (the cloud densified past
+            # the static capacity). Regrow the table 1.5x and REDO this
+            # chunk from its input state (recompiles once per growth).
+            regrow += 1
+            new_k = ((int(scene.neighbor_capacity * 1.5) + 8) // 9) * 9
+            scene = scene._replace(neighbor_capacity=new_k)
+            continue  # redo this chunk from its unchanged input state
+        state = new_state
+        if record_every:
+            trajs.append(traj)
+        max_overflow = max(max_overflow, step_overflow)
         done += n
         if callback is not None:
             callback(done, state)

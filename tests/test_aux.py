@@ -1,0 +1,72 @@
+"""Aux subsystem tests: bounds, debug/health, determinism, CLI trajectory."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from sph_sm_monodomain_tpu import SimConfig, init_fluid, step
+from sph_sm_monodomain_tpu.ops.bounds import Bounds
+from sph_sm_monodomain_tpu.utils.debug import (check_step_determinism,
+                                               validate_state)
+
+CFG = SimConfig()
+
+
+def test_bounds_clamp_and_combine():
+    b = Bounds.of((0, 0, 0), (1.5, 1.5, 1.5))
+    pos = jnp.asarray([[-1.0, 0.5, 2.0], [0.1, 0.2, 0.3]])
+    out = np.asarray(b.clamp(pos))
+    np.testing.assert_allclose(out, [[0.0, 0.5, 1.5], [0.1, 0.2, 0.3]])
+    c = b.combine(Bounds.of((-1, 0, 0), (1, 1, 1)))
+    np.testing.assert_allclose(np.asarray(c.min), [-1, 0, 0])
+    np.testing.assert_allclose(np.asarray(c.max), [1.5, 1.5, 1.5])
+    i = b.intersect(Bounds.of((0.5, 0.5, 0.5), (2, 2, 2)))
+    np.testing.assert_allclose(np.asarray(i.min), [0.5, 0.5, 0.5])
+
+
+def test_bounds_contain_2d_quirk():
+    # m3Bounds.h:70-74: contain only tests x and y
+    b = Bounds.of((0, 0, 0), (1, 1, 1))
+    p = jnp.asarray([0.5, 0.5, 99.0])  # z way outside
+    assert bool(b.contain(p, strict=True))        # quirk: z ignored
+    assert not bool(b.contain(p, strict=False))   # corrected 3D test
+
+
+def test_bounds_clamp_offset_2d_quirk():
+    b = Bounds.of((0, 0, 0), (1, 1, 1))
+    p = jnp.asarray([[2.0, 2.0, 2.0]])
+    out = np.asarray(b.clamp_offset(p, 0.1, strict=True))[0]
+    np.testing.assert_allclose(out, [0.9, 0.9, 2.0])  # z untouched (quirk)
+    out = np.asarray(b.clamp_offset(p, 0.1, strict=False))[0]
+    np.testing.assert_allclose(out, [0.9, 0.9, 0.9])
+
+
+def test_validate_state_detects_nan(rng):
+    pts = np.clip(rng.random((32, 3)).astype(np.float32), 0.1, 1.4)
+    st = init_fluid(pts, CFG)
+    assert validate_state(st, CFG) == []
+    bad = st.replace(vm=st.vm.at[3].set(jnp.nan))
+    problems = validate_state(bad, CFG)
+    assert any("vm" in p for p in problems)
+    # NaN on a PADDED lane is not a problem
+    pad_bad = st.replace(vm=st.vm.at[-1].set(jnp.nan))
+    assert validate_state(pad_bad, CFG) == []
+
+
+def test_step_is_deterministic(rng):
+    pts = np.clip(rng.normal(size=(96, 3)).astype(np.float32) * 0.05 + 0.6,
+                  0.1, 1.3)
+    st = init_fluid(pts, CFG)
+    assert check_step_determinism(lambda s: step(s, CFG, 32, 9 * 32), st)
+
+
+def test_cli_traj_streaming(tmp_path):
+    from sph_sm_monodomain_tpu.cli import main
+    from sph_sm_monodomain_tpu.runtime import read_trajectory
+    traj = tmp_path / "t.bin"
+    rc = main(["--scene", "cube", "--steps", "4", "--stim-off-step", "-1",
+               "--chunk", "2", "--traj", str(traj)])
+    assert rc == 0
+    steps, payload = read_trajectory(traj)
+    assert len(steps) == 2  # one frame per chunk
+    assert payload.shape[2] == 4
+    assert np.isfinite(payload).all()
