@@ -266,8 +266,27 @@ def _sweep_b_kernel(blk_start_ref, blk_len_ref, qm_ref, qs_ref, qe_ref,
 # pallas_call wrappers
 # ---------------------------------------------------------------------------
 
+def _slice_rows(arr, offset, count):
+    """dynamic_slice rows [offset, offset+count) (offset may be traced)."""
+    return jax.lax.dynamic_slice(arr, (offset, 0), (count, arr.shape[1]))
+
+
 def _call_sweep(kernel, feats_t, qmat, qstart, qend, blk_start, blk_len,
-                q_block, w_chunk, cfg, interpret):
+                q_block, w_chunk, cfg, interpret, q_slice=None):
+    """Run one sweep kernel.
+
+    q_slice=(row_offset, row_count): process only that slab of the sorted
+    query rows (multi-chip: each device computes its contiguous slab while
+    gathering candidates from the full arrays). row_offset may be traced;
+    row_count must be static and a multiple of q_block.
+    """
+    if q_slice is not None:
+        off, cnt = q_slice
+        qmat = _slice_rows(qmat, off, cnt)
+        qstart = _slice_rows(qstart, off, cnt)
+        qend = _slice_rows(qend, off, cnt)
+        blk_start = _slice_rows(blk_start, off // q_block, cnt // q_block)
+        blk_len = _slice_rows(blk_len, off // q_block, cnt // q_block)
     n = qmat.shape[0]
     b = n // q_block
     # pad candidate columns by one chunk so the last (aligned) chunk of any
@@ -305,7 +324,7 @@ def _pad_cols(cols, n):
 
 def sweep_a(pos_s, cvel_s, vol_s, mass_s, qstart, qend, blk_start, blk_len,
             q_block: int, w_chunk: int, cfg: SimConfig,
-            interpret: bool | None = None):
+            interpret: bool | None = None, q_slice=None):
     """Fused XSPH + density over sorted arrays.
 
     Returns (dens (N,), xsph_partial (N, 3)), sorted order. `vol_s` must use
@@ -319,13 +338,14 @@ def sweep_a(pos_s, cvel_s, vol_s, mass_s, qstart, qend, blk_start, blk_len,
     qmat = jnp.concatenate([pos_s, cvel_s,
                             jnp.zeros((n, 10), jnp.float32)], axis=1)
     out = _call_sweep(_sweep_a_kernel, feats_t, qmat, qstart, qend,
-                      blk_start, blk_len, q_block, w_chunk, cfg, interpret)
+                      blk_start, blk_len, q_block, w_chunk, cfg, interpret,
+                      q_slice=q_slice)
     return out[:, 0], out[:, 1:4]
 
 
 def sweep_b(pos_s, ivel_s, vol_s, pres_s, vm_s, qstart, qend, blk_start,
             blk_len, q_block: int, w_chunk: int, cfg: SimConfig,
-            interpret: bool | None = None):
+            interpret: bool | None = None, q_slice=None):
     """Fused pressure+viscosity forces and Vm Laplacian over sorted arrays.
 
     Returns (acc_raw (N, 3), lap (N,)), sorted order; acc_raw is BEFORE the
@@ -340,7 +360,8 @@ def sweep_b(pos_s, ivel_s, vol_s, pres_s, vm_s, qstart, qend, blk_start,
     qmat = jnp.concatenate([pos_s, ivel_s, pres_s[:, None], vm_s[:, None],
                             jnp.zeros((n, 8), jnp.float32)], axis=1)
     out = _call_sweep(_sweep_b_kernel, feats_t, qmat, qstart, qend,
-                      blk_start, blk_len, q_block, w_chunk, cfg, interpret)
+                      blk_start, blk_len, q_block, w_chunk, cfg, interpret,
+                      q_slice=q_slice)
     return out[:, 0:3], out[:, 3]
 
 

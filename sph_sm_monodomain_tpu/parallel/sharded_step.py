@@ -162,3 +162,111 @@ def make_sharded_simulate(mesh: Mesh, cfg: SimConfig, cell_capacity: int,
         return state, overflow
 
     return sharded_simulate
+
+
+def _sharded_fused_body(state: ParticleState, cfg: SimConfig, q_block: int,
+                        w_chunk: int, n_devices: int, axis: str = AXIS):
+    """One fused-Pallas coupled step on LOCAL shards (inside shard_map).
+
+    Strategy: all_gather the per-particle fields once per phase group,
+    compute global sort/window bookkeeping redundantly on every device
+    (cheap), and run the fused sweep kernels over THIS device's contiguous
+    slab of sorted query rows — compute scales 1/D while candidates come
+    from the full gathered arrays. Slab outputs are all_gathered (sorted
+    order) and mapped back to each device's original-order shard.
+    """
+    import jax.numpy as jnp
+    from ..ops import kernels as K
+    from ..ops.pallas_sweeps import sweep_a, sweep_b, sweep_bookkeeping
+
+    def ag(x):
+        return jax.lax.all_gather(x, axis, tiled=True)
+
+    d = jax.lax.axis_index(axis)
+    n_loc = state.pos.shape[0]
+    lo = d * n_loc  # this device's sorted-row slab
+
+    g_pos, g_active = ag(state.pos), ag(state.active)
+    order, inv, qstart, qend, blk_start, blk_len = sweep_bookkeeping(
+        g_pos, g_active, cfg, q_block)
+    my_inv = jax.lax.dynamic_slice(inv, (lo,), (n_loc,))
+
+    # shape matching: local moments + psum
+    state = corrected_velocity(state, cfg, axis_name=axis)
+
+    # ---- sweep A: XSPH + density ----
+    g_mass = ag(state.mass)
+    g_cvel = ag(state.corrected_vel)
+    g_dens_prev = ag(state.dens)
+    pos_s = g_pos[order]
+    mass_s = g_mass[order]
+    cvel_s = g_cvel[order]
+    vol_prev = mass_s / g_dens_prev[order]
+    dens_slab, xsph_slab = sweep_a(pos_s, cvel_s, vol_prev, mass_s, qstart,
+                                   qend, blk_start, blk_len, q_block,
+                                   w_chunk, cfg, q_slice=(lo, n_loc))
+    dens_sorted = ag(dens_slab)
+    xsph_sorted = ag(xsph_slab)
+    dens = dens_sorted[my_inv]                     # local, original order
+    inter_vel = state.corrected_vel + xsph_sorted[my_inv] \
+        * cfg.velocity_mixing                                # cpp:699
+    if cfg.quirk_double_self_density:                        # cpp:483
+        dens = dens + state.mass * K.poly6(jnp.zeros_like(dens), cfg)
+    pres = cfg.k_stiffness * (dens - cfg.stand_density) \
+        - state.vm * cfg.voltage_constant                    # cpp:486-491
+    clamped = jnp.clip(pres, -cfg.max_pressure, cfg.max_pressure)
+    if cfg.quirk_pressure_stim_gate:                         # cpp:493-503
+        pres = jnp.where(state.stim > 0.0, clamped,
+                         jnp.asarray(-0.0, pres.dtype))
+    else:
+        pres = clamped
+    state = state.replace(dens=dens, pres=pres, inter_vel=inter_vel)
+
+    # FHN (pointwise, local)
+    state = fhn_cell_model(state, cfg)
+
+    # ---- sweep B: forces + Vm Laplacian ----
+    g_ivel = ag(state.inter_vel)
+    g_pres = ag(state.pres)
+    g_vm = ag(state.vm)
+    g_dens = ag(state.dens)
+    dens_s = g_dens[order]
+    acc_slab, lap_slab = sweep_b(pos_s, g_ivel[order], mass_s / dens_s,
+                                 g_pres[order], g_vm[order], qstart, qend,
+                                 blk_start, blk_len, q_block, w_chunk, cfg,
+                                 q_slice=(lo, n_loc))
+    dens_slab_now = jax.lax.dynamic_slice(dens_s, (lo,), (n_loc,))
+    acc_sorted = ag(acc_slab / dens_slab_now[:, None])       # cpp:568
+    lap_sorted = ag(lap_slab)
+    acc = acc_sorted[my_inv]
+    lap = lap_sorted[my_inv]
+    inter_vm = lap + (cfg.sigma / (cfg.beta_sv_ratio
+                                   * cfg.cm_capacitance)) * lap \
+        - (state.iion - state.stim * cfg.time_delta / state.mass) \
+        / cfg.cm_capacitance                                 # cpp:571
+    state = state.replace(acc=acc, inter_vm=inter_vm)
+
+    state = update_properties(state, cfg)
+    return state, jnp.zeros((), jnp.int32)
+
+
+def make_sharded_step_fused(mesh: Mesh, cfg: SimConfig, q_block: int = 128,
+                            w_chunk: int = 512, axis: str = AXIS):
+    """Multi-chip fused-Pallas step: ParticleState -> (ParticleState, i32).
+
+    Requires state.capacity to be a multiple of n_devices * q_block so each
+    device owns a whole number of sorted query blocks.
+    """
+    n_devices = mesh.devices.size
+    spec = state_pspec(axis)
+
+    # check_vma=False: pallas_call outputs carry no varying-mesh-axes
+    # annotation, which shard_map's checker would otherwise reject
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh, in_specs=(spec,),
+             out_specs=(spec, P()), check_vma=False)
+    def sharded_step(state):
+        return _sharded_fused_body(state, cfg, q_block, w_chunk,
+                                   n_devices, axis)
+
+    return sharded_step
