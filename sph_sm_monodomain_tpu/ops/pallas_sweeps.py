@@ -86,7 +86,17 @@ def sweep_bookkeeping(pos: jax.Array, active: jax.Array, cfg: SimConfig,
     ids = jnp.where(inside & active, ids0, num_cells)
     order = jnp.argsort(ids, stable=True).astype(jnp.int32)
     sorted_ids = ids[order]
-    inv = jnp.argsort(order, stable=True).astype(jnp.int32)
+    # inverse permutation via a unique-index scatter (cheaper than a second
+    # sort)
+    inv = jnp.zeros((n,), jnp.int32).at[order].set(
+        jnp.arange(n, dtype=jnp.int32), unique_indices=True)
+    # first sorted row of every cell: ONE vectorized searchsorted over the
+    # (num_cells+1) cell ids; all query/block bounds below become cheap
+    # gathers from this table instead of hundreds of thousands of binary
+    # searches
+    cell_start = jnp.searchsorted(
+        sorted_ids, jnp.arange(num_cells + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
 
     # per-query exact run bounds (sorted space, queries in sorted order)
     cs = coords[order]
@@ -100,10 +110,8 @@ def sweep_bookkeeping(pos: jax.Array, active: jax.Array, cfg: SimConfig,
     xhi = jnp.minimum(cx + 1, gx - 1)
     lo_hash = xlo[:, None] + gx * (yy + gy * zz)
     hi_hash = xhi[:, None] + gx * (yy + gy * zz) + 1
-    qstart = jnp.searchsorted(sorted_ids,
-                              jnp.where(q_ok, lo_hash, 0)).astype(jnp.int32)
-    qend = jnp.searchsorted(sorted_ids,
-                            jnp.where(q_ok, hi_hash, 0)).astype(jnp.int32)
+    qstart = cell_start[jnp.where(q_ok, lo_hash, 0)]
+    qend = cell_start[jnp.where(q_ok, hi_hash, 0)]
     qend = jnp.where(q_ok, qend, qstart)
 
     # per-block superset windows: the block's hash interval +- one x cell,
@@ -114,8 +122,8 @@ def sweep_bookkeeping(pos: jax.Array, active: jax.Array, cfg: SimConfig,
     d = (gx * (off[:, 0] + gy * off[:, 1]))[None, :]       # (1, 9)
     blo = jnp.clip(h_lo[:, None] + d - 1, 0, num_cells)
     bhi = jnp.clip(h_hi[:, None] + d + 2, 0, num_cells)
-    blk_start = jnp.searchsorted(sorted_ids, blo).astype(jnp.int32)
-    blk_end = jnp.searchsorted(sorted_ids, bhi).astype(jnp.int32)
+    blk_start = cell_start[blo]
+    blk_end = cell_start[bhi]
     # lane-align starts (Mosaic requires 128-multiple dynamic slices on the
     # lane dim); the per-query bounds mask the extra leading rows away
     blk_start = (blk_start // 128) * 128
