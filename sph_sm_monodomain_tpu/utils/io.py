@@ -173,3 +173,28 @@ def build_scene(name: str, cfg: SimConfig | None = None, replicate: int = 1,
                  num_particles=int(pts.shape[0]), name=name,
                  q_block=q_block,
                  block_window=auto_block_window(pts, cfg, q_block))
+
+
+def load_surface_mesh(which: str = "biceps"):
+    """Load the triangle surface mesh shipped with the reference (D1 assets;
+    loaded by init_mesh at main.cpp:483-485 for the commented-out triangle
+    renderer, main.cpp:232-266).
+
+    Returns (faces (F,3) int32 0-based particle indices, normals (M,3),
+    normal_idx (F,3) int32 0-based). Faces index the FIRST `max_index`
+    particles of the matching cloud (the reference indexes Particles[]
+    directly with the 1-based face indices).
+    """
+    if which == "biceps":
+        faces = read_cloud_csv(ASSETS_DIR / "faces.csv")
+        normals = read_cloud_csv(ASSETS_DIR / "normals.txt")
+        nidx = read_cloud_csv(ASSETS_DIR / "normals_index.csv")
+    elif which == "rectus_femoris":
+        base = ASSETS_DIR / "RectusFemoris"
+        faces = read_cloud_csv(base / "rectusFemorisFaces.csv")
+        normals = read_cloud_csv(base / "rectusFemorisNormals.csv")
+        nidx = read_cloud_csv(base / "rectusFemorisNormalIndex.csv")
+    else:
+        raise ValueError(f"no surface mesh for {which!r}")
+    return (faces.astype(np.int32) - 1, normals.astype(np.float32),
+            nidx.astype(np.int32) - 1)

@@ -116,3 +116,48 @@ def render_frames(states, cfg: SimConfig, out_dir: str, stim_off_step: int,
         save_png(p, img)
         paths.append(p)
     return paths
+
+
+def render_mesh(state: ParticleState, cfg: SimConfig, faces: np.ndarray,
+                mode: str = "displacement", size: int = 600,
+                azimuth: float = 0.0, elevation: float = 0.0,
+                light=(0.3, 0.8, 0.5), background=(26, 26, 26)) -> np.ndarray:
+    """Flat-shaded triangle-mesh render (the reference's commented-out
+    surface renderer, main.cpp:232-266): faces index particles directly;
+    face color = mean vertex displacement/voltage through `set_color`,
+    modulated by a Lambert term from the face normal."""
+    try:
+        from PIL import Image, ImageDraw
+    except ImportError:
+        return render_points(state, cfg, mode=mode, size=size,
+                             azimuth=azimuth, elevation=elevation,
+                             background=background)
+    pos = np.asarray(state.pos)
+    world = np.asarray(cfg.world_size, dtype=np.float32)
+    x, y, depth = _project(pos, azimuth, elevation, world)
+    half = float(world.max()) * 0.75
+    px = (x / half * 0.5 + 0.5) * (size - 1)
+    py = (-y / half * 0.5 + 0.5) * (size - 1)
+
+    if mode == "displacement":
+        val = np.asarray(state.displacement())
+        rgb = set_color(val, -0.05, 0.05)
+    else:
+        rgb = set_color(np.asarray(state.vm), -200.0, cfg.max_voltage)
+
+    v0, v1, v2 = pos[faces[:, 0]], pos[faces[:, 1]], pos[faces[:, 2]]
+    fn = np.cross(v1 - v0, v2 - v0)
+    fn /= np.maximum(np.linalg.norm(fn, axis=1, keepdims=True), 1e-12)
+    light = np.asarray(light) / np.linalg.norm(light)
+    lambert = np.abs(fn @ light) * 0.7 + 0.3
+    fcol = rgb[faces].mean(axis=1) * lambert[:, None]
+    fdepth = depth[faces].mean(axis=1)
+
+    img = Image.new("RGB", (size, size), tuple(background))
+    draw = ImageDraw.Draw(img)
+    for fi in np.argsort(fdepth):  # back to front
+        i, j, k = faces[fi]
+        c = tuple((np.clip(fcol[fi], 0, 1) * 255).astype(np.uint8))
+        draw.polygon([(px[i], py[i]), (px[j], py[j]), (px[k], py[k])],
+                     fill=c)
+    return np.asarray(img)

@@ -81,3 +81,21 @@ def test_cli_render(tmp_path):
                "--render-every", "2", "--render-dir", str(out)])
     assert rc == 0
     assert len(list(out.glob("frame_*.png"))) == 2
+
+
+def test_surface_mesh_load_and_render():
+    from sph_sm_monodomain_tpu import build_scene
+    from sph_sm_monodomain_tpu.utils.io import ASSETS_DIR, load_surface_mesh
+    from sph_sm_monodomain_tpu.utils.render import render_mesh
+    import pytest
+    if not ASSETS_DIR.exists():
+        pytest.skip("assets missing")
+    faces, normals, nidx = load_surface_mesh("biceps")
+    assert faces.shape == (5120, 3) and faces.min() >= 0
+    assert normals.shape[1] == 3 and nidx.shape == faces.shape
+    sc = build_scene("biceps_4944", stim=False)
+    assert faces.max() < sc.num_particles
+    img = render_mesh(sc.state, sc.cfg, faces, size=96)
+    assert img.shape == (96, 96, 3) and (img != 26).any()
+    rf_faces, rf_n, rf_ni = load_surface_mesh("rectus_femoris")
+    assert rf_faces.max() < 42
