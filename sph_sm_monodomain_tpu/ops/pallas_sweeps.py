@@ -44,6 +44,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import SimConfig
 
 _PAIR_EPS = 1e-12  # INF guard, SPH_SM_monodomain.h:24
+# candidate arrays larger than this live in HBM with per-chunk DMA
+VMEM_FEATS_LIMIT_BYTES = 4 * 2 ** 20
 _HI = jax.lax.Precision.HIGHEST
 
 
@@ -146,7 +148,8 @@ def _dotT(a, b):
 
 
 def _sweep_a_kernel(blk_start_ref, blk_len_ref, qm_ref, qs_ref, qe_ref,
-                    feats_ref, out_ref, *, cfg: SimConfig, w_chunk: int):
+                    feats_ref, out_ref, *scratch, cfg: SimConfig,
+                    w_chunk: int, hbm_feats: bool = False):
     """XSPH + density.
 
     qm cols: [x, y, z, cvx, cvy, cvz]; feats rows: [x, y, z, cvx, cvy, cvz,
@@ -173,7 +176,15 @@ def _sweep_a_kernel(blk_start_ref, blk_len_ref, qm_ref, qs_ref, qe_ref,
         def chunk(c, carry, start=start, qs_r=qs_r, qe_r=qe_r):
             d_acc, x_acc = carry
             off = pl.multiple_of(start + c * w_chunk, 128)
-            cand = feats_ref[:, pl.ds(off, w_chunk)]         # (16, Wc)
+            if hbm_feats:
+                buf, sem = scratch
+                pltpu.make_async_copy(
+                    feats_ref.at[:, pl.ds(off, w_chunk)], buf, sem).start()
+                pltpu.make_async_copy(
+                    feats_ref.at[:, pl.ds(off, w_chunk)], buf, sem).wait()
+                cand = buf[:, :]                             # (16, Wc)
+            else:
+                cand = feats_ref[:, pl.ds(off, w_chunk)]     # (16, Wc)
             rows = off + wiota                               # (1, Wc)
             m = (rows >= qs_r) & (rows < qe_r)
             dx = qx - cand[0:1, :]
@@ -196,7 +207,8 @@ def _sweep_a_kernel(blk_start_ref, blk_len_ref, qm_ref, qs_ref, qe_ref,
 
 
 def _sweep_b_kernel(blk_start_ref, blk_len_ref, qm_ref, qs_ref, qe_ref,
-                    feats_ref, out_ref, *, cfg: SimConfig, w_chunk: int):
+                    feats_ref, out_ref, *scratch, cfg: SimConfig,
+                    w_chunk: int, hbm_feats: bool = False):
     """Force + Vm Laplacian.
 
     qm cols: [x, y, z, ivx, ivy, ivz, pres, vm]; feats rows: [x, y, z, ivx,
@@ -229,7 +241,15 @@ def _sweep_b_kernel(blk_start_ref, blk_len_ref, qm_ref, qs_ref, qe_ref,
         def chunk(c, carry, start=start, qs_r=qs_r, qe_r=qe_r):
             a_acc, l_acc = carry
             off = pl.multiple_of(start + c * w_chunk, 128)
-            cand = feats_ref[:, pl.ds(off, w_chunk)]         # (16, Wc)
+            if hbm_feats:
+                buf, sem = scratch
+                pltpu.make_async_copy(
+                    feats_ref.at[:, pl.ds(off, w_chunk)], buf, sem).start()
+                pltpu.make_async_copy(
+                    feats_ref.at[:, pl.ds(off, w_chunk)], buf, sem).wait()
+                cand = buf[:, :]                             # (16, Wc)
+            else:
+                cand = feats_ref[:, pl.ds(off, w_chunk)]     # (16, Wc)
             rows = off + wiota
             m = (rows >= qs_r) & (rows < qe_r)
             dx = qx - cand[0:1, :]
@@ -300,6 +320,9 @@ def _call_sweep(kernel, feats_t, qmat, qstart, qend, blk_start, blk_len,
     # pad candidate columns by one chunk so the last (aligned) chunk of any
     # window can always be sliced; padded rows sit beyond every qend bound
     feats_t = jnp.pad(feats_t, ((0, 0), (0, w_chunk)))
+    # small clouds: keep all candidates resident in VMEM; large clouds:
+    # candidates stay in HBM and each chunk is DMA'd into a VMEM scratch
+    hbm_feats = feats_t.size * 4 > VMEM_FEATS_LIMIT_BYTES
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b,),
@@ -310,13 +333,17 @@ def _call_sweep(kernel, feats_t, qmat, qstart, qend, blk_start, blk_len,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((q_block, 16), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # (16, N+Wc) candidates
+            pl.BlockSpec(memory_space=(pltpu.ANY if hbm_feats
+                                       else pltpu.VMEM)),  # candidates
         ],
         out_specs=pl.BlockSpec((q_block, 8), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=([pltpu.VMEM((16, w_chunk), jnp.float32),
+                         pltpu.SemaphoreType.DMA(())] if hbm_feats else []),
     )
     return pl.pallas_call(
-        functools.partial(kernel, cfg=cfg, w_chunk=w_chunk),
+        functools.partial(kernel, cfg=cfg, w_chunk=w_chunk,
+                          hbm_feats=hbm_feats),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, 8), jnp.float32),
         interpret=interpret,

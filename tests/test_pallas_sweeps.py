@@ -118,3 +118,20 @@ def test_fused_padded_lanes_inert(rng):
     pad_pos = np.asarray(st.pos)[150:]
     out, _ = step_fused(st, CFG, QB, w_win)
     np.testing.assert_array_equal(np.asarray(out.pos)[150:], pad_pos)
+
+
+def test_step_fused_hbm_candidate_path(rng, monkeypatch):
+    # force the large-N path (candidates in HBM, per-chunk DMA)
+    from sph_sm_monodomain_tpu.ops import pallas_sweeps as ps
+    monkeypatch.setattr(ps, "VMEM_FEATS_LIMIT_BYTES", 1)
+    st, pts = _state(rng, 200)
+    # q_block=64 differs from every other test so jit can't reuse a cached
+    # trace made with the normal (VMEM) threshold
+    w_win = auto_block_window(pts, CFG, 64)
+    a, b = st, st
+    for _ in range(2):
+        a, _ = step(a, CFG, 64, 9 * 64)
+        b, _ = step_fused(b, CFG, 64, w_win)
+    np.testing.assert_allclose(np.asarray(a.pos)[:200],
+                               np.asarray(b.pos)[:200], atol=5e-5,
+                               err_msg="HBM candidate path diverged")
