@@ -20,7 +20,7 @@ import time
 
 def main():
     steps = int(os.environ.get("BENCH_STEPS", "50"))
-    scene_name = os.environ.get("BENCH_SCENE", "biceps_18475")
+    scene_name = os.environ.get("BENCH_SCENE", "biceps_full")
     import jax
     import sph_sm_monodomain_tpu as smt
 
@@ -38,11 +38,21 @@ def main():
         jax.tree_util.tree_map(lambda x: x.block_until_ready(), out[0])
         return out
 
-    # compile + warmup
-    run(steps)
-    t0 = time.time()
+    # compile + warmup, then time CHAINED chunks (each chunk's input is the
+    # previous chunk's output — repeated identical dispatches are not
+    # trustworthy through remote-TPU tunnels)
     out = run(steps)
-    dt = time.time() - t0
+    state = out[0]
+    t0 = time.time()
+    reps = 3
+    for _ in range(reps):
+        out = smt.simulate(state, cfg, sc.cell_capacity,
+                           sc.neighbor_capacity, num_steps=steps,
+                           fused=fused, q_block=sc.q_block,
+                           w_window=sc.block_window)
+        state = out[0]
+    jax.tree_util.tree_map(lambda x: x.block_until_ready(), state)
+    dt = (time.time() - t0) / reps
     ms_per_step = dt / steps * 1e3
     pstep_per_s = sc.num_particles / (dt / steps)
 
