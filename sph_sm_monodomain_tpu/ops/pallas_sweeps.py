@@ -341,7 +341,7 @@ def _call_sweep(kernel, feats_t, qmat, qstart, qend, blk_start, blk_len,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((q_block, 16), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=(pltpu.ANY if hbm_feats
+            pl.BlockSpec(memory_space=(pltpu.HBM if hbm_feats
                                        else pltpu.VMEM)),  # candidates
         ],
         out_specs=pl.BlockSpec((q_block, 8), lambda i, *_: (i, 0),
