@@ -81,13 +81,20 @@ def stim_hits_from_centers(pos: jax.Array, active: jax.Array, centers,
 
 
 def turn_on_stim_mesh(state: ParticleState, positions,
-                      cfg: SimConfig) -> ParticleState:
+                      cfg: SimConfig,
+                      tile_width: float | None = None) -> ParticleState:
     """Stimulate the whole cloud + pin tendon anchors (turnOnStim_Mesh,
     cpp:745-762): stim sphere radius 0.01 around every loaded position, then
-    fix particles with x in [0, 0.07] or (x >= 0.90 and y >= 0.80)."""
+    fix particles with x in [0, 0.07] or (x >= 0.90 and y >= 0.80).
+
+    `tile_width`: for multi-muscle scenes (several clouds tiled along x),
+    apply the anchor predicates in tile-local x so every muscle gets its
+    tendon anchors."""
     hit = stim_hits_from_centers(state.pos, state.active, positions, 0.01, cfg)
     stim = jnp.where(hit, cfg.stim_strength, state.stim)
     x, y = state.pos[:, 0], state.pos[:, 1]
+    if tile_width is not None:
+        x = jnp.mod(x, jnp.asarray(tile_width, x.dtype))
     anchors = ((x >= 0.0) & (x <= 0.07)) | ((x >= 0.90) & (y >= 0.80))
     fixed = state.fixed | (anchors & state.active)
     return state.replace(stim=stim, fixed=fixed, is_stim_on=jnp.asarray(True))

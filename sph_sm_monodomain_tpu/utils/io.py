@@ -121,8 +121,11 @@ def scene_positions(name: str, cfg: SimConfig,
                     replicate: int = 1) -> np.ndarray:
     """Raw (pre-state) positions for a named scene.
 
-    `replicate` > 1 tiles the cloud along x with jitter-free offsets inside
-    the world — the 'multi-muscle' scale-up config from BASELINE.json.
+    `replicate` > 1 tiles the cloud side by side along x at ORIGINAL density
+    — the 'multi-muscle' scale-up config from BASELINE.json. The caller must
+    expand cfg.world_size x-extent by the same factor (build_scene does);
+    compressing tiles into the original world instead multiplies the SPH
+    density by the tile count and blows the pressure up.
     """
     if name == "cube":
         pts = cube_positions(cfg)
@@ -135,19 +138,14 @@ def scene_positions(name: str, cfg: SimConfig,
         raise ValueError(f"unknown scene {name!r}; have "
                          f"{sorted(_SCENE_FILES) + ['cube']}")
     if replicate > 1:
-        world = np.asarray(cfg.world_size, dtype=np.float32)
-        lo, hi = pts.min(0), pts.max(0)
-        center = (lo + hi) / 2
-        shrink = 1.0 / replicate
+        # cfg arrives with the ALREADY-expanded world; one tile is 1/replicate
+        tile_w = np.float32(cfg.world_size[0] / replicate)
         tiles = []
         for r in range(replicate):
-            # compress along x and stack copies side by side
             t = pts.copy()
-            t[:, 0] = (t[:, 0] - center[0]) * shrink + \
-                world[0] * (r + 0.5) / replicate
+            t[:, 0] = t[:, 0] + tile_w * r
             tiles.append(t)
         pts = np.concatenate(tiles, axis=0)
-        np.clip(pts, 0.0, world - 1e-4, out=pts)
     return pts
 
 
@@ -156,6 +154,11 @@ def build_scene(name: str, cfg: SimConfig | None = None, replicate: int = 1,
     """Load + seed + stimulate a scene the way the reference app does
     (init / init_mesh / init_cube, main.cpp:464-496)."""
     cfg = cfg or SimConfig()
+    tile_w = cfg.world_size[0]
+    if replicate > 1:
+        # expand the world along x so tiles keep the original density
+        cfg = cfg.replace(world_size=(cfg.world_size[0] * replicate,
+                                      cfg.world_size[1], cfg.world_size[2]))
     pts = scene_positions(name, cfg, replicate)
     if pts.shape[0] > cfg.max_particles:
         cfg = cfg.replace(max_particles=int(pts.shape[0]))
@@ -164,7 +167,9 @@ def build_scene(name: str, cfg: SimConfig | None = None, replicate: int = 1,
         if name == "cube":
             state = ep.turn_on_stim_cube(state, pts, cfg)   # main.cpp:476
         else:
-            state = ep.turn_on_stim_mesh(state, pts, cfg)   # main.cpp:487
+            state = ep.turn_on_stim_mesh(state, pts, cfg,   # main.cpp:487
+                                         tile_width=(tile_w if replicate > 1
+                                                     else None))
     cap = cfg.cell_capacity or auto_cell_capacity(pts, cfg)
     k_nbr = auto_window_capacity(pts, cfg)
     q_block = 128
