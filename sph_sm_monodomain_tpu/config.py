@@ -133,5 +133,22 @@ class SimConfig:
     def replace(self, **kw) -> "SimConfig":
         return dataclasses.replace(self, **kw)
 
+    def add_viscosity(self, value: float) -> "SimConfig":
+        """Runtime viscosity adjustment (add_viscosity, cpp:87-91): mu is
+        only changed when mu + value stays non-negative (the reference's
+        exact guard `mu += (mu + value) >= 0 ? value : 0`). Returns a new
+        config (configs are immutable)."""
+        new_mu = self.mu_viscosity + (
+            value if self.mu_viscosity + value >= 0 else 0.0)
+        return self.replace(mu_viscosity=new_mu)
+
+    def flip_quadratic(self) -> "SimConfig":
+        """Toggle quadratic shape matching (h:154)."""
+        return self.replace(quadratic_match=not self.quadratic_match)
+
+    def flip_volume(self) -> "SimConfig":
+        """Toggle volume conservation (h:155)."""
+        return self.replace(volume_conservation=not self.volume_conservation)
+
 
 DEFAULT_CONFIG = SimConfig()

@@ -70,3 +70,14 @@ def test_cli_traj_streaming(tmp_path):
     assert len(steps) == 2  # one frame per chunk
     assert payload.shape[2] == 4
     assert np.isfinite(payload).all()
+
+
+def test_config_runtime_toggles():
+    # add_viscosity guard (cpp:87-91), flip_quadratic/flip_volume (h:154-155)
+    cfg = CFG
+    assert cfg.add_viscosity(50.0).mu_viscosity == 150.0
+    assert cfg.add_viscosity(-100.0).mu_viscosity == 0.0
+    # guard: mu + value < 0 -> unchanged
+    assert cfg.add_viscosity(-150.0).mu_viscosity == 100.0
+    assert cfg.flip_quadratic().quadratic_match != cfg.quadratic_match
+    assert cfg.flip_volume().volume_conservation != cfg.volume_conservation
