@@ -61,18 +61,25 @@ def step_fused(state: ParticleState, cfg: SimConfig, q_block: int,
     # phase 2: shape matching (original order; MXU reductions)
     state = corrected_velocity(state, cfg)
 
-    # sorted views
-    pos_s = state.pos[order]
-    mass_s = state.mass[order]
-    cvel_s = state.corrected_vel[order]
-    vm_s = state.vm[order]
-    stim_s = state.stim[order]
-    iion_s = state.iion[order]
-    w_rec_s = state.w[order]
-    active_s = state.active[order]
+    # sorted views: ONE (N, 16) gather instead of nine (N,) gathers — the
+    # index traffic amortizes over the row
+    fields = jnp.stack([
+        state.pos[:, 0], state.pos[:, 1], state.pos[:, 2],
+        state.corrected_vel[:, 0], state.corrected_vel[:, 1],
+        state.corrected_vel[:, 2], state.mass, state.dens, state.vm,
+        state.stim, state.iion, state.w,
+        state.mass, state.mass, state.mass, state.mass], axis=1)
+    fs = fields[order]                                      # (N, 16)
+    pos_s = fs[:, 0:3]
+    cvel_s = fs[:, 3:6]
+    mass_s = fs[:, 6]
+    vm_s = fs[:, 8]
+    stim_s = fs[:, 9]
+    iion_s = fs[:, 10]
+    w_rec_s = fs[:, 11]
 
     # phases 3+4: fused XSPH + density (prev-step densities for volumes)
-    vol_prev = mass_s / state.dens[order]
+    vol_prev = mass_s / fs[:, 7]
     dens_s, xsph_s = sweep_a(pos_s, cvel_s, vol_prev, mass_s, qstart, qend,
                              blk_start, blk_len, q_block, w_window, cfg)
     inter_vel_s = cvel_s + xsph_s * cfg.velocity_mixing     # cpp:699
@@ -107,14 +114,16 @@ def step_fused(state: ParticleState, cfg: SimConfig, q_block: int,
                                        * cfg.cm_capacitance)) * lap_s \
         - (iion_s - stim_s * cfg.time_delta / mass_s) / cfg.cm_capacitance
 
-    # keep padded lanes inert in sorted space too
-    del active_s
-
-    # unsort and integrate (phase 7)
+    # unsort in ONE (N, 16) gather and integrate (phase 7)
+    outs = jnp.stack([
+        dens_s, pres_s, inter_vel_s[:, 0], inter_vel_s[:, 1],
+        inter_vel_s[:, 2], iion_s, w_rec_s, acc_s[:, 0], acc_s[:, 1],
+        acc_s[:, 2], inter_vm_s, dens_s, dens_s, dens_s, dens_s, dens_s],
+        axis=1)
+    ou = outs[inv]
     state = state.replace(
-        dens=dens_s[inv], pres=pres_s[inv], inter_vel=inter_vel_s[inv],
-        iion=iion_s[inv], w=w_rec_s[inv], acc=acc_s[inv],
-        inter_vm=inter_vm_s[inv])
+        dens=ou[:, 0], pres=ou[:, 1], inter_vel=ou[:, 2:5],
+        iion=ou[:, 5], w=ou[:, 6], acc=ou[:, 7:10], inter_vm=ou[:, 10])
     state = update_properties(state, cfg)
     # chunked windows cover every candidate exactly: no overflow possible
     return state, StepAux(overflow=jnp.zeros((), jnp.int32))

@@ -102,8 +102,15 @@ def jacobi_eigh3_cyclic(A: jax.Array, sweeps: int = 7):
             k = 3 - p - q
             apq = a[(p, q)]
             live = jnp.abs(apq) > 0.0
-            apq_safe = jnp.where(live, apq, 1.0)
-            d = (a[(p, p)] - a[(q, q)]) / (2.0 * apq_safe)
+            diff = a[(p, p)] - a[(q, q)]
+            # floor the divisor magnitude so |d| <= 1e6 BY CONSTRUCTION:
+            # dividing by a tiny pivot overflows d (and its gradient) to
+            # inf, which poisons autodiff even when masked afterwards;
+            # beyond |d| ~ 1e6 the rotation angle is below fp32 resolution
+            # anyway
+            mag = jnp.maximum(jnp.abs(apq),
+                              jnp.maximum(jnp.abs(diff) * 5e-7, 1e-30))
+            d = diff / (2.0 * jnp.where(apq < 0.0, -mag, mag))
             t = 1.0 / (jnp.abs(d) + jnp.sqrt(d * d + 1.0))
             t = jnp.where(d < 0.0, -t, t)
             t = jnp.where(live, t, 0.0)
