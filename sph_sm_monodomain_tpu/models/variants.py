@@ -121,3 +121,81 @@ def simulate_monodomain_only(state: ParticleState, tables: MonodomainTables,
     if record_every:
         return state, vms[::record_every]
     return state
+
+
+# ---------------------------------------------------------------------------
+# Fused-Pallas variant paths (TPU)
+# ---------------------------------------------------------------------------
+
+class MonodomainFusedTables(NamedTuple):
+    """Static geometry for the fused frozen-cloud EP stepper: the cloud
+    never moves, so the sort, window bookkeeping, densities and neighbor
+    volumes are computed ONCE."""
+    order: jax.Array
+    inv: jax.Array
+    qstart: jax.Array
+    qend: jax.Array
+    blk_start: jax.Array
+    blk_len: jax.Array
+    pos_s: jax.Array      # sorted positions
+    vol_s: jax.Array      # sorted m/rho (current densities)
+    mass: jax.Array       # original-order mass
+    dens: jax.Array       # original-order densities
+
+
+@partial(jax.jit, static_argnames=("cfg", "q_block", "w_chunk"))
+def monodomain_prepare_fused(state: ParticleState, cfg: SimConfig,
+                             q_block: int = 128,
+                             w_chunk: int = 384) -> MonodomainFusedTables:
+    from ..ops.pallas_sweeps import sweep_a, sweep_bookkeeping
+    order, inv, qs, qe, bs, bl = sweep_bookkeeping(state.pos, state.active,
+                                                   cfg, q_block)
+    pos_s = state.pos[order]
+    mass_s = state.mass[order]
+    zeros3 = jnp.zeros_like(pos_s)
+    vol_prev = mass_s / state.dens[order]
+    dens_s, _ = sweep_a(pos_s, zeros3, vol_prev, mass_s, qs, qe, bs, bl,
+                        q_block, w_chunk, cfg)
+    if cfg.quirk_double_self_density:
+        from ..ops import kernels as K
+        dens_s = dens_s + mass_s * K.poly6(jnp.zeros_like(dens_s), cfg)
+    return MonodomainFusedTables(order=order, inv=inv, qstart=qs, qend=qe,
+                                 blk_start=bs, blk_len=bl, pos_s=pos_s,
+                                 vol_s=mass_s / dens_s, mass=state.mass,
+                                 dens=dens_s[inv])
+
+
+@partial(jax.jit, static_argnames=("cfg", "num_steps", "q_block", "w_chunk",
+                                   "record_every"))
+def simulate_monodomain_only_fused(state: ParticleState,
+                                   tables: MonodomainFusedTables,
+                                   cfg: SimConfig, num_steps: int,
+                                   q_block: int = 128, w_chunk: int = 384,
+                                   record_every: int = 0):
+    """Fused frozen-cloud FHN wave: per step only the reaction ODEs and one
+    Laplacian sweep run — all geometry is static (BASELINE config 3)."""
+    from ..ops.pallas_sweeps import sweep_b
+
+    zeros3 = jnp.zeros_like(tables.pos_s)
+    zeros1 = jnp.zeros_like(tables.vol_s)
+
+    def body(st, _):
+        st = fhn_cell_model(st, cfg)
+        vm_s = st.vm[tables.order]
+        _, lap_s = sweep_b(tables.pos_s, zeros3, tables.vol_s, zeros1, vm_s,
+                           tables.qstart, tables.qend, tables.blk_start,
+                           tables.blk_len, q_block, w_chunk, cfg)
+        lap = lap_s[tables.inv]
+        scale = cfg.sigma / (cfg.beta_sv_ratio * cfg.cm_capacitance)
+        inter_vm = lap + scale * lap - (st.iion - st.stim * cfg.time_delta
+                                        / st.mass) / cfg.cm_capacitance
+        vm = st.vm + inter_vm * cfg.time_delta / st.mass
+        vm = jnp.clip(vm, -cfg.max_voltage, cfg.max_voltage)
+        st = st.replace(vm=jnp.where(st.active, vm, st.vm),
+                        inter_vm=inter_vm, dens=tables.dens)
+        return st, (st.vm if record_every else ())
+
+    state, vms = jax.lax.scan(body, state, None, length=num_steps)
+    if record_every:
+        return state, vms[::record_every]
+    return state

@@ -79,3 +79,24 @@ def test_monodomain_only_scan_driver(rng):
         loop = variants.step_monodomain_only(loop, tables, CFG)
     np.testing.assert_allclose(np.asarray(out.vm), np.asarray(loop.vm),
                                atol=1e-5)
+
+
+def test_monodomain_fused_matches_unfused(rng):
+    from sph_sm_monodomain_tpu.models.variants import (
+        monodomain_prepare, monodomain_prepare_fused,
+        simulate_monodomain_only, simulate_monodomain_only_fused)
+    pts = _blob(rng, 200)
+    st = init_fluid(pts, CFG)
+    st = set_stim(st, tuple(pts[0]), 0.001, CFG.stim_strength, CFG)
+
+    tab = monodomain_prepare(st, CFG, 32, 9 * 64)
+    ref = simulate_monodomain_only(st, tab, CFG, num_steps=30)
+
+    ftab = monodomain_prepare_fused(st, CFG, q_block=64, w_chunk=256)
+    out = simulate_monodomain_only_fused(st, ftab, CFG, num_steps=30,
+                                         q_block=64, w_chunk=256)
+    np.testing.assert_allclose(np.asarray(out.vm)[:200],
+                               np.asarray(ref.vm)[:200], atol=1e-3,
+                               err_msg="fused monodomain diverged")
+    np.testing.assert_allclose(np.asarray(out.dens)[:200],
+                               np.asarray(ref.dens)[:200], rtol=1e-5)
