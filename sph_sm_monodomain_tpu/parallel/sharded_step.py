@@ -16,6 +16,18 @@ TPU-native replacement:
 
 Everything happens inside ONE jitted shard_map program per step: no host
 round-trips, collectives ride ICI.
+
+Why all_gather rather than ppermute halo exchange: per step a device needs
+~10 f32 fields of every neighbor-candidate particle. At the target scales
+(<= ~1M particles over a v5e-8) a tiled all_gather moves ~40 B x N over ICI
+(~0.2 ms at 131k particles) — far below the O(N*K/D) compute it feeds — and
+keeps particle ownership static (no migration subsystem, no per-device
+capacity overflow). A ppermute halo design (z-slab ownership in sorted
+order, exchanging only boundary-cell particles with mesh neighbors) wins
+only when N grows past the point where O(N) gather traffic or replicated
+bookkeeping dominates; it additionally requires particle migration between
+devices as the cloud deforms. That design is sketched here for a future
+scale-up but deliberately not the default.
 """
 
 from __future__ import annotations
