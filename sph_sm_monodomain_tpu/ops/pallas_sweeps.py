@@ -409,7 +409,7 @@ def sweep_b(pos_s, ivel_s, vol_s, pres_s, vm_s, qstart, qend, blk_start,
 
 
 def auto_block_window(positions: np.ndarray, cfg: SimConfig, q_block: int,
-                      headroom: float = 1.8, minimum: int = 256) -> int:
+                      headroom: float = 1.0, minimum: int = 256) -> int:
     """Static chunk width Wc for the fused sweeps.
 
     With the dynamic-trip chunked windows, any Wc is CORRECT (coverage is
@@ -437,5 +437,7 @@ def auto_block_window(positions: np.ndarray, cfg: SimConfig, q_block: int,
     widths = (np.searchsorted(sorted_ids, bhi)
               - np.searchsorted(sorted_ids, blo))
     med = float(np.median(widths)) * headroom if widths.size else minimum
-    w = int(np.clip(((med + 127) // 128) * 128, minimum, 1024))
+    # measured on v5e: Wc=256 is optimal for the biceps clouds (median
+    # window ~200); only very dense scenes warrant wider chunks
+    w = int(np.clip(((med + 127) // 128) * 128, minimum, 512))
     return w
