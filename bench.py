@@ -30,12 +30,17 @@ def main():
     fused = os.environ.get("BENCH_FUSED", "1") == "1" and \
         jax.default_backend() == "tpu"
 
+    def fetch(st):
+        # IMPORTANT: actually fetch a value. block_until_ready is not a
+        # reliable sync point on remote-TPU tunnels; a host transfer is.
+        return float(st.pos[0, 0])
+
     def run(n):
         out = smt.simulate(state, cfg, sc.cell_capacity,
                            sc.neighbor_capacity, num_steps=n,
                            fused=fused, q_block=sc.q_block,
                            w_window=sc.block_window)
-        jax.tree_util.tree_map(lambda x: x.block_until_ready(), out[0])
+        fetch(out[0])
         return out
 
     # compile + warmup, then time CHAINED chunks (each chunk's input is the
@@ -51,7 +56,7 @@ def main():
                            fused=fused, q_block=sc.q_block,
                            w_window=sc.block_window)
         state = out[0]
-    jax.tree_util.tree_map(lambda x: x.block_until_ready(), state)
+        fetch(state)   # force real completion every rep
     dt = (time.time() - t0) / reps
     ms_per_step = dt / steps * 1e3
     pstep_per_s = sc.num_particles / (dt / steps)
