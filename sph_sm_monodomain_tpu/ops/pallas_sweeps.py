@@ -17,8 +17,8 @@ Why this maps well to the hardware:
     another contiguous interval -> every (block, run) candidate set is ONE
     contiguous row range of the sorted arrays. The kernel reads dense
     (16, W) windows with dynamic slices — no gathers, no scatters.
-  - candidate features live as (16, N): N on the 128-lane axis, so VMEM
-    holds them unpadded (a (N, 16) layout would lane-pad 8x).
+  - candidate features live as (16, N): N on the 128-lane axis, so VMEM /
+    HBM hold them unpadded (a (N, 16) layout would lane-pad 8x).
   - pair geometry (dx, r^2, kernel weights) is exact fp32 on the VPU;
     weighted neighbor sums are (Q, W) x (W, 3) contractions on the MXU at
     HIGHEST precision.
@@ -26,9 +26,12 @@ Why this maps well to the hardware:
     query's own 3-x-cell run are masked, so results equal the reference's
     27-cell stencil sums.
 
-Block windows wider than the static W are truncated and counted (overflow
--> caller rebuilds with a larger W). Outputs are in sorted order; the
-caller permutes back with the inverse permutation.
+Coverage is EXACT for any density distribution: each (block, run) window is
+swept in fixed-width lane-aligned chunks with a dynamic trip count, so no
+candidate is ever truncated and VMEM stays bounded. Outputs are in sorted
+order; the caller permutes back with the inverse permutation. Candidate
+arrays larger than VMEM_FEATS_LIMIT_BYTES stay in HBM and each chunk is
+DMA'd into a VMEM scratch buffer.
 """
 
 from __future__ import annotations
