@@ -150,12 +150,26 @@ def main(argv=None) -> int:
 
     t0 = time.time()
     if args.mode == "monodomain":
-        tables = variants.monodomain_prepare(
-            state, cfg, scene.cell_capacity, scene.neighbor_capacity)
-        for i in range(args.steps):
-            state = variants.step_monodomain_only(state, tables, cfg)
-            if render_every and i % render_every == 0:
-                frames.append((i, state))
+        if jax.default_backend() == "tpu":
+            ftab = variants.monodomain_prepare_fused(
+                state, cfg, scene.q_block, scene.block_window)
+            done = 0
+            while done < args.steps:
+                n_chunk = min(args.chunk, args.steps - done)
+                state = variants.simulate_monodomain_only_fused(
+                    state, ftab, cfg, num_steps=n_chunk,
+                    q_block=scene.q_block, w_chunk=scene.block_window)
+                done += n_chunk
+                stream_frame(done, state)
+                if render_every:
+                    frames.append((done, state))
+        else:
+            tables = variants.monodomain_prepare(
+                state, cfg, scene.cell_capacity, scene.neighbor_capacity)
+            for i in range(args.steps):
+                state = variants.step_monodomain_only(state, tables, cfg)
+                if render_every and i % render_every == 0:
+                    frames.append((i, state))
         overflow = 0
     elif args.mode in ("sph", "sm"):
         step_fn = (variants.step_sph_only if args.mode == "sph"

@@ -269,24 +269,28 @@ def _sweep_b_kernel(blk_start_ref, blk_len_ref, qm_ref, qs_ref, qe_ref,
             r2 = dx * dx + dy * dy + dz * dz
             pair = m & (r2 > _PAIR_EPS)                      # cpp:546
             rr = jnp.sqrt(jnp.where(pair, r2, 1.0))
+            inv_rr = 1.0 / rr
             vol_j = cand[6:7, :]
 
-            # pressure (cpp:550-554): acc -= d*vol*(p_i+p_j)/2*Spiky(r)/r
+            # spiky/visco share support [0, h] and the (h - r) factor:
+            # common = vol * c * (h - r) masked once
             hr = h - rr
-            spiky = jnp.where(pair & (rr <= h), -spiky_c * hr * hr, 0.0)
-            f_p = vol_j * (qp + cand[7:8, :]) * 0.5 * spiky / rr
-            f_p = jnp.where(pair, f_p, 0.0)
+            common = jnp.where(pair & (rr <= h),
+                               vol_j * (spiky_c * hr), 0.0)
+
+            # pressure (cpp:550-554): acc -= d*vol*(p_i+p_j)/2*Spiky(r)/r
+            #   vol*Spiky = -common*hr
+            f_p = common * (hr * (-0.5) * inv_rr) * (qp + cand[7:8, :])
             a_acc = a_acc - (qpos * jnp.sum(f_p, axis=1, keepdims=True)
                              - _dotT(f_p, cand[0:3, :]))
 
             # viscosity (cpp:556-560): acc += (uj - ui)*vol*mu*Visco(r)
-            f_v = jnp.where(pair & (rr <= h),
-                            vol_j * mu * spiky_c * hr, 0.0)
+            f_v = mu * common
             a_acc = a_acc + _dotT(f_v, cand[3:6, :]) \
                 - jnp.sum(f_v, axis=1, keepdims=True) * qiv
 
             # monodomain Laplacian (cpp:562-563): B_spline_2 on [0, 2h)
-            qr = rr / h
+            qr = rr * (1.0 / h)
             w2 = jnp.where(qr < 1.0, bs_c * (-3.0 + 4.5 * qr),
                            jnp.where(qr < 2.0, bs_c * 1.5 * (2.0 - qr), 0.0))
             vw = jnp.where(pair, vol_j * w2, 0.0)
