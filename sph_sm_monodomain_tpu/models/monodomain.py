@@ -41,9 +41,10 @@ class StepAux(NamedTuple):
     overflow: jax.Array  # particles dropped from full hash-grid cells
 
 
-@partial(jax.jit, static_argnames=("cfg", "q_block", "w_window"))
+@partial(jax.jit, static_argnames=("cfg", "q_block", "w_window", "sub_q"))
 def step_fused(state: ParticleState, cfg: SimConfig, q_block: int,
-               w_window: int) -> tuple[ParticleState, StepAux]:
+               w_window: int,
+               sub_q: int | None = None) -> tuple[ParticleState, StepAux]:
     """One coupled step with the fused Pallas sweeps (ops/pallas_sweeps.py).
 
     Physics-equivalent to `step` (same phase order as
@@ -56,7 +57,7 @@ def step_fused(state: ParticleState, cfg: SimConfig, q_block: int,
     from ..ops.pallas_sweeps import sweep_a, sweep_b, sweep_bookkeeping
 
     order, inv, qstart, qend, blk_start, blk_len = sweep_bookkeeping(
-        state.pos, state.active, cfg, q_block)
+        state.pos, state.active, cfg, sub_q or q_block)
 
     # phase 2: shape matching (original order; MXU reductions)
     state = corrected_velocity(state, cfg)
@@ -81,7 +82,8 @@ def step_fused(state: ParticleState, cfg: SimConfig, q_block: int,
     # phases 3+4: fused XSPH + density (prev-step densities for volumes)
     vol_prev = mass_s / fs[:, 7]
     dens_s, xsph_s = sweep_a(pos_s, cvel_s, vol_prev, mass_s, qstart, qend,
-                             blk_start, blk_len, q_block, w_window, cfg)
+                             blk_start, blk_len, q_block, w_window, cfg,
+                             sub_q=sub_q)
     inter_vel_s = cvel_s + xsph_s * cfg.velocity_mixing     # cpp:699
     if cfg.quirk_double_self_density:                       # cpp:483
         dens_s = dens_s + mass_s * K.poly6(jnp.zeros_like(dens_s), cfg)
@@ -108,7 +110,7 @@ def step_fused(state: ParticleState, cfg: SimConfig, q_block: int,
     vol_now = mass_s / dens_s
     acc_raw_s, lap_s = sweep_b(pos_s, inter_vel_s, vol_now, pres_s, vm_s,
                                qstart, qend, blk_start, blk_len, q_block,
-                               w_window, cfg)
+                               w_window, cfg, sub_q=sub_q)
     acc_s = acc_raw_s / dens_s[:, None]                     # cpp:568
     inter_vm_s = lap_s + (cfg.sigma / (cfg.beta_sv_ratio
                                        * cfg.cm_capacitance)) * lap_s \
@@ -148,24 +150,25 @@ def step(state: ParticleState, cfg: SimConfig, cell_capacity: int,
 def _step_with_protocol(state: ParticleState, i: jax.Array, cfg: SimConfig,
                         cell_capacity: int, neighbor_capacity: int,
                         stim_off_step: int, fused: bool = False,
-                        q_block: int = 128, w_window: int = 512):
+                        q_block: int = 128, w_window: int = 512,
+                        sub_q: int | None = None):
     if stim_off_step >= 0:
         state = jax.lax.cond(i == stim_off_step,
                              lambda s: turn_off_stim(s, cfg),
                              lambda s: s, state)
     if fused:
-        return step_fused(state, cfg, q_block, w_window)
+        return step_fused(state, cfg, q_block, w_window, sub_q)
     return step(state, cfg, cell_capacity, neighbor_capacity)
 
 
 @partial(jax.jit, static_argnames=("cfg", "cell_capacity",
                                    "neighbor_capacity", "num_steps",
                                    "stim_off_step", "record_every",
-                                   "fused", "q_block", "w_window"))
+                                   "fused", "q_block", "w_window", "sub_q"))
 def simulate(state: ParticleState, cfg: SimConfig, cell_capacity: int,
              neighbor_capacity: int, num_steps: int, stim_off_step: int = -1,
              record_every: int = 0, fused: bool = False, q_block: int = 128,
-             w_window: int = 512):
+             w_window: int = 512, sub_q: int | None = None):
     """Run `num_steps` coupled steps under lax.scan.
 
     `stim_off_step` mirrors the reference app protocol: turnOffStim fires
@@ -181,7 +184,7 @@ def simulate(state: ParticleState, cfg: SimConfig, cell_capacity: int,
         st, acc_overflow = carry
         st, aux = _step_with_protocol(st, i, cfg, cell_capacity,
                                       neighbor_capacity, stim_off_step,
-                                      fused, q_block, w_window)
+                                      fused, q_block, w_window, sub_q)
         rec = (st.pos, st.vm) if record_every else ()
         return (st, jnp.maximum(acc_overflow, aux.overflow)), rec
 
@@ -226,7 +229,8 @@ def run_protocol(scene, num_steps: int = 500, stim_off_step: int | None = None,
                        scene.neighbor_capacity, num_steps=n,
                        stim_off_step=off, record_every=record_every,
                        fused=fused, q_block=scene.q_block,
-                       w_window=scene.block_window)
+                       w_window=scene.block_window,
+                       sub_q=(scene.sub_block or None))
         if record_every:
             new_state, aux, traj = out
         else:

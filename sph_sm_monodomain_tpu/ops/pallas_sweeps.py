@@ -160,7 +160,7 @@ def _dotT(a, b):
 
 def _sweep_a_kernel(blk_start_ref, blk_len_ref, qm_ref, qs_ref, qe_ref,
                     feats_ref, out_ref, *scratch, cfg: SimConfig,
-                    w_chunk: int, hbm_feats: bool = False):
+                    w_chunk: int, sub_q: int, hbm_feats: bool = False):
     """XSPH + density.
 
     qm cols: [x, y, z, cvx, cvy, cvz]; feats rows: [x, y, z, cvx, cvy, cvz,
@@ -168,58 +168,67 @@ def _sweep_a_kernel(blk_start_ref, blk_len_ref, qm_ref, qs_ref, qe_ref,
     """
     bid = pl.program_id(0)
     q = qm_ref.shape[0]
+    nsub = q // sub_q
     h2 = jnp.float32(cfg.kernel_h * cfg.kernel_h)
     p6c = jnp.float32(cfg.poly6_constant)
-
-    qx, qy, qz = qm_ref[:, 0:1], qm_ref[:, 1:2], qm_ref[:, 2:3]
-    qcv = qm_ref[:, 3:6]                                    # (Q, 3)
-
-    dens = jnp.zeros((q, 1), jnp.float32)
-    xsph = jnp.zeros((q, 3), jnp.float32)
     wiota = jax.lax.broadcasted_iota(jnp.int32, (1, w_chunk), 1)
 
-    for r in range(9):
-        start = pl.multiple_of(blk_start_ref[bid, r], 128)
-        trips = pl.cdiv(blk_len_ref[bid, r], w_chunk)
-        qs_r = qs_ref[:, r:r + 1]
-        qe_r = qe_ref[:, r:r + 1]
+    for sb in range(nsub):
+        lo = sb * sub_q
+        qx = qm_ref[lo:lo + sub_q, 0:1]
+        qy = qm_ref[lo:lo + sub_q, 1:2]
+        qz = qm_ref[lo:lo + sub_q, 2:3]
+        qcv = qm_ref[lo:lo + sub_q, 3:6]                    # (q', 3)
 
-        def chunk(c, carry, start=start, qs_r=qs_r, qe_r=qe_r):
-            d_acc, x_acc = carry
-            off = pl.multiple_of(start + c * w_chunk, 128)
-            if hbm_feats:
-                buf, sem = scratch
-                pltpu.make_async_copy(
-                    feats_ref.at[:, pl.ds(off, w_chunk)], buf, sem).start()
-                pltpu.make_async_copy(
-                    feats_ref.at[:, pl.ds(off, w_chunk)], buf, sem).wait()
-                cand = buf[:, :]                             # (16, Wc)
-            else:
-                cand = feats_ref[:, pl.ds(off, w_chunk)]     # (16, Wc)
-            rows = off + wiota                               # (1, Wc)
-            m = (rows >= qs_r) & (rows < qe_r)
-            dx = qx - cand[0:1, :]
-            dy = qy - cand[1:2, :]
-            dz = qz - cand[2:3, :]
-            r2 = dx * dx + dy * dy + dz * dz                 # (Q, Wc)
-            t = h2 - r2
-            w6 = jnp.where(m & (r2 <= h2), p6c * t * t * t, 0.0)
-            d_acc = d_acc + jnp.sum(w6 * cand[7:8, :], axis=1, keepdims=True)
-            wv = w6 * cand[6:7, :]                           # * vol_j
-            x_acc = x_acc + _dotT(wv, cand[3:6, :]) \
-                - jnp.sum(wv, axis=1, keepdims=True) * qcv
-            return d_acc, x_acc
+        dens = jnp.zeros((sub_q, 1), jnp.float32)
+        xsph = jnp.zeros((sub_q, 3), jnp.float32)
 
-        dens, xsph = jax.lax.fori_loop(0, trips, chunk, (dens, xsph))
+        for r in range(9):
+            start = pl.multiple_of(blk_start_ref[bid * nsub + sb, r], 128)
+            trips = pl.cdiv(blk_len_ref[bid * nsub + sb, r], w_chunk)
+            qs_r = qs_ref[lo:lo + sub_q, r:r + 1]
+            qe_r = qe_ref[lo:lo + sub_q, r:r + 1]
 
-    out_ref[:, 0:1] = dens
-    out_ref[:, 1:4] = xsph
-    out_ref[:, 4:8] = jnp.zeros((q, 4), jnp.float32)
+            def chunk(c, carry, start=start, qs_r=qs_r, qe_r=qe_r,
+                      qx=qx, qy=qy, qz=qz, qcv=qcv):
+                d_acc, x_acc = carry
+                off = pl.multiple_of(start + c * w_chunk, 128)
+                if hbm_feats:
+                    buf, sem = scratch
+                    pltpu.make_async_copy(
+                        feats_ref.at[:, pl.ds(off, w_chunk)], buf,
+                        sem).start()
+                    pltpu.make_async_copy(
+                        feats_ref.at[:, pl.ds(off, w_chunk)], buf,
+                        sem).wait()
+                    cand = buf[:, :]                         # (16, Wc)
+                else:
+                    cand = feats_ref[:, pl.ds(off, w_chunk)]  # (16, Wc)
+                rows = off + wiota                           # (1, Wc)
+                m = (rows >= qs_r) & (rows < qe_r)
+                dx = qx - cand[0:1, :]
+                dy = qy - cand[1:2, :]
+                dz = qz - cand[2:3, :]
+                r2 = dx * dx + dy * dy + dz * dz             # (q', Wc)
+                t = h2 - r2
+                w6 = jnp.where(m & (r2 <= h2), p6c * t * t * t, 0.0)
+                d_acc = d_acc + jnp.sum(w6 * cand[7:8, :], axis=1,
+                                        keepdims=True)
+                wv = w6 * cand[6:7, :]                       # * vol_j
+                x_acc = x_acc + _dotT(wv, cand[3:6, :]) \
+                    - jnp.sum(wv, axis=1, keepdims=True) * qcv
+                return d_acc, x_acc
+
+            dens, xsph = jax.lax.fori_loop(0, trips, chunk, (dens, xsph))
+
+        out_ref[lo:lo + sub_q, 0:1] = dens
+        out_ref[lo:lo + sub_q, 1:4] = xsph
+        out_ref[lo:lo + sub_q, 4:8] = jnp.zeros((sub_q, 4), jnp.float32)
 
 
 def _sweep_b_kernel(blk_start_ref, blk_len_ref, qm_ref, qs_ref, qe_ref,
                     feats_ref, out_ref, *scratch, cfg: SimConfig,
-                    w_chunk: int, hbm_feats: bool = False):
+                    w_chunk: int, sub_q: int, hbm_feats: bool = False):
     """Force + Vm Laplacian.
 
     qm cols: [x, y, z, ivx, ivy, ivz, pres, vm]; feats rows: [x, y, z, ivx,
@@ -228,28 +237,34 @@ def _sweep_b_kernel(blk_start_ref, blk_len_ref, qm_ref, qs_ref, qe_ref,
     """
     bid = pl.program_id(0)
     q = qm_ref.shape[0]
+    nsub = q // sub_q
     h = jnp.float32(cfg.kernel_h)
     spiky_c = jnp.float32(cfg.spiky_constant)
     bs_c = jnp.float32(cfg.b_spline_constant)
     mu = jnp.float32(cfg.mu_viscosity)
-
-    qpos = qm_ref[:, 0:3]
-    qx, qy, qz = qm_ref[:, 0:1], qm_ref[:, 1:2], qm_ref[:, 2:3]
-    qiv = qm_ref[:, 3:6]
-    qp = qm_ref[:, 6:7]
-    qvm = qm_ref[:, 7:8]
-
-    acc = jnp.zeros((q, 3), jnp.float32)
-    lap = jnp.zeros((q, 1), jnp.float32)
     wiota = jax.lax.broadcasted_iota(jnp.int32, (1, w_chunk), 1)
 
-    for r in range(9):
-        start = pl.multiple_of(blk_start_ref[bid, r], 128)
-        trips = pl.cdiv(blk_len_ref[bid, r], w_chunk)
-        qs_r = qs_ref[:, r:r + 1]
-        qe_r = qe_ref[:, r:r + 1]
+    for sb in range(nsub):
+      lo = sb * sub_q
+      qpos = qm_ref[lo:lo + sub_q, 0:3]
+      qx = qm_ref[lo:lo + sub_q, 0:1]
+      qy = qm_ref[lo:lo + sub_q, 1:2]
+      qz = qm_ref[lo:lo + sub_q, 2:3]
+      qiv = qm_ref[lo:lo + sub_q, 3:6]
+      qp = qm_ref[lo:lo + sub_q, 6:7]
+      qvm = qm_ref[lo:lo + sub_q, 7:8]
 
-        def chunk(c, carry, start=start, qs_r=qs_r, qe_r=qe_r):
+      acc = jnp.zeros((sub_q, 3), jnp.float32)
+      lap = jnp.zeros((sub_q, 1), jnp.float32)
+
+      for r in range(9):
+        start = pl.multiple_of(blk_start_ref[bid * nsub + sb, r], 128)
+        trips = pl.cdiv(blk_len_ref[bid * nsub + sb, r], w_chunk)
+        qs_r = qs_ref[lo:lo + sub_q, r:r + 1]
+        qe_r = qe_ref[lo:lo + sub_q, r:r + 1]
+
+        def chunk(c, carry, start=start, qs_r=qs_r, qe_r=qe_r,
+                  qpos=qpos, qx=qx, qy=qy, qz=qz, qiv=qiv, qp=qp, qvm=qvm):
             a_acc, l_acc = carry
             off = pl.multiple_of(start + c * w_chunk, 128)
             if hbm_feats:
@@ -300,9 +315,9 @@ def _sweep_b_kernel(blk_start_ref, blk_len_ref, qm_ref, qs_ref, qe_ref,
 
         acc, lap = jax.lax.fori_loop(0, trips, chunk, (acc, lap))
 
-    out_ref[:, 0:3] = acc
-    out_ref[:, 3:4] = lap
-    out_ref[:, 4:8] = jnp.zeros((q, 4), jnp.float32)
+      out_ref[lo:lo + sub_q, 0:3] = acc
+      out_ref[lo:lo + sub_q, 3:4] = lap
+      out_ref[lo:lo + sub_q, 4:8] = jnp.zeros((sub_q, 4), jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -315,21 +330,29 @@ def _slice_rows(arr, offset, count):
 
 
 def _call_sweep(kernel, feats_t, qmat, qstart, qend, blk_start, blk_len,
-                q_block, w_chunk, cfg, interpret, q_slice=None):
+                q_block, w_chunk, cfg, interpret, q_slice=None,
+                sub_q=None):
     """Run one sweep kernel.
 
     q_slice=(row_offset, row_count): process only that slab of the sorted
     query rows (multi-chip: each device computes its contiguous slab while
     gathering candidates from the full arrays). row_offset may be traced;
     row_count must be static and a multiple of q_block.
+
+    sub_q: window-bound granularity — bookkeeping was computed with blocks
+    of sub_q queries (tighter windows), while each kernel program still
+    processes q_block queries (grid overhead amortized). Defaults to
+    q_block (one window per program block).
     """
+    if sub_q is None:
+        sub_q = q_block
     if q_slice is not None:
         off, cnt = q_slice
         qmat = _slice_rows(qmat, off, cnt)
         qstart = _slice_rows(qstart, off, cnt)
         qend = _slice_rows(qend, off, cnt)
-        blk_start = _slice_rows(blk_start, off // q_block, cnt // q_block)
-        blk_len = _slice_rows(blk_len, off // q_block, cnt // q_block)
+        blk_start = _slice_rows(blk_start, off // sub_q, cnt // sub_q)
+        blk_len = _slice_rows(blk_len, off // sub_q, cnt // sub_q)
     n = qmat.shape[0]
     b = n // q_block
     # pad candidate columns by one chunk so the last (aligned) chunk of any
@@ -357,7 +380,7 @@ def _call_sweep(kernel, feats_t, qmat, qstart, qend, blk_start, blk_len,
                          pltpu.SemaphoreType.DMA(())] if hbm_feats else []),
     )
     return pl.pallas_call(
-        functools.partial(kernel, cfg=cfg, w_chunk=w_chunk,
+        functools.partial(kernel, cfg=cfg, w_chunk=w_chunk, sub_q=sub_q,
                           hbm_feats=hbm_feats),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, 8), jnp.float32),
@@ -374,7 +397,8 @@ def _pad_cols(cols, n):
 
 def sweep_a(pos_s, cvel_s, vol_s, mass_s, qstart, qend, blk_start, blk_len,
             q_block: int, w_chunk: int, cfg: SimConfig,
-            interpret: bool | None = None, q_slice=None):
+            interpret: bool | None = None, q_slice=None,
+            sub_q: int | None = None):
     """Fused XSPH + density over sorted arrays.
 
     Returns (dens (N,), xsph_partial (N, 3)), sorted order. `vol_s` must use
@@ -389,13 +413,14 @@ def sweep_a(pos_s, cvel_s, vol_s, mass_s, qstart, qend, blk_start, blk_len,
                             jnp.zeros((n, 10), jnp.float32)], axis=1)
     out = _call_sweep(_sweep_a_kernel, feats_t, qmat, qstart, qend,
                       blk_start, blk_len, q_block, w_chunk, cfg, interpret,
-                      q_slice=q_slice)
+                      q_slice=q_slice, sub_q=sub_q)
     return out[:, 0], out[:, 1:4]
 
 
 def sweep_b(pos_s, ivel_s, vol_s, pres_s, vm_s, qstart, qend, blk_start,
             blk_len, q_block: int, w_chunk: int, cfg: SimConfig,
-            interpret: bool | None = None, q_slice=None):
+            interpret: bool | None = None, q_slice=None,
+            sub_q: int | None = None):
     """Fused pressure+viscosity forces and Vm Laplacian over sorted arrays.
 
     Returns (acc_raw (N, 3), lap (N,)), sorted order; acc_raw is BEFORE the
@@ -411,7 +436,7 @@ def sweep_b(pos_s, ivel_s, vol_s, pres_s, vm_s, qstart, qend, blk_start,
                             jnp.zeros((n, 8), jnp.float32)], axis=1)
     out = _call_sweep(_sweep_b_kernel, feats_t, qmat, qstart, qend,
                       blk_start, blk_len, q_block, w_chunk, cfg, interpret,
-                      q_slice=q_slice)
+                      q_slice=q_slice, sub_q=sub_q)
     return out[:, 0:3], out[:, 3]
 
 

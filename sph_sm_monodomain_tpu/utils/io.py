@@ -102,6 +102,7 @@ class Scene(NamedTuple):
     name: str
     q_block: int = 128       # fused-sweep query block size (static)
     block_window: int = 512  # fused-sweep candidate window width (static)
+    sub_block: int = 0       # window-bound granularity (0 = q_block)
 
 
 _SCENE_FILES = {

@@ -135,3 +135,17 @@ def test_step_fused_hbm_candidate_path(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(a.pos)[:200],
                                np.asarray(b.pos)[:200], atol=5e-5,
                                err_msg="HBM candidate path diverged")
+
+
+def test_step_fused_sub_blocks_match(rng):
+    # sub-block windows (tighter bounds per 32 queries) == plain windows
+    st, pts = _state(rng, 200)
+    a, b = st, st
+    for _ in range(2):
+        a, _ = step_fused(a, CFG, 128, 256)
+        b, _ = step_fused(b, CFG, 128, 256, 32)
+    np.testing.assert_allclose(np.asarray(a.pos)[:200],
+                               np.asarray(b.pos)[:200], atol=2e-5,
+                               err_msg="sub-block windows diverged")
+    np.testing.assert_allclose(np.asarray(a.vm)[:200],
+                               np.asarray(b.vm)[:200], atol=1e-3)
