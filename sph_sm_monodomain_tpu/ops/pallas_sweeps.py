@@ -346,6 +346,13 @@ def _call_sweep(kernel, feats_t, qmat, qstart, qend, blk_start, blk_len,
     """
     if sub_q is None:
         sub_q = q_block
+    # block-bound arrays are scalar-prefetched into SMEM (1 MB): guard the
+    # granularity so (N / sub_q) * 16 * 4 B stays within budget
+    if (qmat.shape[0] // sub_q) * 64 > 900_000:
+        raise ValueError(
+            f"sub_q={sub_q} yields {qmat.shape[0] // sub_q} window blocks; "
+            "their SMEM-prefetched bounds would exceed the 1 MB scalar "
+            "memory budget — use a larger sub_q/q_block")
     if q_slice is not None:
         off, cnt = q_slice
         qmat = _slice_rows(qmat, off, cnt)
