@@ -99,3 +99,38 @@ def test_surface_mesh_load_and_render():
     assert img.shape == (96, 96, 3) and (img != 26).any()
     rf_faces, rf_n, rf_ni = load_surface_mesh("rectus_femoris")
     assert rf_faces.max() < 42
+
+
+def test_simulate_record_every(rng):
+    import jax
+    import jax.numpy as jnp
+    from sph_sm_monodomain_tpu import SimConfig, init_fluid, simulate
+    import numpy as np
+    cfg = SimConfig()
+    pts = np.clip(rng.normal(size=(64, 3)).astype(np.float32) * 0.05 + 0.6,
+                  0.1, 1.3)
+    st = init_fluid(pts, cfg)
+    state, aux, traj = simulate(st, cfg, 32, 9 * 32, num_steps=6,
+                                record_every=2)
+    assert traj["pos"].shape[0] == 3 and traj["vm"].shape[0] == 3
+    # last recorded frame == a state reached mid-run (recorded after step 5)
+    assert np.isfinite(np.asarray(traj["pos"])).all()
+
+
+def test_run_protocol_record_and_regrow(rng, monkeypatch):
+    # force a tiny neighbor capacity so the window table overflows and the
+    # elastic regrow kicks in (failure detection + recovery, SURVEY.md §5)
+    import numpy as np
+    from sph_sm_monodomain_tpu import SimConfig, init_fluid, run_protocol
+    from sph_sm_monodomain_tpu.utils.io import Scene
+    cfg = SimConfig()
+    pts = np.clip(rng.normal(size=(128, 3)).astype(np.float32) * 0.03 + 0.6,
+                  0.1, 1.3)
+    st = init_fluid(pts, cfg)
+    sc = Scene(state=st, cfg=cfg, cell_capacity=64, neighbor_capacity=9,
+               num_particles=128, name="blob")  # 1 slot/run: must overflow
+    state, aux, traj = run_protocol(sc, num_steps=4, chunk=2,
+                                    stim_off_step=-1, record_every=1,
+                                    fused=False)
+    assert traj["pos"].shape[0] == 4
+    assert np.isfinite(np.asarray(state.pos)[:128]).all()
