@@ -18,12 +18,14 @@
 int main(int argc, char** argv) {
     if (argc < 4) {
         std::fprintf(stderr,
-                     "usage: driver cloud.txt num_steps stim_off_step\n");
+                     "usage: driver cloud.txt num_steps stim_off_step "
+                     "[quadratic]\n");
         return 2;
     }
     const char* cloud_path = argv[1];
     int num_steps = std::atoi(argv[2]);
     int stim_off = std::atoi(argv[3]);
+    int quadratic = argc > 4 ? std::atoi(argv[4]) : 0;
 
     std::vector<m3Vector> positions;
     {
@@ -36,6 +38,7 @@ int main(int argc, char** argv) {
     }
 
     SPH_SM_monodomain* sph = new SPH_SM_monodomain();
+    if (quadratic) sph->flip_quadratic();
     sph->Init_Fluid(positions);
     sph->turnOnStim_Mesh(positions);
 

@@ -126,3 +126,67 @@ def test_matches_reference_with_anchored_particles(ref_driver, rng):
     ref = _run_reference(ref_driver, pts, steps)
     ours = _run_ours(pts, steps)
     _compare(ref, ours, steps)
+
+
+def _run_reference_q(exe, positions, steps, stim_off=-1, quadratic=0):
+    cloud = BUILD / "cloud.txt"
+    np.savetxt(cloud, positions, fmt="%.9g")
+    out = subprocess.run([str(exe), str(cloud), str(steps), str(stim_off),
+                          str(quadratic)],
+                         check=True, capture_output=True, text=True).stdout
+    lines = out.strip().splitlines()
+    while lines and not lines[0].startswith("n "):
+        lines.pop(0)
+    n = int(lines[0].split()[1])
+    frames = []
+    i = 1
+    for _ in range(steps):
+        rows = np.asarray([[float(v) for v in lines[i + 1 + j].split()]
+                           for j in range(n)], dtype=np.float64)
+        frames.append(rows)
+        i += 1 + n
+    return frames
+
+
+def test_matches_reference_quadratic_match(ref_driver, rng):
+    # the 9x9 quadratic shape-matching path (quadraticMatch=true, h:154)
+    from sph_sm_monodomain_tpu import SimConfig, init_fluid, step
+    from sph_sm_monodomain_tpu.ops.electrophysiology import turn_on_stim_mesh
+    pts = _blob(rng, 120)
+    steps = 8
+    ref = _run_reference_q(ref_driver, pts, steps, quadratic=1)
+
+    cfg = SimConfig().replace(quadratic_match=True)
+    st = init_fluid(pts, cfg)
+    st = turn_on_stim_mesh(st, pts, cfg)
+    ours = []
+    for _ in range(steps):
+        st, _ = step(st, cfg, 64, 9 * 64)
+        n = pts.shape[0]
+        ours.append(np.concatenate([
+            np.asarray(st.pos, np.float64)[:n],
+            np.asarray(st.vel, np.float64)[:n],
+            np.asarray(st.vm, np.float64)[:n, None],
+            np.asarray(st.dens, np.float64)[:n, None],
+            np.asarray(st.pres, np.float64)[:n, None]], axis=1))
+    # quadratic-path tolerances: the reference's 9x9 Jacobi runs only 20
+    # max-pivot rotations (underconverged), ours matches that semantics but
+    # fp paths differ more than the linear case
+    for i in range(steps):
+        np.testing.assert_allclose(ours[i][:, 0:3], ref[i][:, 0:3],
+                                   atol=2e-4, err_msg=f"pos step {i}")
+        np.testing.assert_allclose(ours[i][:, 6], ref[i][:, 6], atol=2e-2,
+                                   err_msg=f"Vm step {i}")
+
+
+def test_matches_reference_real_biceps_cloud(ref_driver):
+    # end-to-end on the actual biceps_simple_out_1 cloud (4,796 particles)
+    from sph_sm_monodomain_tpu.utils.io import ASSETS_DIR, read_cloud_csv
+    path = ASSETS_DIR / "biceps_simple_out_1.csv"
+    if not path.exists():
+        pytest.skip("assets missing")
+    pts = read_cloud_csv(path)[::4]  # 1,199 particles: keep C++ side quick
+    steps = 8
+    ref = _run_reference(ref_driver, pts, steps)
+    ours = _run_ours(pts, steps)
+    _compare(ref, ours, steps)
