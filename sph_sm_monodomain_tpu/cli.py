@@ -116,8 +116,19 @@ def main(argv=None) -> int:
         cfg = variants.sph_only_config(cfg)
     cfg = _apply_overrides(cfg, args.set)
 
+    pad_to = None
+    if args.devices > 1:
+        import math
+        from .state import PAD_MULTIPLE
+        # capacity must divide evenly across the mesh
+        probe = build_scene(args.scene, cfg, replicate=args.replicate,
+                            stim=False)
+        lcm = (PAD_MULTIPLE * args.devices) // math.gcd(PAD_MULTIPLE,
+                                                        args.devices)
+        pad_to = -(-probe.state.capacity // lcm) * lcm
     scene = build_scene(args.scene, cfg, replicate=args.replicate,
-                        stim=args.mode in ("coupled", "monodomain"))
+                        stim=args.mode in ("coupled", "monodomain"),
+                        pad_to=pad_to)
     cfg = scene.cfg
     state = scene.state
     start_step = 0
@@ -181,6 +192,30 @@ def main(argv=None) -> int:
             overflow = max(overflow, int(aux.overflow))
             if render_every and i % render_every == 0:
                 frames.append((i, state))
+    elif args.devices > 1:
+        from .parallel.sharded_step import (make_mesh, make_sharded_simulate,
+                                            shard_state)
+        devices = jax.devices()[:args.devices]
+        if len(devices) < args.devices:
+            sys.exit(f"need {args.devices} devices, have {len(devices)}")
+        mesh = make_mesh(devices)
+        sharded = shard_state(state, mesh)
+        overflow = 0
+        done = 0
+        while done < args.steps:
+            n_chunk = min(args.chunk, args.steps - done)
+            off = (stim_off - done
+                   if done <= stim_off < done + n_chunk else -1)
+            sim = make_sharded_simulate(mesh, cfg, scene.cell_capacity,
+                                        scene.neighbor_capacity,
+                                        num_steps=n_chunk, stim_off_step=off)
+            sharded, ovf = sim(sharded)
+            overflow = max(overflow, int(ovf))
+            done += n_chunk
+            stream_frame(done, sharded)
+            if render_every:
+                frames.append((done, sharded))
+        state = sharded
     else:
         scene = scene._replace(state=state)
         def cb(done, st):

@@ -134,3 +134,12 @@ def test_run_protocol_record_and_regrow(rng, monkeypatch):
                                     fused=False)
     assert traj["pos"].shape[0] == 4
     assert np.isfinite(np.asarray(state.pos)[:128]).all()
+
+
+def test_cli_multi_device():
+    import jax
+    from sph_sm_monodomain_tpu.cli import main
+    assert jax.device_count() >= 8
+    rc = main(["--scene", "cube", "--steps", "4", "--chunk", "2",
+               "--devices", "8"])
+    assert rc == 0
