@@ -19,7 +19,7 @@ import time
 
 
 def main():
-    steps = int(os.environ.get("BENCH_STEPS", "50"))
+    steps = int(os.environ.get("BENCH_STEPS", "100"))
     scene_name = os.environ.get("BENCH_SCENE", "biceps_full")
     import jax
     import sph_sm_monodomain_tpu as smt
