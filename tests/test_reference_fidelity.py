@@ -190,3 +190,19 @@ def test_matches_reference_real_biceps_cloud(ref_driver):
     ref = _run_reference(ref_driver, pts, steps)
     ours = _run_ours(pts, steps)
     _compare(ref, ours, steps)
+
+
+def test_long_horizon_stability_vs_reference(ref_driver, rng):
+    # 30 steps: fp32 divergence grows but must stay bounded (no blowup,
+    # same qualitative trajectory)
+    pts = _blob(rng, 100)
+    steps = 30
+    ref = _run_reference(ref_driver, pts, steps)
+    ours = _run_ours(pts, steps)
+    r, o = ref[-1], ours[-1]
+    # positions within a tenth of a smoothing length after 30 steps
+    assert np.abs(o[:, 0:3] - r[:, 0:3]).max() < 0.004
+    # same contraction magnitude
+    disp_ref = np.linalg.norm(r[:, 0:3] - pts, axis=1).mean()
+    disp_ours = np.linalg.norm(o[:, 0:3] - pts, axis=1).mean()
+    np.testing.assert_allclose(disp_ours, disp_ref, rtol=0.02)
