@@ -42,13 +42,18 @@ def _scan_time(body: Callable, init, length: int = 20, reps: int = 3) -> float:
                               length=length)
         return out
 
+    def fetch(x):
+        # value fetch = the only reliable sync through remote-TPU tunnels
+        leaf = jax.tree_util.tree_leaves(x)[0]
+        return float(jnp.asarray(leaf).ravel()[0])
+
     out = run(init)
-    jax.tree_util.tree_map(lambda y: y.block_until_ready(), out)
+    fetch(out)
     best = float("inf")
     for _ in range(reps):
         t0 = time.time()
         out = run(init)
-        jax.tree_util.tree_map(lambda y: y.block_until_ready(), out)
+        fetch(out)
         best = min(best, (time.time() - t0) / length)
     return best
 
