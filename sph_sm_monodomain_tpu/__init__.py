@@ -10,14 +10,17 @@ shape neighbor search, and `shard_map` particle sharding for multi-chip runs.
 from .config import SimConfig, DEFAULT_CONFIG
 from .state import (ParticleState, init_fluid, save_checkpoint,
                     load_checkpoint)
-from .models.monodomain import step, simulate, run_protocol, StepAux
+from .models.monodomain import (step, step_fused, simulate,
+                                run_protocol, StepAux)
 from .utils.io import build_scene, read_cloud_csv, Scene
 from .ops import electrophysiology as stim
+from .models import variants
 
 __all__ = [
     "SimConfig", "DEFAULT_CONFIG", "ParticleState", "init_fluid",
-    "save_checkpoint", "load_checkpoint", "step", "simulate", "StepAux",
-    "run_protocol", "build_scene", "read_cloud_csv", "Scene", "stim",
+    "save_checkpoint", "load_checkpoint", "step", "step_fused", "simulate",
+    "StepAux", "run_protocol", "build_scene", "read_cloud_csv", "Scene",
+    "stim", "variants",
 ]
 
 __version__ = "0.1.0"
