@@ -81,3 +81,47 @@ def test_config_runtime_toggles():
     assert cfg.add_viscosity(-150.0).mu_viscosity == 100.0
     assert cfg.flip_quadratic().quadratic_match != cfg.quadratic_match
     assert cfg.flip_volume().volume_conservation != cfg.volume_conservation
+
+
+def test_cli_rejects_unknown_config_key():
+    import pytest
+    from sph_sm_monodomain_tpu.cli import main
+    with pytest.raises(SystemExit):
+        main(["--scene", "cube", "--steps", "1", "--set", "nope=1"])
+
+
+def test_checkpoint_roundtrip_sharded(tmp_path, rng):
+    import jax
+    import numpy as np
+    from sph_sm_monodomain_tpu import (SimConfig, init_fluid,
+                                       save_checkpoint, load_checkpoint)
+    from sph_sm_monodomain_tpu.parallel.sharded_step import (make_mesh,
+                                                             shard_state)
+    cfg = SimConfig()
+    pts = np.clip(rng.random((100, 3)).astype(np.float32), 0.1, 1.4)
+    st = init_fluid(pts, cfg, pad_to=128)
+    sharded = shard_state(st, make_mesh(jax.devices()[:8]))
+    path = str(tmp_path / "sharded.npz")
+    save_checkpoint(path, sharded, step=7)
+    restored, step_no = load_checkpoint(path)
+    assert step_no == 7
+    np.testing.assert_array_equal(np.asarray(restored.pos),
+                                  np.asarray(st.pos))
+
+
+def test_susane_sph_only_scene(rng):
+    # BASELINE config 2: SPH-only mode on the susane cloud
+    import numpy as np
+    from sph_sm_monodomain_tpu import build_scene
+    from sph_sm_monodomain_tpu.models import variants
+    cfg = variants.sph_only_config(CFG)
+    sc = build_scene("susane", cfg, stim=False)
+    assert sc.num_particles == 507  # SURVEY.md D1
+    st = sc.state
+    pos0 = np.asarray(st.pos)[:507]
+    assert (pos0 >= 0).all() and (pos0 <= 1.5).all()  # rescaled into world
+    for _ in range(3):
+        st, aux = variants.step_sph_only(st, sc.cfg, sc.cell_capacity,
+                                         sc.neighbor_capacity)
+        assert int(aux.overflow) == 0
+    assert np.isfinite(np.asarray(st.pos)[:507]).all()
