@@ -138,6 +138,23 @@ def main(argv=None) -> int:
 
     stim_off = (args.steps // 2 if args.stim_off_step is None
                 else args.stim_off_step)
+    if args.mode != "coupled":
+        if args.devices > 1:
+            sys.exit(f"--devices only supports --mode coupled "
+                     f"(got --mode {args.mode})")
+        if args.stim_off_step is not None:
+            sys.exit(f"--stim-off-step only applies to --mode coupled; "
+                     f"the {args.mode} variant has no stim-off protocol")
+    if args.load_checkpoint and start_step:
+        # resume protocol (ADVICE r1): run only the REMAINING steps and map
+        # the stim-off event into the remaining window (or skip it if the
+        # saved run already passed it)
+        remaining = max(0, args.steps - start_step)
+        stim_off = stim_off - start_step if stim_off >= start_step else -1
+        print(f"protocol: {remaining} steps remain of {args.steps}; "
+              f"stim-off {'at step ' + str(stim_off + start_step)
+                          if stim_off >= 0 else 'already fired'}")
+        args.steps = remaining
     print(f"scene={scene.name} n={scene.num_particles} "
           f"capacity={state.capacity} cell_cap={scene.cell_capacity} "
           f"nbr_cap={scene.neighbor_capacity} mode={args.mode} "
@@ -160,38 +177,55 @@ def main(argv=None) -> int:
             traj_writer.append(i, payload)
 
     t0 = time.time()
+    # all variant modes run scan drivers dispatched in chunks (never a
+    # per-step host loop); when rendering, the chunk size shrinks to the
+    # render interval so a frame is captured every render_every steps
+    var_chunk = (min(args.chunk, render_every) if render_every
+                 else args.chunk)
     if args.mode == "monodomain":
-        if jax.default_backend() == "tpu":
+        fused = jax.default_backend() == "tpu"
+        if fused:
             ftab = variants.monodomain_prepare_fused(
                 state, cfg, scene.q_block, scene.block_window)
-            done = 0
-            while done < args.steps:
-                n_chunk = min(args.chunk, args.steps - done)
-                state = variants.simulate_monodomain_only_fused(
-                    state, ftab, cfg, num_steps=n_chunk,
-                    q_block=scene.q_block, w_chunk=scene.block_window)
-                done += n_chunk
-                stream_frame(done, state)
-                if render_every:
-                    frames.append((done, state))
         else:
             tables = variants.monodomain_prepare(
                 state, cfg, scene.cell_capacity, scene.neighbor_capacity)
-            for i in range(args.steps):
-                state = variants.step_monodomain_only(state, tables, cfg)
-                if render_every and i % render_every == 0:
-                    frames.append((i, state))
+        done = 0
+        while done < args.steps:
+            n_chunk = min(var_chunk, args.steps - done)
+            if fused:
+                state = variants.simulate_monodomain_only_fused(
+                    state, ftab, cfg, num_steps=n_chunk,
+                    q_block=scene.q_block, w_chunk=scene.block_window)
+            else:
+                state = variants.simulate_monodomain_only(
+                    state, tables, cfg, num_steps=n_chunk)
+            done += n_chunk
+            stream_frame(done, state)
+            if render_every:
+                frames.append((done, state))
         overflow = 0
     elif args.mode in ("sph", "sm"):
-        step_fn = (variants.step_sph_only if args.mode == "sph"
-                   else variants.step_sm_only)
+        fused = args.mode == "sph" and jax.default_backend() == "tpu"
         overflow = 0
-        for i in range(args.steps):
-            state, aux = step_fn(state, cfg, scene.cell_capacity,
-                                 scene.neighbor_capacity)
+        done = 0
+        while done < args.steps:
+            n_chunk = min(var_chunk, args.steps - done)
+            if args.mode == "sph":
+                state, aux = variants.simulate_sph_only(
+                    state, cfg, scene.cell_capacity,
+                    scene.neighbor_capacity, num_steps=n_chunk,
+                    fused=fused, q_block=scene.q_block,
+                    w_window=scene.block_window,
+                    sub_q=(scene.sub_block or 32))
+            else:
+                state, aux = variants.simulate_sm_only(state, cfg,
+                                                       num_steps=n_chunk)
             overflow = max(overflow, int(aux.overflow))
-            if render_every and i % render_every == 0:
-                frames.append((i, state))
+            done += n_chunk
+            stream_frame(done, state)
+            if render_every:
+                frames.append((done, state))
     elif args.devices > 1:
         from .parallel.sharded_step import (make_mesh, make_sharded_simulate,
                                             shard_state)
@@ -249,7 +283,9 @@ def main(argv=None) -> int:
         print(f"trajectory ({written} frames) -> {args.traj}")
 
     if args.save_checkpoint:
-        save_checkpoint(args.save_checkpoint, state, step=args.steps)
+        # accumulated step count: resumed steps + steps executed this run
+        save_checkpoint(args.save_checkpoint, state,
+                        step=start_step + args.steps)
         print(f"checkpoint -> {args.save_checkpoint}")
 
     if render_every:

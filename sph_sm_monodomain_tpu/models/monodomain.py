@@ -41,18 +41,25 @@ class StepAux(NamedTuple):
     overflow: jax.Array  # particles dropped from full hash-grid cells
 
 
-@partial(jax.jit, static_argnames=("cfg", "q_block", "w_window", "sub_q"))
+@partial(jax.jit, static_argnames=("cfg", "q_block", "w_window", "sub_q",
+                                   "impl"))
 def step_fused(state: ParticleState, cfg: SimConfig, q_block: int,
-               w_window: int,
-               sub_q: int | None = None) -> tuple[ParticleState, StepAux]:
+               w_window: int, sub_q: int | None = None,
+               impl: str = "v2") -> tuple[ParticleState, StepAux]:
     """One coupled step with the fused Pallas sweeps (ops/pallas_sweeps.py).
 
     Physics-equivalent to `step` (same phase order as
     compute_SPH_SM_monodomain, cpp:794-824); the three neighbor phases run
     as two VMEM-resident kernels over cell-sorted data instead of XLA
     gathers. fp summation order differs from the bucketed path (sorted
-    candidates, MXU contractions) — trajectories agree to fp32 tolerance.
+    candidates, lane-wise accumulators) — trajectories agree to fp32
+    tolerance.
+
+    impl="v2" (default): lean searchsorted bookkeeping + coordinate-mask
+    kernels; impl="v1": per-query bound arrays + MXU-contraction kernels.
     """
+    if impl == "v2":
+        return _step_fused_v2(state, cfg, q_block, w_window, sub_q or 32)
     from ..ops import kernels as K
     from ..ops.pallas_sweeps import sweep_a, sweep_b, sweep_bookkeeping
 
@@ -131,6 +138,93 @@ def step_fused(state: ParticleState, cfg: SimConfig, q_block: int,
     return state, StepAux(overflow=jnp.zeros((), jnp.int32))
 
 
+def _step_fused_v2(state: ParticleState, cfg: SimConfig, q_block: int,
+                   w_window: int, sub_q: int) -> tuple[ParticleState,
+                                                       StepAux]:
+    """v2 fused step: lean bookkeeping + coordinate-mask sweep kernels."""
+    from ..ops import kernels as K
+    from ..ops.pallas_sweeps import sweep_a2, sweep_b2, sweep_bookkeeping2
+
+    order, inv, blk_lo, blk_hi, ccoord = sweep_bookkeeping2(
+        state.pos, state.active, cfg, sub_q)
+
+    # phase 2: shape matching (original order; MXU reductions)
+    state = corrected_velocity(state, cfg)
+
+    # sorted views: ONE (N, 16) gather instead of sixteen (N,) gathers
+    zeros1 = jnp.zeros_like(state.mass)
+    fields = jnp.stack([
+        state.pos[:, 0], state.pos[:, 1], state.pos[:, 2],
+        state.corrected_vel[:, 0], state.corrected_vel[:, 1],
+        state.corrected_vel[:, 2], state.mass, state.dens, state.vm,
+        state.stim, state.iion, state.w,
+        ccoord[:, 0], ccoord[:, 1], ccoord[:, 2], zeros1], axis=1)
+    fs = fields[order]                                      # (N, 16)
+    pos_s = fs[:, 0:3]
+    cvel_s = fs[:, 3:6]
+    mass_s = fs[:, 6]
+    dens_prev_s = fs[:, 7]
+    vm_s = fs[:, 8]
+    stim_s = fs[:, 9]
+    iion_s = fs[:, 10]
+    w_rec_s = fs[:, 11]
+    coord_s = fs[:, 12:15]
+
+    # phases 3+4: fused XSPH + density (prev-step densities for volumes;
+    # zero the volumes of lanes whose density is non-positive — inactive
+    # padding — so masked-lane products stay finite)
+    vol_prev = jnp.where(dens_prev_s > 0.0, mass_s / dens_prev_s, 0.0)
+    dens_s, xsph_s = sweep_a2(pos_s, cvel_s, vol_prev, mass_s, coord_s,
+                              blk_lo, blk_hi, q_block, w_window, cfg,
+                              sub_q=sub_q)
+    inter_vel_s = cvel_s + xsph_s * cfg.velocity_mixing     # cpp:699
+    if cfg.quirk_double_self_density:                       # cpp:483
+        dens_s = dens_s + mass_s * K.poly6(jnp.zeros_like(dens_s), cfg)
+    pres_s = cfg.k_stiffness * (dens_s - cfg.stand_density) \
+        - vm_s * cfg.voltage_constant                       # cpp:486-491
+    clamped = jnp.clip(pres_s, -cfg.max_pressure, cfg.max_pressure)
+    if cfg.quirk_pressure_stim_gate:                        # cpp:493-503
+        pres_s = jnp.where(stim_s > 0.0, clamped,
+                           jnp.asarray(-0.0, pres_s.dtype))
+    else:
+        pres_s = clamped
+
+    # phase 5: FHN reaction (pointwise, sorted space; cpp:575-593)
+    denom = cfg.fh_vp - cfg.fh_vr
+    asd = (cfg.fh_vt - cfg.fh_vr) / denom
+    u = (vm_s - cfg.fh_vr) / denom
+    d_iion = cfg.time_delta * (cfg.fh_c1 * u * (u - asd) * (u - 1.0)
+                               + cfg.fh_c2 * w_rec_s) / mass_s
+    iion_s = (iion_s + d_iion) if cfg.quirk_iion_accumulate else d_iion
+    w_rec_s = w_rec_s + cfg.time_delta * cfg.fh_c3 \
+        * (u - cfg.fh_c4 * w_rec_s) / mass_s
+
+    # phase 6: fused force + Vm Laplacian (current densities)
+    dens_guard = jnp.where(dens_s > 0.0, dens_s, 1.0)
+    vol_now = mass_s / dens_guard
+    acc_raw_s, lap_s = sweep_b2(pos_s, inter_vel_s, vol_now, pres_s, vm_s,
+                                coord_s, blk_lo, blk_hi, q_block, w_window,
+                                cfg, sub_q=sub_q)
+    acc_s = acc_raw_s / dens_guard[:, None]                 # cpp:568
+    inter_vm_s = lap_s + (cfg.sigma / (cfg.beta_sv_ratio
+                                       * cfg.cm_capacitance)) * lap_s \
+        - (iion_s - stim_s * cfg.time_delta / mass_s) / cfg.cm_capacitance
+
+    # unsort in ONE (N, 16) gather and integrate (phase 7)
+    outs = jnp.stack([
+        dens_s, pres_s, inter_vel_s[:, 0], inter_vel_s[:, 1],
+        inter_vel_s[:, 2], iion_s, w_rec_s, acc_s[:, 0], acc_s[:, 1],
+        acc_s[:, 2], inter_vm_s, dens_s, dens_s, dens_s, dens_s, dens_s],
+        axis=1)
+    ou = outs[inv]
+    state = state.replace(
+        dens=ou[:, 0], pres=ou[:, 1], inter_vel=ou[:, 2:5],
+        iion=ou[:, 5], w=ou[:, 6], acc=ou[:, 7:10], inter_vm=ou[:, 10])
+    state = update_properties(state, cfg)
+    # chunked windows cover every candidate exactly: no overflow possible
+    return state, StepAux(overflow=jnp.zeros((), jnp.int32))
+
+
 @partial(jax.jit, static_argnames=("cfg", "cell_capacity",
                                    "neighbor_capacity"))
 def step(state: ParticleState, cfg: SimConfig, cell_capacity: int,
@@ -175,27 +269,44 @@ def simulate(state: ParticleState, cfg: SimConfig, cell_capacity: int,
     BEFORE executing that step index (main.cpp:329-334 fires when half the
     step budget remains). -1 disables.
 
-    If `record_every` > 0, returns (state, aux, traj) where traj is a dict of
-    downsampled (T, ...) trajectories of positions and voltages — the
-    readback the reference exposes via Get_Paticles for rendering.
+    If `record_every` > 0, returns (state, aux, traj) where traj is a dict
+    of downsampled (T, ...) trajectories of positions and voltages — the
+    readback the reference exposes via Get_Paticles for rendering. Frames
+    are recorded INSIDE the scan (one frame after each block of
+    `record_every` steps), so trajectory memory scales with
+    num_steps / record_every, not num_steps; leftover steps past the last
+    full block run unrecorded.
     """
 
-    def body(carry, i):
+    def one_step(carry, i):
         st, acc_overflow = carry
         st, aux = _step_with_protocol(st, i, cfg, cell_capacity,
                                       neighbor_capacity, stim_off_step,
                                       fused, q_block, w_window, sub_q)
-        rec = (st.pos, st.vm) if record_every else ()
-        return (st, jnp.maximum(acc_overflow, aux.overflow)), rec
+        return (st, jnp.maximum(acc_overflow, aux.overflow)), ()
 
-    (state, max_overflow), recs = jax.lax.scan(
-        body, (state, jnp.asarray(0, jnp.int32)), jnp.arange(num_steps))
-    aux = StepAux(overflow=max_overflow)
+    carry = (state, jnp.asarray(0, jnp.int32))
     if record_every:
-        pos_t, vm_t = recs
-        traj = {"pos": pos_t[::record_every], "vm": vm_t[::record_every]}
-        return state, aux, traj
-    return state, aux
+        blocks = num_steps // record_every
+        rest = num_steps - blocks * record_every
+        idx = jnp.arange(blocks * record_every).reshape(blocks,
+                                                        record_every)
+
+        def block_body(c, ii):
+            c, _ = jax.lax.scan(one_step, c, ii)
+            return c, (c[0].pos, c[0].vm)
+
+        carry, (pos_t, vm_t) = jax.lax.scan(block_body, carry, idx)
+        if rest:
+            carry, _ = jax.lax.scan(
+                one_step, carry,
+                jnp.arange(blocks * record_every, num_steps))
+        state, max_overflow = carry
+        return state, StepAux(overflow=max_overflow), {"pos": pos_t,
+                                                       "vm": vm_t}
+    carry, _ = jax.lax.scan(one_step, carry, jnp.arange(num_steps))
+    state, max_overflow = carry
+    return state, StepAux(overflow=max_overflow)
 
 
 def run_protocol(scene, num_steps: int = 500, stim_off_step: int | None = None,
@@ -217,6 +328,10 @@ def run_protocol(scene, num_steps: int = 500, stim_off_step: int | None = None,
         fused = jax.default_backend() == "tpu"
     if stim_off_step is None:
         stim_off_step = num_steps // 2
+    if record_every:
+        # keep the global frame spacing exact across chunk boundaries:
+        # each chunk must hold a whole number of record blocks
+        chunk = max(record_every, chunk - chunk % record_every)
     trajs = []
     max_overflow = 0
     regrow = 0

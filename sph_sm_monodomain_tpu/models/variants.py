@@ -58,20 +58,140 @@ def step_sph_only(state: ParticleState, cfg: SimConfig, cell_capacity: int,
     return state, StepAux(overflow=nbr.overflow)
 
 
+@partial(jax.jit, static_argnames=("cfg", "q_block", "w_window", "sub_q"))
+def step_sph_only_fused(state: ParticleState, cfg: SimConfig,
+                        q_block: int = 128, w_window: int = 128,
+                        sub_q: int = 32) -> tuple[ParticleState, StepAux]:
+    """Fused-Pallas pure SPH step (the v2 sweeps of ops/pallas_sweeps.py):
+    gravity -> XSPH + density -> pressure/viscosity forces -> integrate.
+    Physics-equivalent to `step_sph_only`."""
+    from ..ops.pallas_sweeps import sweep_a2, sweep_b2, sweep_bookkeeping2
+
+    order, inv, blk_lo, blk_hi, ccoord = sweep_bookkeeping2(
+        state.pos, state.active, cfg, sub_q)
+    state = apply_external_forces(state, cfg)
+    state = state.replace(corrected_vel=state.predicted_vel)
+
+    zeros1 = jnp.zeros_like(state.mass)
+    fields = jnp.stack([
+        state.pos[:, 0], state.pos[:, 1], state.pos[:, 2],
+        state.corrected_vel[:, 0], state.corrected_vel[:, 1],
+        state.corrected_vel[:, 2], state.mass, state.dens, state.stim,
+        ccoord[:, 0], ccoord[:, 1], ccoord[:, 2],
+        zeros1, zeros1, zeros1, zeros1], axis=1)
+    fs = fields[order]
+    pos_s, cvel_s = fs[:, 0:3], fs[:, 3:6]
+    mass_s, dens_prev_s, stim_s = fs[:, 6], fs[:, 7], fs[:, 8]
+    coord_s = fs[:, 9:12]
+
+    vol_prev = jnp.where(dens_prev_s > 0.0, mass_s / dens_prev_s, 0.0)
+    dens_s, xsph_s = sweep_a2(pos_s, cvel_s, vol_prev, mass_s, coord_s,
+                              blk_lo, blk_hi, q_block, w_window, cfg,
+                              sub_q=sub_q)
+    inter_vel_s = cvel_s + xsph_s * cfg.velocity_mixing     # cpp:699
+    if cfg.quirk_double_self_density:                       # cpp:483
+        from ..ops import kernels as K
+        dens_s = dens_s + mass_s * K.poly6(jnp.zeros_like(dens_s), cfg)
+    pres_s = cfg.k_stiffness * (dens_s - cfg.stand_density)  # cpp:486 (Vm=0)
+    clamped = jnp.clip(pres_s, -cfg.max_pressure, cfg.max_pressure)
+    if cfg.quirk_pressure_stim_gate:                        # cpp:493-503
+        pres_s = jnp.where(stim_s > 0.0, clamped,
+                           jnp.asarray(-0.0, pres_s.dtype))
+    else:
+        pres_s = clamped
+
+    dens_guard = jnp.where(dens_s > 0.0, dens_s, 1.0)
+    acc_raw_s, _lap = sweep_b2(pos_s, inter_vel_s, mass_s / dens_guard,
+                               pres_s, jnp.zeros_like(dens_s), coord_s,
+                               blk_lo, blk_hi, q_block, w_window, cfg,
+                               sub_q=sub_q)
+    acc_s = acc_raw_s / dens_guard[:, None]                 # cpp:568
+
+    outs = jnp.stack([dens_s, pres_s, inter_vel_s[:, 0], inter_vel_s[:, 1],
+                      inter_vel_s[:, 2], acc_s[:, 0], acc_s[:, 1],
+                      acc_s[:, 2], dens_s, dens_s, dens_s, dens_s, dens_s,
+                      dens_s, dens_s, dens_s], axis=1)
+    ou = outs[inv]
+    state = state.replace(dens=ou[:, 0], pres=ou[:, 1],
+                          inter_vel=ou[:, 2:5], acc=ou[:, 5:8],
+                          inter_vm=jnp.zeros_like(state.inter_vm))
+    state = update_properties(state, cfg)
+    return state, StepAux(overflow=jnp.zeros((), jnp.int32))
+
+
 @partial(jax.jit, static_argnames=("cfg", "cell_capacity",
-                                   "neighbor_capacity"))
-def step_sm_only(state: ParticleState, cfg: SimConfig, cell_capacity: int,
-                 neighbor_capacity: int) -> tuple[ParticleState, StepAux]:
+                                   "neighbor_capacity", "num_steps",
+                                   "record_every", "fused", "q_block",
+                                   "w_window", "sub_q"))
+def simulate_sph_only(state: ParticleState, cfg: SimConfig,
+                      cell_capacity: int, neighbor_capacity: int,
+                      num_steps: int, record_every: int = 0,
+                      fused: bool = False, q_block: int = 128,
+                      w_window: int = 128, sub_q: int = 32):
+    """Scan driver for pure-SPH runs (BASELINE config 2): `num_steps` steps
+    in ONE compiled program, optionally recording (pos, vm-free) frames
+    every `record_every` steps inside the scan."""
+    def one(c, _):
+        st, ovf = c
+        if fused:
+            st, aux = step_sph_only_fused(st, cfg, q_block, w_window, sub_q)
+        else:
+            st, aux = step_sph_only(st, cfg, cell_capacity,
+                                    neighbor_capacity)
+        return (st, jnp.maximum(ovf, aux.overflow)), ()
+
+    return _scan_with_frames(one, state, num_steps, record_every,
+                             lambda st: (st.pos,))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def step_sm_only(state: ParticleState, cfg: SimConfig
+                 ) -> tuple[ParticleState, StepAux]:
     """Shape matching + gravity only: viscoelastic solid, no fluid forces,
-    no electrophysiology."""
-    nbr = build_neighbor_table(state.pos, state.pos, state.active, cfg,
-                               cell_capacity, neighbor_capacity)
+    no electrophysiology (and no neighbor table — SM is global)."""
     state = corrected_velocity(state, cfg)
     state = state.replace(inter_vel=state.corrected_vel,
                           acc=jnp.zeros_like(state.acc),
                           inter_vm=jnp.zeros_like(state.inter_vm))
     state = update_properties(state, cfg)
-    return state, StepAux(overflow=nbr.overflow)
+    return state, StepAux(overflow=jnp.zeros((), jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("cfg", "num_steps", "record_every"))
+def simulate_sm_only(state: ParticleState, cfg: SimConfig, num_steps: int,
+                     record_every: int = 0):
+    """Scan driver for the SM-only viscoelastic solid."""
+    def one(c, _):
+        st, ovf = c
+        st, aux = step_sm_only(st, cfg)
+        return (st, ovf), ()
+
+    return _scan_with_frames(one, state, num_steps, record_every,
+                             lambda st: (st.pos,))
+
+
+def _scan_with_frames(one_step, state, num_steps: int, record_every: int,
+                      extract):
+    """Shared scan driver: run `num_steps` steps, recording `extract(state)`
+    after each block of `record_every` steps INSIDE the scan (memory scales
+    with num_steps / record_every). Returns (state, StepAux[, frames])."""
+    carry = (state, jnp.asarray(0, jnp.int32))
+    if record_every:
+        blocks = num_steps // record_every
+        rest = num_steps - blocks * record_every
+
+        def block(c, _):
+            c, _out = jax.lax.scan(one_step, c, None, length=record_every)
+            return c, extract(c[0])
+
+        carry, frames = jax.lax.scan(block, carry, None, length=blocks)
+        if rest:
+            carry, _ = jax.lax.scan(one_step, carry, None, length=rest)
+        state, ovf = carry
+        return state, StepAux(overflow=ovf), frames
+    carry, _ = jax.lax.scan(one_step, carry, None, length=num_steps)
+    state, ovf = carry
+    return state, StepAux(overflow=ovf)
 
 
 class MonodomainTables(NamedTuple):

@@ -447,6 +447,408 @@ def sweep_b(pos_s, ivel_s, vol_s, pres_s, vm_s, qstart, qend, blk_start,
     return out[:, 0:3], out[:, 3]
 
 
+# ---------------------------------------------------------------------------
+# v2: lean bookkeeping + coordinate-mask kernels
+# ---------------------------------------------------------------------------
+#
+# Differences from the v1 path above (measured on v5e, see DEVELOPMENT.md):
+#   - window bounds are computed per SUB-BLOCK (tight) by direct binary
+#     search into the sorted cell ids — no 55k-cell start table, no per-query
+#     (N, 16) bound arrays;
+#   - consecutive run windows are clamped disjoint, and the kernel masks
+#     rows to the exact [lo, hi) window (per sub-block scalars) plus an
+#     in-kernel 3x3x3 stencil test on quantized cell coordinates, so sums
+#     equal the reference's 27-cell stencil exactly with no per-query
+#     bookkeeping;
+#   - neighbor sums accumulate lane-wise into (sub_q, Wc) VMEM accumulators
+#     (chunks alias into the same columns) with ONE horizontal reduction per
+#     sub-block — no per-chunk MXU contraction or VPU reduce.
+
+_COORD_SENTINEL = -1048576.0  # marks out-of-grid / inactive particles
+
+
+def sweep_bookkeeping2(pos: jax.Array, active: jax.Array, cfg: SimConfig,
+                       win_block: int):
+    """Sort + per-sub-block window bookkeeping for the v2 sweeps.
+
+    Returns (order, inv, blk_lo, blk_hi, ccoord):
+      order (N,)      sorted-row -> original index
+      inv (N,)        original -> sorted-row
+      blk_lo (B,16)   per-sub-block window start rows (9 used columns)
+      blk_hi (B,16)   per-sub-block window end rows, clamped so consecutive
+                      run windows are disjoint (no candidate row is
+                      enumerated twice for one query sub-block)
+      ccoord (N,3)    f32 cell coordinates in ORIGINAL order, sentinel for
+                      out-of-grid / inactive lanes (feeds the in-kernel
+                      stencil mask)
+    """
+    n = pos.shape[0]
+    gx, gy, gz = cfg.grid_size
+    num_cells = cfg.num_cells
+
+    coords = (pos / cfg.cell_size).astype(jnp.int32)
+    x, y, z = coords[..., 0], coords[..., 1], coords[..., 2]
+    inside = ((x >= 0) & (x < gx) & (y >= 0) & (y < gy)
+              & (z >= 0) & (z < gz))
+    valid = inside & active
+    ids = jnp.where(valid, x + gx * (y + gy * z), num_cells)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    if n <= 32768 and num_cells < 65536:
+        # single-operand sort of (id << 15 | index): faster than a variadic
+        # argsort and stable by construction
+        comb = jnp.sort(ids * 32768 + iota)
+        order = comb & 32767
+        sorted_ids = comb >> 15
+    else:
+        order = jnp.argsort(ids, stable=True).astype(jnp.int32)
+        sorted_ids = ids[order]
+    inv = jnp.zeros((n,), jnp.int32).at[order].set(iota,
+                                                   unique_indices=True)
+
+    b = n // win_block
+    h_lo = sorted_ids[::win_block][:b]
+    h_hi = sorted_ids[win_block - 1::win_block][:b]
+    d = jnp.asarray(gx * (_RUN_OFFSETS[:, 0] + gy * _RUN_OFFSETS[:, 1]))
+    blo = jnp.clip(h_lo[:, None] + d[None, :] - 1, 0, num_cells)
+    bhi = jnp.clip(h_hi[:, None] + d[None, :] + 2, 0, num_cells)
+    lo = jnp.searchsorted(sorted_ids, blo).astype(jnp.int32)
+    hi = jnp.searchsorted(sorted_ids, bhi).astype(jnp.int32)
+    # clamp consecutive windows disjoint (d is strictly increasing, so lo/hi
+    # are monotone per row; overlapping rows stay covered by the next run)
+    hi = jnp.concatenate([jnp.minimum(hi[:, :-1], lo[:, 1:]), hi[:, -1:]],
+                         axis=1)
+
+    ccoord = jnp.where(valid[:, None], coords.astype(jnp.float32),
+                       jnp.float32(_COORD_SENTINEL))
+    # FLAT (B*16,) layout: 2-D scalar-prefetch operands are lane-padded to
+    # 128 columns in SMEM (8x waste blew the 1 MB budget at sub_q=16)
+    flat16 = lambda a: jnp.pad(a, ((0, 0), (0, 16 - a.shape[1]))).reshape(-1)
+    return order, inv, flat16(lo), flat16(hi), ccoord
+
+
+def _sweep_a2_kernel(blk_lo_ref, blk_hi_ref, qm_ref, feats_ref, out_ref,
+                     *scratch, cfg: SimConfig, w_chunk: int, sub_q: int,
+                     hbm_feats: bool = False):
+    """v2 XSPH + density.
+
+    qm cols: [x, y, z, cvx, cvy, cvz, ..., cx, cy, cz @ 12:15]; feats rows:
+    [x, y, z, cvx, cvy, cvz, vol(prev), mass, ..., cx, cy, cz @ 12:15].
+    out cols: [dens, xsph_x, xsph_y, xsph_z, 0...].
+    """
+    bid = pl.program_id(0)
+    q = qm_ref.shape[0]
+    nsub = q // sub_q
+    h2 = jnp.float32(cfg.kernel_h * cfg.kernel_h)
+    p6c = jnp.float32(cfg.poly6_constant)
+    wiota = jax.lax.broadcasted_iota(jnp.int32, (1, w_chunk), 1)
+
+    for sb in range(nsub):
+        lo_q = sb * sub_q
+        base = bid * nsub + sb
+        qx = qm_ref[lo_q:lo_q + sub_q, 0:1]
+        qy = qm_ref[lo_q:lo_q + sub_q, 1:2]
+        qz = qm_ref[lo_q:lo_q + sub_q, 2:3]
+        qcv = qm_ref[lo_q:lo_q + sub_q, 3:6]                 # (q', 3)
+        qcx = qm_ref[lo_q:lo_q + sub_q, 12:13]
+        qcy = qm_ref[lo_q:lo_q + sub_q, 13:14]
+        qcz = qm_ref[lo_q:lo_q + sub_q, 14:15]
+
+        zeros = jnp.zeros((sub_q, w_chunk), jnp.float32)
+        accs = (zeros, zeros, zeros, zeros, zeros)  # dens, wv, x, y, z
+
+        for r in range(9):
+            w_lo = blk_lo_ref[base * 16 + r]
+            w_hi = blk_hi_ref[base * 16 + r]
+            start = pl.multiple_of((w_lo // 128) * 128, 128)
+            trips = pl.cdiv(w_hi - start, w_chunk)
+
+            def chunk(c, carry, start=start, w_lo=w_lo, w_hi=w_hi,
+                      qx=qx, qy=qy, qz=qz, qcx=qcx, qcy=qcy, qcz=qcz):
+                a_d, a_wv, a_x, a_y, a_z = carry
+                off = pl.multiple_of(start + c * w_chunk, 128)
+                if hbm_feats:
+                    buf, sem = scratch
+                    cp = pltpu.make_async_copy(
+                        feats_ref.at[:, pl.ds(off, w_chunk)], buf, sem)
+                    cp.start()
+                    cp.wait()
+                    cand = buf[:, :]                          # (16, Wc)
+                else:
+                    cand = feats_ref[:, pl.ds(off, w_chunk)]  # (16, Wc)
+                rows = off + wiota                            # (1, Wc)
+                rowm = (rows >= w_lo) & (rows < w_hi)
+                cheb = jnp.maximum(
+                    jnp.maximum(jnp.abs(qcx - cand[12:13, :]),
+                                jnp.abs(qcy - cand[13:14, :])),
+                    jnp.abs(qcz - cand[14:15, :]))
+                dx = qx - cand[0:1, :]
+                dy = qy - cand[1:2, :]
+                dz = qz - cand[2:3, :]
+                r2 = dx * dx + dy * dy + dz * dz              # (q', Wc)
+                t = h2 - r2
+                m = rowm & (cheb <= 1.0) & (r2 <= h2)
+                w6 = jnp.where(m, p6c * t * t * t, 0.0)
+                wv = w6 * cand[6:7, :]                        # * vol_j
+                return (a_d + w6 * cand[7:8, :], a_wv + wv,
+                        a_x + wv * cand[3:4, :], a_y + wv * cand[4:5, :],
+                        a_z + wv * cand[5:6, :])
+
+            accs = jax.lax.fori_loop(0, trips, chunk, accs)
+
+        a_d, a_wv, a_x, a_y, a_z = accs
+        swv = jnp.sum(a_wv, axis=1, keepdims=True)
+        out_ref[lo_q:lo_q + sub_q, 0:1] = jnp.sum(a_d, axis=1, keepdims=True)
+        out_ref[lo_q:lo_q + sub_q, 1:2] = \
+            jnp.sum(a_x, axis=1, keepdims=True) - swv * qcv[:, 0:1]
+        out_ref[lo_q:lo_q + sub_q, 2:3] = \
+            jnp.sum(a_y, axis=1, keepdims=True) - swv * qcv[:, 1:2]
+        out_ref[lo_q:lo_q + sub_q, 3:4] = \
+            jnp.sum(a_z, axis=1, keepdims=True) - swv * qcv[:, 2:3]
+        out_ref[lo_q:lo_q + sub_q, 4:8] = jnp.zeros((sub_q, 4), jnp.float32)
+
+
+def _sweep_b2_kernel(blk_lo_ref, blk_hi_ref, qm_ref, feats_ref, out_ref,
+                     *scratch, cfg: SimConfig, w_chunk: int, sub_q: int,
+                     hbm_feats: bool = False):
+    """v2 force + Vm Laplacian.
+
+    qm cols: [x, y, z, ivx, ivy, ivz, pres, vm, ..., cx, cy, cz @ 12:15];
+    feats rows: [x, y, z, ivx, ivy, ivz, vol, pres, vm, ..., cx, cy, cz].
+    out cols: [ax, ay, az, lap, 0...] (acc BEFORE the /dens_i of cpp:568).
+    """
+    bid = pl.program_id(0)
+    q = qm_ref.shape[0]
+    nsub = q // sub_q
+    h = jnp.float32(cfg.kernel_h)
+    inv_h = jnp.float32(1.0 / cfg.kernel_h)
+    spiky_c = jnp.float32(cfg.spiky_constant)
+    bs_c = jnp.float32(cfg.b_spline_constant)
+    mu = jnp.float32(cfg.mu_viscosity)
+    wiota = jax.lax.broadcasted_iota(jnp.int32, (1, w_chunk), 1)
+
+    for sb in range(nsub):
+        lo_q = sb * sub_q
+        base = bid * nsub + sb
+        qpos = qm_ref[lo_q:lo_q + sub_q, 0:3]
+        qx = qm_ref[lo_q:lo_q + sub_q, 0:1]
+        qy = qm_ref[lo_q:lo_q + sub_q, 1:2]
+        qz = qm_ref[lo_q:lo_q + sub_q, 2:3]
+        qiv = qm_ref[lo_q:lo_q + sub_q, 3:6]
+        qp = qm_ref[lo_q:lo_q + sub_q, 6:7]
+        qvm = qm_ref[lo_q:lo_q + sub_q, 7:8]
+        qcx = qm_ref[lo_q:lo_q + sub_q, 12:13]
+        qcy = qm_ref[lo_q:lo_q + sub_q, 13:14]
+        qcz = qm_ref[lo_q:lo_q + sub_q, 14:15]
+
+        zeros = jnp.zeros((sub_q, w_chunk), jnp.float32)
+        accs = (zeros,) * 10
+        # fp, fpx, fpy, fpz, fv, fvx, fvy, fvz, vw, vwvm
+
+        for r in range(9):
+            w_lo = blk_lo_ref[base * 16 + r]
+            w_hi = blk_hi_ref[base * 16 + r]
+            start = pl.multiple_of((w_lo // 128) * 128, 128)
+            trips = pl.cdiv(w_hi - start, w_chunk)
+
+            def chunk(c, carry, start=start, w_lo=w_lo, w_hi=w_hi,
+                      qx=qx, qy=qy, qz=qz, qp=qp, qvm=qvm,
+                      qcx=qcx, qcy=qcy, qcz=qcz):
+                (a_fp, a_fpx, a_fpy, a_fpz, a_fv, a_fvx, a_fvy, a_fvz,
+                 a_vw, a_vwvm) = carry
+                off = pl.multiple_of(start + c * w_chunk, 128)
+                if hbm_feats:
+                    buf, sem = scratch
+                    cp = pltpu.make_async_copy(
+                        feats_ref.at[:, pl.ds(off, w_chunk)], buf, sem)
+                    cp.start()
+                    cp.wait()
+                    cand = buf[:, :]                          # (16, Wc)
+                else:
+                    cand = feats_ref[:, pl.ds(off, w_chunk)]  # (16, Wc)
+                rows = off + wiota
+                rowm = (rows >= w_lo) & (rows < w_hi)
+                cheb = jnp.maximum(
+                    jnp.maximum(jnp.abs(qcx - cand[12:13, :]),
+                                jnp.abs(qcy - cand[13:14, :])),
+                    jnp.abs(qcz - cand[14:15, :]))
+                dx = qx - cand[0:1, :]
+                dy = qy - cand[1:2, :]
+                dz = qz - cand[2:3, :]
+                r2 = dx * dx + dy * dy + dz * dz
+                pair = rowm & (cheb <= 1.0) & (r2 > _PAIR_EPS)  # cpp:546
+                inv_rr = jax.lax.rsqrt(jnp.where(pair, r2, 1.0))
+                rr = r2 * inv_rr
+                vol_j = cand[6:7, :]
+
+                # spiky/visco share support [0, h] and the (h - r) factor
+                hr = h - rr
+                common = jnp.where(pair & (rr <= h),
+                                   vol_j * (spiky_c * hr), 0.0)
+
+                # pressure (cpp:550-554): acc -= d*vol*(p_i+p_j)/2*Spiky/r
+                f_p = common * (hr * (-0.5) * inv_rr) * (qp + cand[7:8, :])
+                # viscosity (cpp:556-560): acc += (uj - ui)*vol*mu*Visco(r)
+                f_v = mu * common
+                # monodomain Laplacian (cpp:562-563): B_spline_2 on [0, 2h)
+                qr = rr * inv_h
+                w2 = jnp.where(qr < 1.0, bs_c * (-3.0 + 4.5 * qr),
+                               jnp.where(qr < 2.0,
+                                         bs_c * 1.5 * (2.0 - qr), 0.0))
+                vw = jnp.where(pair, vol_j * w2, 0.0)
+                return (a_fp + f_p, a_fpx + f_p * cand[0:1, :],
+                        a_fpy + f_p * cand[1:2, :],
+                        a_fpz + f_p * cand[2:3, :],
+                        a_fv + f_v, a_fvx + f_v * cand[3:4, :],
+                        a_fvy + f_v * cand[4:5, :],
+                        a_fvz + f_v * cand[5:6, :],
+                        a_vw + vw, a_vwvm + vw * cand[8:9, :])
+
+            accs = jax.lax.fori_loop(0, trips, chunk, accs)
+
+        (a_fp, a_fpx, a_fpy, a_fpz, a_fv, a_fvx, a_fvy, a_fvz,
+         a_vw, a_vwvm) = accs
+        red = lambda a: jnp.sum(a, axis=1, keepdims=True)
+        sfp, sfv, svw = red(a_fp), red(a_fv), red(a_vw)
+        out_ref[lo_q:lo_q + sub_q, 0:1] = \
+            red(a_fpx) - qpos[:, 0:1] * sfp + red(a_fvx) - sfv * qiv[:, 0:1]
+        out_ref[lo_q:lo_q + sub_q, 1:2] = \
+            red(a_fpy) - qpos[:, 1:2] * sfp + red(a_fvy) - sfv * qiv[:, 1:2]
+        out_ref[lo_q:lo_q + sub_q, 2:3] = \
+            red(a_fpz) - qpos[:, 2:3] * sfp + red(a_fvz) - sfv * qiv[:, 2:3]
+        out_ref[lo_q:lo_q + sub_q, 3:4] = red(a_vwvm) - svw * qvm
+        out_ref[lo_q:lo_q + sub_q, 4:8] = jnp.zeros((sub_q, 4), jnp.float32)
+
+
+def _call_sweep2(kernel, feats_t, qmat, blk_lo, blk_hi, q_block, w_chunk,
+                 sub_q, cfg, interpret, q_slice=None):
+    """Run one v2 sweep kernel (see _call_sweep for q_slice semantics)."""
+    if (qmat.shape[0] // sub_q) * 128 > 900_000:
+        raise ValueError(
+            f"sub_q={sub_q} yields {qmat.shape[0] // sub_q} window blocks; "
+            "their SMEM-prefetched bounds would exceed the 1 MB scalar "
+            "memory budget — use a larger sub_q")
+    if q_slice is not None:
+        off, cnt = q_slice
+        qmat = _slice_rows(qmat, off, cnt)
+        blk_lo = jax.lax.dynamic_slice(blk_lo, (off // sub_q * 16,),
+                                       (cnt // sub_q * 16,))
+        blk_hi = jax.lax.dynamic_slice(blk_hi, (off // sub_q * 16,),
+                                       (cnt // sub_q * 16,))
+    n = qmat.shape[0]
+    b = n // q_block
+    feats_t = jnp.pad(feats_t, ((0, 0), (0, w_chunk)))
+    hbm_feats = feats_t.size * 4 > VMEM_FEATS_LIMIT_BYTES
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((q_block, 16), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=(pltpu.HBM if hbm_feats
+                                       else pltpu.VMEM)),  # candidates
+        ],
+        out_specs=pl.BlockSpec((q_block, 8), lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=([pltpu.VMEM((16, w_chunk), jnp.float32),
+                         pltpu.SemaphoreType.DMA(())] if hbm_feats else []),
+    )
+    return pl.pallas_call(
+        functools.partial(kernel, cfg=cfg, w_chunk=w_chunk, sub_q=sub_q,
+                          hbm_feats=hbm_feats),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, 8), jnp.float32),
+        interpret=interpret,
+    )(blk_lo, blk_hi, qmat, feats_t)
+
+
+def sweep_a2(pos_s, cvel_s, vol_s, mass_s, coord_s, blk_lo, blk_hi,
+             q_block: int, w_chunk: int, cfg: SimConfig,
+             interpret: bool | None = None, q_slice=None,
+             sub_q: int = 32):
+    """v2 fused XSPH + density over sorted arrays.
+
+    Returns (dens (N,), xsph_partial (N, 3)), sorted order. `vol_s` must use
+    LAST step's densities (reference phase order, cpp:794-824) and be finite
+    on every lane (sanitize inactive lanes to 0)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    n = pos_s.shape[0]
+    feats_t = _pad_cols([pos_s[:, 0], pos_s[:, 1], pos_s[:, 2],
+                         cvel_s[:, 0], cvel_s[:, 1], cvel_s[:, 2],
+                         vol_s, mass_s,
+                         jnp.zeros((n,), jnp.float32),
+                         jnp.zeros((n,), jnp.float32),
+                         jnp.zeros((n,), jnp.float32),
+                         jnp.zeros((n,), jnp.float32),
+                         coord_s[:, 0], coord_s[:, 1], coord_s[:, 2]], n)
+    qmat = jnp.concatenate([pos_s, cvel_s, jnp.zeros((n, 6), jnp.float32),
+                            coord_s, jnp.zeros((n, 1), jnp.float32)], axis=1)
+    out = _call_sweep2(_sweep_a2_kernel, feats_t, qmat, blk_lo, blk_hi,
+                       q_block, w_chunk, sub_q, cfg, interpret,
+                       q_slice=q_slice)
+    return out[:, 0], out[:, 1:4]
+
+
+def sweep_b2(pos_s, ivel_s, vol_s, pres_s, vm_s, coord_s, blk_lo, blk_hi,
+             q_block: int, w_chunk: int, cfg: SimConfig,
+             interpret: bool | None = None, q_slice=None,
+             sub_q: int = 32):
+    """v2 fused pressure+viscosity forces and Vm Laplacian (sorted order).
+
+    Returns (acc_raw (N, 3), lap (N,)); acc_raw is BEFORE the division by
+    the query's own density (cpp:568). `vol_s` uses CURRENT densities and
+    must be finite on every lane."""
+    if interpret is None:
+        interpret = _interpret_default()
+    n = pos_s.shape[0]
+    feats_t = _pad_cols([pos_s[:, 0], pos_s[:, 1], pos_s[:, 2],
+                         ivel_s[:, 0], ivel_s[:, 1], ivel_s[:, 2],
+                         vol_s, pres_s, vm_s,
+                         jnp.zeros((n,), jnp.float32),
+                         jnp.zeros((n,), jnp.float32),
+                         jnp.zeros((n,), jnp.float32),
+                         coord_s[:, 0], coord_s[:, 1], coord_s[:, 2]], n)
+    qmat = jnp.concatenate([pos_s, ivel_s, pres_s[:, None], vm_s[:, None],
+                            jnp.zeros((n, 4), jnp.float32),
+                            coord_s, jnp.zeros((n, 1), jnp.float32)], axis=1)
+    out = _call_sweep2(_sweep_b2_kernel, feats_t, qmat, blk_lo, blk_hi,
+                       q_block, w_chunk, sub_q, cfg, interpret,
+                       q_slice=q_slice)
+    return out[:, 0:3], out[:, 3]
+
+
+def auto_sweep2_params(positions: np.ndarray, cfg: SimConfig,
+                       sub_q: int = 32) -> tuple[int, int]:
+    """(sub_q, w_chunk) for the v2 sweeps: minimize enumerated candidate
+    lanes + a per-chunk overhead term over Wc in {128, 256, 384}.
+    Host-side, once per scene."""
+    gx, gy, gz = cfg.grid_size
+    num_cells = cfg.num_cells
+    coords = (np.asarray(positions) / cfg.cell_size).astype(np.int64)
+    inside = ((coords >= 0).all(1) & (coords[:, 0] < gx)
+              & (coords[:, 1] < gy) & (coords[:, 2] < gz))
+    ids = np.where(inside, coords[:, 0] + gx * (coords[:, 1]
+                                                + gy * coords[:, 2]),
+                   num_cells)
+    s = np.sort(ids)
+    n = len(s)
+    b = max(n // sub_q, 1)
+    h_lo = s[::sub_q][:b]
+    h_hi = s[sub_q - 1::sub_q][:b]
+    d = (gx * (_RUN_OFFSETS[:, 0] + gy * _RUN_OFFSETS[:, 1]))[None, :]
+    lo = np.searchsorted(s, np.clip(h_lo[:, None] + d - 1, 0, num_cells))
+    hi = np.searchsorted(s, np.clip(h_hi[:, None] + d + 2, 0, num_cells))
+    hi[:, :-1] = np.minimum(hi[:, :-1], lo[:, 1:])
+    start = (lo // 128) * 128
+    best = None
+    for wc in (128, 256, 384):
+        trips = np.maximum(0, -(-(hi - start) // wc))
+        cost = (trips * wc).sum() + trips.sum() * 24  # lanes + chunk overhead
+        if best is None or cost < best[0]:
+            best = (cost, wc)
+    return sub_q, best[1]
+
+
 def auto_block_window(positions: np.ndarray, cfg: SimConfig, q_block: int,
                       headroom: float = 1.0, minimum: int = 256) -> int:
     """Static chunk width Wc for the fused sweeps.

@@ -32,11 +32,52 @@ def test_sph_only_falls_and_has_pressure(rng):
     np.testing.assert_array_equal(np.asarray(st.iion)[:200], 0.0)
 
 
+def test_sph_only_fused_matches_unfused(rng):
+    cfg = variants.sph_only_config(CFG)
+    pts = _blob(rng, 300)
+    st = init_fluid(pts, cfg)
+    ref = st
+    for _ in range(5):
+        ref, _ = variants.step_sph_only(ref, cfg, 32, 9 * 64)
+    out, aux = variants.simulate_sph_only(st, cfg, 32, 9 * 64, num_steps=5,
+                                          fused=True, q_block=64,
+                                          w_window=128, sub_q=32)
+    assert int(aux.overflow) == 0
+    np.testing.assert_allclose(np.asarray(out.pos)[:300],
+                               np.asarray(ref.pos)[:300], atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.dens)[:300],
+                               np.asarray(ref.dens)[:300], rtol=1e-4)
+
+
+def test_sph_only_scan_driver_records_frames(rng):
+    cfg = variants.sph_only_config(CFG)
+    st = init_fluid(_blob(rng, 150), cfg)
+    out, aux, frames = variants.simulate_sph_only(
+        st, cfg, 32, 9 * 64, num_steps=12, record_every=5)
+    assert frames[0].shape[0] == 2  # two full blocks of 5; 2 leftover steps
+    loop = st
+    for _ in range(12):
+        loop, _ = variants.step_sph_only(loop, cfg, 32, 9 * 64)
+    np.testing.assert_allclose(np.asarray(out.pos), np.asarray(loop.pos),
+                               atol=1e-6)
+
+
+def test_sm_only_scan_driver(rng):
+    pts = _blob(rng, 150)
+    st = init_fluid(pts, CFG)
+    out, _ = variants.simulate_sm_only(st, CFG, num_steps=10)
+    loop = st
+    for _ in range(10):
+        loop, _ = variants.step_sm_only(loop, CFG)
+    np.testing.assert_allclose(np.asarray(out.pos), np.asarray(loop.pos),
+                               atol=1e-6)
+
+
 def test_sm_only_preserves_shape(rng):
     pts = _blob(rng, 150)
     st = init_fluid(pts, CFG)
     for _ in range(10):
-        st, _ = variants.step_sm_only(st, CFG, 32, 9 * 64)
+        st, _ = variants.step_sm_only(st, CFG)
     # shape matching pulls toward the (falling) rest shape: displacement
     # stays finite/small and relative geometry roughly intact
     disp = np.asarray(st.displacement())[:150]

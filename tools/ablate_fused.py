@@ -1,0 +1,234 @@
+"""Ablation timings for the fused coupled step on the real chip.
+
+Each config compiles ONE lax.scan program of STEPS iterations whose carry
+chains (every iteration depends on the previous one's data), runs it once to
+compile, then times REPS chained executions ending with a value fetch — the
+only trustworthy discipline through the axon tunnel (DEVELOPMENT.md).
+
+Usage: python tools/ablate_fused.py [scene] [config ...]
+Configs: full book sort gath swpa swpb sm
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import sph_sm_monodomain_tpu as smt
+from sph_sm_monodomain_tpu.ops.pallas_sweeps import (
+    sweep_a, sweep_b, sweep_bookkeeping)
+from sph_sm_monodomain_tpu.ops.shape_matching import corrected_velocity
+from sph_sm_monodomain_tpu.models.monodomain import step_fused
+
+STEPS = 100
+REPS = 3
+
+
+def timeit(fn, args):
+    out = fn(*args)                       # compile + warmup
+    _ = float(jax.tree_util.tree_leaves(out)[0].reshape(-1)[0])
+    best = float("inf")
+    cur = args
+    for _ in range(REPS):
+        t0 = time.time()
+        out = fn(*cur)
+        _ = float(jax.tree_util.tree_leaves(out)[0].reshape(-1)[0])
+        best = min(best, time.time() - t0)
+        # chain: feed outputs forward where shapes allow
+        cur = tuple(o if isinstance(o, jax.Array) and o.shape == a.shape
+                    else a for o, a in zip(jax.tree_util.tree_leaves(out),
+                                           cur)) \
+            if len(jax.tree_util.tree_leaves(out)) == len(cur) else args
+    return best / STEPS * 1e3             # ms per scanned step
+
+
+def main():
+    scene_name = sys.argv[1] if len(sys.argv) > 1 else "biceps_full"
+    only = set(sys.argv[2:])
+    sc = smt.build_scene(scene_name)
+    st, cfg = sc.state, sc.cfg
+    qb, wc = sc.q_block, sc.block_window
+    print(f"scene={scene_name} n={sc.num_particles} cap={st.capacity} "
+          f"q_block={qb} w={wc}", flush=True)
+
+    book = jax.jit(lambda p, a: sweep_bookkeeping(p, a, cfg, qb),
+                   static_argnums=())
+    order, inv, qs, qe, bs, bl = jax.block_until_ready(
+        book(st.pos, st.active))
+    fields16 = jnp.stack([st.pos[:, 0]] * 16, axis=1)
+
+    def run(name, fn, args):
+        if only and name not in only:
+            return
+        ms = timeit(fn, args)
+        print(f"{name:6s} {ms:8.3f} ms/step", flush=True)
+
+    # ---- full fused step ----
+    @jax.jit
+    def full(state):
+        def body(s, _):
+            s, _aux = step_fused(s, cfg, qb, wc)
+            return s, ()
+        s, _ = jax.lax.scan(body, state, None, length=STEPS)
+        return s
+    run("full", full, (st,))
+
+    # ---- full fused step, v2 kernels at several tunings ----
+    for sub_q, wc2 in [(32, 128), (64, 128), (32, 256), (16, 128)]:
+        name = f"v2_{sub_q}_{wc2}"
+        if only and name not in only:
+            continue
+        @jax.jit
+        def full2(state, sub_q=sub_q, wc2=wc2):
+            def body(s, _):
+                s, _aux = step_fused(s, cfg, qb, wc2, sub_q, impl="v2")
+                return s, ()
+            s, _ = jax.lax.scan(body, state, None, length=STEPS)
+            return s
+        run(name, full2, (st,))
+
+    # ---- bookkeeping only ----
+    @jax.jit
+    def f_book(pos):
+        def body(p, _):
+            o, i, a, b, c, d = sweep_bookkeeping(p, st.active, cfg, qb)
+            p = p + (o[0] % 2).astype(jnp.float32) * 1e-7
+            return p, ()
+        p, _ = jax.lax.scan(body, pos, None, length=STEPS)
+        return p
+    run("book", f_book, (st.pos,))
+
+    # ---- ids + argsort only ----
+    gx, gy, gz = cfg.grid_size
+    @jax.jit
+    def f_sort(pos):
+        def body(p, _):
+            coords = (p / cfg.cell_size).astype(jnp.int32)
+            x, y, z = coords[..., 0], coords[..., 1], coords[..., 2]
+            inside = ((x >= 0) & (x < gx) & (y >= 0) & (y < gy)
+                      & (z >= 0) & (z < gz))
+            ids = jnp.where(inside & st.active, x + gx * (y + gy * z),
+                            cfg.num_cells)
+            o = jnp.argsort(ids, stable=True)
+            p = p + (o[0] % 2).astype(jnp.float32) * 1e-7
+            return p, ()
+        p, _ = jax.lax.scan(body, pos, None, length=STEPS)
+        return p
+    run("sort", f_sort, (st.pos,))
+
+    # ---- the two (N,16) permute gathers ----
+    @jax.jit
+    def f_gath(fields):
+        def body(f, _):
+            fs = f[order]
+            back = fs[inv]
+            return f * (1.0 - 1e-12) + 1e-12 * back, ()
+        f, _ = jax.lax.scan(body, fields, None, length=STEPS)
+        return f
+    run("gath", f_gath, (fields16,))
+
+    # ---- sweep A only (bookkeeping hoisted) ----
+    pos_s = st.pos[order]
+    mass_s = st.mass[order]
+    @jax.jit
+    def f_swpa(cvel_s, vol_s):
+        def body(c, _):
+            cv, vol = c
+            dens, xsph = sweep_a(pos_s, cv, vol, mass_s, qs, qe, bs, bl,
+                                 qb, wc, cfg)
+            cv = cv + 1e-9 * xsph
+            vol = mass_s / jnp.maximum(dens, 1.0)
+            return (cv, vol), ()
+        c, _ = jax.lax.scan(body, (cvel_s, vol_s), None, length=STEPS)
+        return c
+    vol0 = mass_s / st.dens[order]
+    run("swpa", f_swpa, (jnp.zeros_like(pos_s), vol0))
+
+    # ---- sweep B only ----
+    @jax.jit
+    def f_swpb(ivel_s, vm_s):
+        def body(c, _):
+            iv, vm = c
+            acc, lap = sweep_b(pos_s, iv, vol0, mass_s * 0.0, vm, qs, qe,
+                               bs, bl, qb, wc, cfg)
+            return (iv + 1e-9 * acc, vm + 1e-9 * lap), ()
+        c, _ = jax.lax.scan(body, (ivel_s, vm_s), None, length=STEPS)
+        return c
+    run("swpb", f_swpb, (jnp.zeros_like(pos_s), mass_s * 0.0))
+
+    # ---- pointwise glue: EOS + FHN + integrate (no sweeps/book) ----
+    from sph_sm_monodomain_tpu.ops.integrate import update_properties
+    from sph_sm_monodomain_tpu.ops.electrophysiology import fhn_cell_model
+
+    @jax.jit
+    def f_pw(state):
+        def body(s, _):
+            pres = cfg.k_stiffness * (s.dens - cfg.stand_density) \
+                - s.vm * cfg.voltage_constant
+            pres = jnp.where(s.stim > 0.0,
+                             jnp.clip(pres, -cfg.max_pressure,
+                                      cfg.max_pressure), -0.0)
+            s = s.replace(pres=pres)
+            s = fhn_cell_model(s, cfg)
+            s = update_properties(s, cfg)
+            return s, ()
+        s, _ = jax.lax.scan(body, state, None, length=STEPS)
+        return s
+    run("pw", f_pw, (st,))
+
+    # ---- the two 16-field stacks (no gather) ----
+    @jax.jit
+    def f_stk(state):
+        def body(s, _):
+            f = jnp.stack([s.pos[:, 0], s.pos[:, 1], s.pos[:, 2],
+                           s.vel[:, 0], s.vel[:, 1], s.vel[:, 2],
+                           s.mass, s.dens, s.vm, s.stim, s.iion, s.w,
+                           s.mass, s.mass, s.mass, s.mass], axis=1)
+            g = jnp.stack([f[:, 0], f[:, 1], f[:, 2], f[:, 3], f[:, 4],
+                           f[:, 5], f[:, 6], f[:, 7], f[:, 8], f[:, 9],
+                           f[:, 10], f[:, 11], f[:, 12], f[:, 13],
+                           f[:, 14], f[:, 15]], axis=1)
+            s = s.replace(dens=s.dens + 1e-12 * g[:, 7])
+            return s, ()
+        s, _ = jax.lax.scan(body, state, None, length=STEPS)
+        return s
+    run("stk", f_stk, (st,))
+
+    # ---- combined single-int32 sort (ids<<15 | idx) ----
+    @jax.jit
+    def f_sort2(pos):
+        iota = jnp.arange(pos.shape[0], dtype=jnp.int32)
+        def body(p, _):
+            coords = (p / cfg.cell_size).astype(jnp.int32)
+            x, y, z = coords[..., 0], coords[..., 1], coords[..., 2]
+            inside = ((x >= 0) & (x < gx) & (y >= 0) & (y < gy)
+                      & (z >= 0) & (z < gz))
+            ids = jnp.where(inside & st.active, x + gx * (y + gy * z),
+                            cfg.num_cells)
+            comb = jnp.sort(ids * 32768 + iota)
+            o = comb & 32767
+            p = p + (o[0] % 2).astype(jnp.float32) * 1e-7
+            return p, ()
+        p, _ = jax.lax.scan(body, pos, None, length=STEPS)
+        return p
+    run("sort2", f_sort2, (st.pos,))
+
+    # ---- shape matching only ----
+    @jax.jit
+    def f_sm(state):
+        def body(s, _):
+            s = corrected_velocity(s, cfg)
+            s = s.replace(pos=s.pos + 1e-9 * s.corrected_vel)
+            return s, ()
+        s, _ = jax.lax.scan(body, state, None, length=STEPS)
+        return s
+    run("sm", f_sm, (st,))
+
+
+if __name__ == "__main__":
+    main()
