@@ -39,7 +39,8 @@ def main():
         out = smt.simulate(state, cfg, sc.cell_capacity,
                            sc.neighbor_capacity, num_steps=n,
                            fused=fused, q_block=sc.q_block,
-                           w_window=sc.block_window)
+                           w_window=sc.block_window,
+                           sub_q=(sc.sub_block or None))
         fetch(out[0])
         return out
 
@@ -54,7 +55,8 @@ def main():
         out = smt.simulate(state, cfg, sc.cell_capacity,
                            sc.neighbor_capacity, num_steps=steps,
                            fused=fused, q_block=sc.q_block,
-                           w_window=sc.block_window)
+                           w_window=sc.block_window,
+                           sub_q=(sc.sub_block or None))
         state = out[0]
         fetch(state)   # force real completion every rep
     dt = (time.time() - t0) / reps

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from ..config import SimConfig
 from ..state import ParticleState
 from ..ops.grid import build_neighbor_table
-from ..ops.shape_matching import corrected_velocity
+from ..ops.shape_matching import corrected_velocity, sm_invariants
 from ..ops.sph import (density_pressure, force_and_diffusion,
                        xsph_intermediate_velocity)
 from ..ops.electrophysiology import fhn_cell_model, turn_off_stim
@@ -45,7 +45,8 @@ class StepAux(NamedTuple):
                                    "impl"))
 def step_fused(state: ParticleState, cfg: SimConfig, q_block: int,
                w_window: int, sub_q: int | None = None,
-               impl: str = "v2") -> tuple[ParticleState, StepAux]:
+               impl: str = "v3",
+               sm_inv=None) -> tuple[ParticleState, StepAux]:
     """One coupled step with the fused Pallas sweeps (ops/pallas_sweeps.py).
 
     Physics-equivalent to `step` (same phase order as
@@ -55,11 +56,17 @@ def step_fused(state: ParticleState, cfg: SimConfig, q_block: int,
     candidates, lane-wise accumulators) — trajectories agree to fp32
     tolerance.
 
-    impl="v2" (default): lean searchsorted bookkeeping + coordinate-mask
-    kernels; impl="v1": per-query bound arrays + MXU-contraction kernels.
+    impl="v3" (default): lean bookkeeping + coordinate-mask kernels with
+    the pointwise phases (EOS, FHN, integration) folded into the sweep
+    epilogues; impl="v2": same sweeps with XLA pointwise glue; impl="v1":
+    per-query bound arrays + MXU-contraction kernels.
     """
+    if impl == "v3":
+        return _step_fused_v3(state, cfg, q_block, w_window, sub_q or 64,
+                              sm_inv)
     if impl == "v2":
-        return _step_fused_v2(state, cfg, q_block, w_window, sub_q or 32)
+        return _step_fused_v2(state, cfg, q_block, w_window, sub_q or 32,
+                              sm_inv)
     from ..ops import kernels as K
     from ..ops.pallas_sweeps import sweep_a, sweep_b, sweep_bookkeeping
 
@@ -138,18 +145,68 @@ def step_fused(state: ParticleState, cfg: SimConfig, q_block: int,
     return state, StepAux(overflow=jnp.zeros((), jnp.int32))
 
 
+def _step_fused_v3(state: ParticleState, cfg: SimConfig, q_block: int,
+                   w_window: int, sub_q: int,
+                   sm_inv=None) -> tuple[ParticleState, StepAux]:
+    """v3 fused step: both sweeps carry the pointwise phases in their
+    epilogues; the only XLA work per step is bookkeeping, shape matching,
+    one sorted gather, one candidate-feature stack per sweep and one
+    unsorting gather (see ops/fused_step.py)."""
+    from ..ops.pallas_sweeps import sweep_bookkeeping2
+    from ..ops.fused_step import feats_from_out_a, sweep_a3, sweep_b3
+
+    order, inv, blk_lo, blk_hi, chash = sweep_bookkeeping2(
+        state.pos, state.active, cfg, sub_q)
+
+    # phase 2: shape matching (original order; MXU reductions)
+    state = corrected_velocity(state, cfg, sm_inv=sm_inv)
+
+    n = state.capacity
+    fields = jnp.concatenate([
+        state.pos, state.corrected_vel, state.mass[:, None],
+        state.dens[:, None], state.vm[:, None], state.stim[:, None],
+        state.iion[:, None], state.w[:, None], chash[:, None],
+        jnp.zeros((n, 3), jnp.float32)], axis=1)            # QM_A layout
+    fs = fields[order]                                      # (N, 16)
+
+    z = jnp.zeros((n,), jnp.float32)
+    vol_prev = jnp.where(fs[:, 7] > 0.0, fs[:, 6] / fs[:, 7], 0.0)
+    feats_a = jnp.stack([fs[:, 0], fs[:, 1], fs[:, 2], fs[:, 3], fs[:, 4],
+                         fs[:, 5], vol_prev, fs[:, 6], z, z, z, z,
+                         fs[:, 12], z, z, z], axis=0)
+    out_a = sweep_a3(fs, feats_a, blk_lo, blk_hi, q_block, w_window, cfg,
+                     sub_q=sub_q)
+
+    vol_now = jnp.where(out_a[:, 8] > 0.0, out_a[:, 10] / out_a[:, 8], 0.0)
+    feats_b = feats_from_out_a(out_a, vol_now)
+    out_b = sweep_b3(out_a, feats_b, blk_lo, blk_hi, q_block, w_window,
+                     cfg, sub_q=sub_q)
+
+    # single unsorting gather; fixed/inactive keeps in original order
+    ou = jnp.concatenate([out_b, out_a[:, 3:6]], axis=1)[inv]
+    act = state.active
+    upd = act & ~state.fixed
+    state = state.replace(
+        pos=jnp.where(upd[:, None], ou[:, 0:3], state.pos),
+        vel=jnp.where(upd[:, None], ou[:, 3:6], state.vel),
+        vm=jnp.where(act, ou[:, 6], state.vm),
+        dens=ou[:, 7], pres=ou[:, 8], iion=ou[:, 9], w=ou[:, 10],
+        inter_vm=ou[:, 11], acc=ou[:, 12:15], inter_vel=ou[:, 16:19])
+    return state, StepAux(overflow=jnp.zeros((), jnp.int32))
+
+
 def _step_fused_v2(state: ParticleState, cfg: SimConfig, q_block: int,
-                   w_window: int, sub_q: int) -> tuple[ParticleState,
-                                                       StepAux]:
+                   w_window: int, sub_q: int,
+                   sm_inv=None) -> tuple[ParticleState, StepAux]:
     """v2 fused step: lean bookkeeping + coordinate-mask sweep kernels."""
     from ..ops import kernels as K
     from ..ops.pallas_sweeps import sweep_a2, sweep_b2, sweep_bookkeeping2
 
-    order, inv, blk_lo, blk_hi, ccoord = sweep_bookkeeping2(
+    order, inv, blk_lo, blk_hi, chash = sweep_bookkeeping2(
         state.pos, state.active, cfg, sub_q)
 
     # phase 2: shape matching (original order; MXU reductions)
-    state = corrected_velocity(state, cfg)
+    state = corrected_velocity(state, cfg, sm_inv=sm_inv)
 
     # sorted views: ONE (N, 16) gather instead of sixteen (N,) gathers
     zeros1 = jnp.zeros_like(state.mass)
@@ -158,7 +215,7 @@ def _step_fused_v2(state: ParticleState, cfg: SimConfig, q_block: int,
         state.corrected_vel[:, 0], state.corrected_vel[:, 1],
         state.corrected_vel[:, 2], state.mass, state.dens, state.vm,
         state.stim, state.iion, state.w,
-        ccoord[:, 0], ccoord[:, 1], ccoord[:, 2], zeros1], axis=1)
+        chash, zeros1, zeros1, zeros1], axis=1)
     fs = fields[order]                                      # (N, 16)
     pos_s = fs[:, 0:3]
     cvel_s = fs[:, 3:6]
@@ -168,13 +225,13 @@ def _step_fused_v2(state: ParticleState, cfg: SimConfig, q_block: int,
     stim_s = fs[:, 9]
     iion_s = fs[:, 10]
     w_rec_s = fs[:, 11]
-    coord_s = fs[:, 12:15]
+    hash_s = fs[:, 12]
 
     # phases 3+4: fused XSPH + density (prev-step densities for volumes;
     # zero the volumes of lanes whose density is non-positive — inactive
     # padding — so masked-lane products stay finite)
     vol_prev = jnp.where(dens_prev_s > 0.0, mass_s / dens_prev_s, 0.0)
-    dens_s, xsph_s = sweep_a2(pos_s, cvel_s, vol_prev, mass_s, coord_s,
+    dens_s, xsph_s = sweep_a2(pos_s, cvel_s, vol_prev, mass_s, hash_s,
                               blk_lo, blk_hi, q_block, w_window, cfg,
                               sub_q=sub_q)
     inter_vel_s = cvel_s + xsph_s * cfg.velocity_mixing     # cpp:699
@@ -203,7 +260,7 @@ def _step_fused_v2(state: ParticleState, cfg: SimConfig, q_block: int,
     dens_guard = jnp.where(dens_s > 0.0, dens_s, 1.0)
     vol_now = mass_s / dens_guard
     acc_raw_s, lap_s = sweep_b2(pos_s, inter_vel_s, vol_now, pres_s, vm_s,
-                                coord_s, blk_lo, blk_hi, q_block, w_window,
+                                hash_s, blk_lo, blk_hi, q_block, w_window,
                                 cfg, sub_q=sub_q)
     acc_s = acc_raw_s / dens_guard[:, None]                 # cpp:568
     inter_vm_s = lap_s + (cfg.sigma / (cfg.beta_sv_ratio
@@ -228,11 +285,12 @@ def _step_fused_v2(state: ParticleState, cfg: SimConfig, q_block: int,
 @partial(jax.jit, static_argnames=("cfg", "cell_capacity",
                                    "neighbor_capacity"))
 def step(state: ParticleState, cfg: SimConfig, cell_capacity: int,
-         neighbor_capacity: int) -> tuple[ParticleState, StepAux]:
+         neighbor_capacity: int,
+         sm_inv=None) -> tuple[ParticleState, StepAux]:
     """One coupled simulation step (Animation -> compute_SPH_SM_monodomain)."""
     nbr = build_neighbor_table(state.pos, state.pos, state.active, cfg,
                                cell_capacity, neighbor_capacity)
-    state = corrected_velocity(state, cfg)
+    state = corrected_velocity(state, cfg, sm_inv=sm_inv)
     state = xsph_intermediate_velocity(state, nbr, cfg)
     state = density_pressure(state, nbr, cfg)
     state = fhn_cell_model(state, cfg)
@@ -245,14 +303,15 @@ def _step_with_protocol(state: ParticleState, i: jax.Array, cfg: SimConfig,
                         cell_capacity: int, neighbor_capacity: int,
                         stim_off_step: int, fused: bool = False,
                         q_block: int = 128, w_window: int = 512,
-                        sub_q: int | None = None):
+                        sub_q: int | None = None, sm_inv=None):
     if stim_off_step >= 0:
         state = jax.lax.cond(i == stim_off_step,
                              lambda s: turn_off_stim(s, cfg),
                              lambda s: s, state)
     if fused:
-        return step_fused(state, cfg, q_block, w_window, sub_q)
-    return step(state, cfg, cell_capacity, neighbor_capacity)
+        return step_fused(state, cfg, q_block, w_window, sub_q,
+                          sm_inv=sm_inv)
+    return step(state, cfg, cell_capacity, neighbor_capacity, sm_inv=sm_inv)
 
 
 @partial(jax.jit, static_argnames=("cfg", "cell_capacity",
@@ -278,11 +337,15 @@ def simulate(state: ParticleState, cfg: SimConfig, cell_capacity: int,
     full block run unrecorded.
     """
 
+    # rest-shape SM moments are run constants: hoisted out of the scan
+    sm_inv = sm_invariants(state, cfg)
+
     def one_step(carry, i):
         st, acc_overflow = carry
         st, aux = _step_with_protocol(st, i, cfg, cell_capacity,
                                       neighbor_capacity, stim_off_step,
-                                      fused, q_block, w_window, sub_q)
+                                      fused, q_block, w_window, sub_q,
+                                      sm_inv=sm_inv)
         return (st, jnp.maximum(acc_overflow, aux.overflow)), ()
 
     carry = (state, jnp.asarray(0, jnp.int32))

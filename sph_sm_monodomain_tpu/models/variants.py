@@ -21,7 +21,8 @@ import jax.numpy as jnp
 from ..config import SimConfig
 from ..state import ParticleState
 from ..ops.grid import NeighborTable, build_neighbor_table
-from ..ops.shape_matching import apply_external_forces, corrected_velocity
+from ..ops.shape_matching import (apply_external_forces, corrected_velocity,
+                                  sm_invariants)
 from ..ops.sph import (density_pressure, force_and_diffusion,
                        xsph_intermediate_velocity)
 from ..ops.electrophysiology import fhn_cell_model
@@ -67,7 +68,7 @@ def step_sph_only_fused(state: ParticleState, cfg: SimConfig,
     Physics-equivalent to `step_sph_only`."""
     from ..ops.pallas_sweeps import sweep_a2, sweep_b2, sweep_bookkeeping2
 
-    order, inv, blk_lo, blk_hi, ccoord = sweep_bookkeeping2(
+    order, inv, blk_lo, blk_hi, chash = sweep_bookkeeping2(
         state.pos, state.active, cfg, sub_q)
     state = apply_external_forces(state, cfg)
     state = state.replace(corrected_vel=state.predicted_vel)
@@ -77,15 +78,15 @@ def step_sph_only_fused(state: ParticleState, cfg: SimConfig,
         state.pos[:, 0], state.pos[:, 1], state.pos[:, 2],
         state.corrected_vel[:, 0], state.corrected_vel[:, 1],
         state.corrected_vel[:, 2], state.mass, state.dens, state.stim,
-        ccoord[:, 0], ccoord[:, 1], ccoord[:, 2],
-        zeros1, zeros1, zeros1, zeros1], axis=1)
+        chash, zeros1, zeros1, zeros1,
+        zeros1, zeros1, zeros1], axis=1)
     fs = fields[order]
     pos_s, cvel_s = fs[:, 0:3], fs[:, 3:6]
     mass_s, dens_prev_s, stim_s = fs[:, 6], fs[:, 7], fs[:, 8]
-    coord_s = fs[:, 9:12]
+    hash_s = fs[:, 9]
 
     vol_prev = jnp.where(dens_prev_s > 0.0, mass_s / dens_prev_s, 0.0)
-    dens_s, xsph_s = sweep_a2(pos_s, cvel_s, vol_prev, mass_s, coord_s,
+    dens_s, xsph_s = sweep_a2(pos_s, cvel_s, vol_prev, mass_s, hash_s,
                               blk_lo, blk_hi, q_block, w_window, cfg,
                               sub_q=sub_q)
     inter_vel_s = cvel_s + xsph_s * cfg.velocity_mixing     # cpp:699
@@ -102,7 +103,7 @@ def step_sph_only_fused(state: ParticleState, cfg: SimConfig,
 
     dens_guard = jnp.where(dens_s > 0.0, dens_s, 1.0)
     acc_raw_s, _lap = sweep_b2(pos_s, inter_vel_s, mass_s / dens_guard,
-                               pres_s, jnp.zeros_like(dens_s), coord_s,
+                               pres_s, jnp.zeros_like(dens_s), hash_s,
                                blk_lo, blk_hi, q_block, w_window, cfg,
                                sub_q=sub_q)
     acc_s = acc_raw_s / dens_guard[:, None]                 # cpp:568
@@ -145,11 +146,11 @@ def simulate_sph_only(state: ParticleState, cfg: SimConfig,
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def step_sm_only(state: ParticleState, cfg: SimConfig
+def step_sm_only(state: ParticleState, cfg: SimConfig, sm_inv=None
                  ) -> tuple[ParticleState, StepAux]:
     """Shape matching + gravity only: viscoelastic solid, no fluid forces,
     no electrophysiology (and no neighbor table — SM is global)."""
-    state = corrected_velocity(state, cfg)
+    state = corrected_velocity(state, cfg, sm_inv=sm_inv)
     state = state.replace(inter_vel=state.corrected_vel,
                           acc=jnp.zeros_like(state.acc),
                           inter_vm=jnp.zeros_like(state.inter_vm))
@@ -161,9 +162,11 @@ def step_sm_only(state: ParticleState, cfg: SimConfig
 def simulate_sm_only(state: ParticleState, cfg: SimConfig, num_steps: int,
                      record_every: int = 0):
     """Scan driver for the SM-only viscoelastic solid."""
+    sm_inv = sm_invariants(state, cfg)
+
     def one(c, _):
         st, ovf = c
-        st, aux = step_sm_only(st, cfg)
+        st, aux = step_sm_only(st, cfg, sm_inv)
         return (st, ovf), ()
 
     return _scan_with_frames(one, state, num_steps, record_every,

@@ -1,0 +1,365 @@
+"""v3 fully-fused coupled step: two Pallas sweeps, near-zero XLA glue.
+
+Builds on the v2 machinery of ops/pallas_sweeps.py (sorted candidate
+windows, in-kernel 3x3x3 stencil masks) and additionally folds every
+pointwise phase of the reference step into the sweep kernels:
+
+  sweep A (kernel): XSPH + density gather (calculate_intermediate_velocity
+      cpp:669-701 + Compute_Density_SingPressure cpp:448-513) with an
+      epilogue computing the EOS pressure + voltage coupling + stim gate
+      (cpp:486-503) and the FHN reaction ODEs (calculate_cell_model
+      cpp:575-593).
+  sweep B (kernel): pressure/viscosity forces + Vm Laplacian gather
+      (Compute_Force cpp:515-573) with an epilogue performing the full
+      semi-implicit Euler integration, voltage update, wall reflection and
+      AABB clamp (Update_Properties cpp:596-651).
+
+The matrices are laid out so that NO XLA work happens between the kernels
+except one (16, N) candidate-feature stack: sweep A's output matrix IS
+sweep B's query matrix.
+
+Layouts (16 f32 columns per particle, sorted order):
+  QM_A / fs:  [pos3 | cvel3 | mass | dens_prev | vm | stim | iion | w |
+               chash | - | - | -]
+  OUT_A/QM_B: [pos3 | ivel3 | pres | vm | dens | react | mass | iion' |
+               chash | - | - | w']   (react = (iion' - stim*dt/m)/Cm)
+  OUT_B:      [pos'3 | vel'3 | vm' | dens | pres | iion' | w' | inter_vm |
+               acc3 | -]
+Feature rows (16, N): [pos3 | vel3 | vol | pres | vm | - - - | chash | ...]
+(sweep A reads vol_prev/mass in the pres/vm slots). `chash` is the f32
+linear cell hash driving the in-kernel stencil mask (see
+pallas_sweeps.sweep_bookkeeping2).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import SimConfig
+from .pallas_sweeps import (_RUN_OFFSETS, VMEM_FEATS_LIMIT_BYTES,
+                            _interpret_default, _PAIR_EPS, _slice_rows)
+
+
+def _gather_loop(blk_lo_ref, blk_hi_ref, feats_ref, scratch, w_chunk,
+                 qh, base, pair_fn, accs, cfg: SimConfig,
+                 hbm_feats: bool):
+    """Shared 9-run candidate enumeration: applies `pair_fn(cand, mask,
+    accs) -> accs` to every (16, w_chunk) candidate chunk. The mask is the
+    hash-distance stencil test |hash_q + d_r - hash_c| <= 1 alone — it is
+    exact: rows outside the nominal window bounds can never satisfy it,
+    zero-padded rows are inert (mass = vol = 0), inactive rows carry a
+    hash sentinel, and a pair passes under at most one run offset (offsets
+    differ by >= Gx > 2), so overlapping windows cannot double-count."""
+    gx, gy, _ = cfg.grid_size
+    for r in range(9):
+        d_r = float(gx * (_RUN_OFFSETS[r, 0] + gy * _RUN_OFFSETS[r, 1]))
+        qhd = qh + jnp.float32(d_r)
+        w_lo = blk_lo_ref[base * 16 + r]
+        w_hi = blk_hi_ref[base * 16 + r]
+        start = pl.multiple_of((w_lo // 128) * 128, 128)
+        trips = pl.cdiv(w_hi - start, w_chunk)
+
+        def chunk(c, carry, start=start, qhd=qhd):
+            off = pl.multiple_of(start + c * w_chunk, 128)
+            if hbm_feats:
+                buf, sem = scratch
+                cp = pltpu.make_async_copy(
+                    feats_ref.at[:, pl.ds(off, w_chunk)], buf, sem)
+                cp.start()
+                cp.wait()
+                cand = buf[:, :]
+            else:
+                cand = feats_ref[:, pl.ds(off, w_chunk)]
+            stencil = jnp.abs(qhd - cand[12:13, :]) <= 1.0
+            return pair_fn(cand, stencil, carry)
+
+        accs = jax.lax.fori_loop(0, trips, chunk, accs)
+    return accs
+
+
+def _kernel_a3(blk_lo_ref, blk_hi_ref, qm_ref, feats_ref, out_ref,
+               *scratch, cfg: SimConfig, w_chunk: int, sub_q: int,
+               with_ep: bool, hbm_feats: bool = False):
+    """XSPH + density gather, then EOS + FHN epilogue. Writes OUT_A."""
+    bid = pl.program_id(0)
+    nsub = qm_ref.shape[0] // sub_q
+    h2 = jnp.float32(cfg.kernel_h * cfg.kernel_h)
+    p6c = jnp.float32(cfg.poly6_constant)
+    dt = jnp.float32(cfg.time_delta)
+
+    for sb in range(nsub):
+        lo_q = sb * sub_q
+        base = bid * nsub + sb
+        sl = slice(lo_q, lo_q + sub_q)
+        qx = qm_ref[sl, 0:1]
+        qy = qm_ref[sl, 1:2]
+        qz = qm_ref[sl, 2:3]
+        qcv = qm_ref[sl, 3:6]
+        mass = qm_ref[sl, 6:7]
+        vm = qm_ref[sl, 8:9]
+        stim = qm_ref[sl, 9:10]
+        qh = qm_ref[sl, 12:13]
+
+        # per-pair difference form (the reference's own accumulation shape,
+        # cpp:688-695): 4 accumulators keep the chunk loop register-resident
+        def pair(cand, m, carry, qx=qx, qy=qy, qz=qz, qcv=qcv):
+            a_d, a_x, a_y, a_z = carry
+            dx = qx - cand[0:1, :]
+            dy = qy - cand[1:2, :]
+            dz = qz - cand[2:3, :]
+            r2 = dx * dx + dy * dy + dz * dz
+            t = h2 - r2
+            w6 = jnp.where(m & (r2 <= h2), p6c * t * t * t, 0.0)
+            wv = w6 * cand[6:7, :]                           # * vol_prev_j
+            return (a_d + w6 * cand[7:8, :],
+                    a_x + wv * (cand[3:4, :] - qcv[:, 0:1]),
+                    a_y + wv * (cand[4:5, :] - qcv[:, 1:2]),
+                    a_z + wv * (cand[5:6, :] - qcv[:, 2:3]))
+
+        zeros = jnp.zeros((sub_q, w_chunk), jnp.float32)
+        a_d, a_x, a_y, a_z = _gather_loop(
+            blk_lo_ref, blk_hi_ref, feats_ref, scratch, w_chunk,
+            qh, base, pair, (zeros,) * 4, cfg, hbm_feats)
+
+        red = lambda a: jnp.sum(a, axis=1, keepdims=True)
+        dens = red(a_d)
+        ivel = qcv + jnp.concatenate(
+            [red(a_x), red(a_y), red(a_z)], axis=1) \
+            * jnp.float32(cfg.velocity_mixing)               # cpp:699
+
+        if cfg.quirk_double_self_density:                    # cpp:483
+            dens = dens + mass * (p6c * h2 * h2 * h2)
+        pres = jnp.float32(cfg.k_stiffness) \
+            * (dens - jnp.float32(cfg.stand_density))        # cpp:486
+        if with_ep:
+            pres = pres - vm * jnp.float32(cfg.voltage_constant)  # cpp:491
+        pres_c = jnp.clip(pres, -cfg.max_pressure, cfg.max_pressure)
+        if cfg.quirk_pressure_stim_gate:                     # cpp:493-503
+            pres = jnp.where(stim > 0.0, pres_c,
+                             jnp.float32(-0.0))
+        else:
+            pres = pres_c
+
+        dtm = dt / mass
+        if with_ep:
+            # FHN reaction (calculate_cell_model, cpp:575-593)
+            iion = qm_ref[sl, 10:11]
+            w_rec = qm_ref[sl, 11:12]
+            denom = jnp.float32(cfg.fh_vp - cfg.fh_vr)
+            asd = jnp.float32((cfg.fh_vt - cfg.fh_vr)
+                              / (cfg.fh_vp - cfg.fh_vr))
+            u = (vm - jnp.float32(cfg.fh_vr)) / denom
+            d_iion = dt * (jnp.float32(cfg.fh_c1) * u * (u - asd)
+                           * (u - 1.0)
+                           + jnp.float32(cfg.fh_c2) * w_rec) / mass
+            iion_n = (iion + d_iion) if cfg.quirk_iion_accumulate else d_iion
+            w_n = w_rec + dt * jnp.float32(cfg.fh_c3) \
+                * (u - jnp.float32(cfg.fh_c4) * w_rec) / mass
+            react = (iion_n - stim * dtm) \
+                / jnp.float32(cfg.cm_capacitance)            # cpp:571
+        else:
+            iion_n = jnp.zeros((sub_q, 1), jnp.float32)
+            w_n = jnp.zeros((sub_q, 1), jnp.float32)
+            react = jnp.zeros((sub_q, 1), jnp.float32)
+
+        out_ref[sl, 0:3] = qm_ref[sl, 0:3]                   # pos
+        out_ref[sl, 3:6] = ivel
+        out_ref[sl, 6:7] = pres
+        out_ref[sl, 7:8] = vm
+        out_ref[sl, 8:9] = dens
+        out_ref[sl, 9:10] = react
+        out_ref[sl, 10:11] = mass
+        out_ref[sl, 11:12] = iion_n
+        out_ref[sl, 12:15] = qm_ref[sl, 12:15]               # chash, spares
+        out_ref[sl, 15:16] = w_n
+
+
+def _kernel_b3(blk_lo_ref, blk_hi_ref, qm_ref, feats_ref, out_ref,
+               *scratch, cfg: SimConfig, w_chunk: int, sub_q: int,
+               with_ep: bool, hbm_feats: bool = False):
+    """Force + Vm Laplacian gather, then full integration epilogue
+    (Update_Properties, cpp:596-651). Reads OUT_A as QM, writes OUT_B."""
+    bid = pl.program_id(0)
+    nsub = qm_ref.shape[0] // sub_q
+    h = jnp.float32(cfg.kernel_h)
+    inv_h = jnp.float32(1.0 / cfg.kernel_h)
+    spiky_c = jnp.float32(cfg.spiky_constant)
+    bs_c = jnp.float32(cfg.b_spline_constant)
+    mu = jnp.float32(cfg.mu_viscosity)
+    dt = jnp.float32(cfg.time_delta)
+
+    for sb in range(nsub):
+        lo_q = sb * sub_q
+        base = bid * nsub + sb
+        sl = slice(lo_q, lo_q + sub_q)
+        qpos = qm_ref[sl, 0:3]
+        qx = qm_ref[sl, 0:1]
+        qy = qm_ref[sl, 1:2]
+        qz = qm_ref[sl, 2:3]
+        qiv = qm_ref[sl, 3:6]
+        qp = qm_ref[sl, 6:7]
+        qvm = qm_ref[sl, 7:8]
+        dens = qm_ref[sl, 8:9]
+        react = qm_ref[sl, 9:10]
+        mass = qm_ref[sl, 10:11]
+        qh = qm_ref[sl, 12:13]
+
+        # per-pair difference form, exactly the reference's accumulation
+        # shape (cpp:550-563): acc -= f_p*(pos_i - pos_j), acc +=
+        # f_v*(u_j - u_i), lap += vw*(vm_j - vm_i). 4 accumulators keep the
+        # chunk loop register-resident (10 split-sum tiles spilled to VMEM).
+        def pair(cand, m, carry, qx=qx, qy=qy, qz=qz, qp=qp, qiv=qiv,
+                 qvm=qvm):
+            a_ax, a_ay, a_az, a_lap = carry
+            dx = qx - cand[0:1, :]
+            dy = qy - cand[1:2, :]
+            dz = qz - cand[2:3, :]
+            r2 = dx * dx + dy * dy + dz * dz
+            p = m & (r2 > _PAIR_EPS)                         # cpp:546
+            inv_rr = jax.lax.rsqrt(jnp.where(p, r2, 1.0))
+            rr = r2 * inv_rr
+            vol_j = cand[6:7, :]
+            hr = h - rr
+            common = jnp.where(p & (rr <= h), vol_j * (spiky_c * hr), 0.0)
+            f_p = common * (hr * (-0.5) * inv_rr) * (qp + cand[7:8, :])
+            f_v = mu * common
+            a_ax = a_ax + (f_v * (cand[3:4, :] - qiv[:, 0:1]) - f_p * dx)
+            a_ay = a_ay + (f_v * (cand[4:5, :] - qiv[:, 1:2]) - f_p * dy)
+            a_az = a_az + (f_v * (cand[5:6, :] - qiv[:, 2:3]) - f_p * dz)
+            if with_ep:
+                qr = rr * inv_h
+                w2 = jnp.where(qr < 1.0, bs_c * (-3.0 + 4.5 * qr),
+                               jnp.where(qr < 2.0,
+                                         bs_c * 1.5 * (2.0 - qr), 0.0))
+                vw = jnp.where(p, vol_j * w2, 0.0)
+                a_lap = a_lap + vw * (cand[8:9, :] - qvm)
+            return (a_ax, a_ay, a_az, a_lap)
+
+        zeros = jnp.zeros((sub_q, w_chunk), jnp.float32)
+        a_ax, a_ay, a_az, a_lap = _gather_loop(
+            blk_lo_ref, blk_hi_ref, feats_ref, scratch, w_chunk,
+            qh, base, pair, (zeros,) * 4, cfg, hbm_feats)
+
+        red = lambda a: jnp.sum(a, axis=1, keepdims=True)
+        dens_g = jnp.where(dens > 0.0, dens, 1.0)
+        acc = jnp.concatenate([red(a_ax), red(a_ay), red(a_az)],
+                              axis=1) / dens_g               # cpp:568
+
+        dtm = dt / mass
+        if with_ep:
+            lap = red(a_lap)
+            scale = jnp.float32(cfg.sigma / (cfg.beta_sv_ratio
+                                             * cfg.cm_capacitance))
+            inter_vm = lap + scale * lap - react             # cpp:571
+            vm_new = qvm + inter_vm * dtm                    # cpp:612
+            vm_new = jnp.clip(vm_new, -cfg.max_voltage, cfg.max_voltage)
+        else:
+            inter_vm = jnp.zeros((sub_q, 1), jnp.float32)
+            vm_new = qvm
+
+        # semi-implicit Euler + walls (cpp:596-651); the fixed-particle /
+        # inactive-lane keeps happen in original order after the unsort
+        vel = qiv + acc * dtm                                # cpp:608
+        pos = qpos + vel * dt                                # cpp:609
+        p_cols, v_cols = [], []
+        for ax in range(3):
+            wlim = jnp.float32(cfg.world_size[ax])
+            p = pos[:, ax:ax + 1]
+            v = vel[:, ax:ax + 1]
+            low = p < 0.0
+            high = p >= wlim
+            v = jnp.where(low | high, v * jnp.float32(cfg.wall_hit), v)
+            p = jnp.where(low, 0.0, p)
+            p = jnp.where(high, wlim - 1e-4, p)
+            p_cols.append(jnp.clip(p, 0.0, wlim))            # cpp:649
+            v_cols.append(v)
+
+        out_ref[sl, 0:3] = jnp.concatenate(p_cols, axis=1)
+        out_ref[sl, 3:6] = jnp.concatenate(v_cols, axis=1)
+        out_ref[sl, 6:7] = vm_new
+        out_ref[sl, 7:8] = dens
+        out_ref[sl, 8:9] = qp
+        out_ref[sl, 9:10] = qm_ref[sl, 11:12]                # iion'
+        out_ref[sl, 10:11] = qm_ref[sl, 15:16]               # w'
+        out_ref[sl, 11:12] = inter_vm
+        out_ref[sl, 12:15] = acc
+        out_ref[sl, 15:16] = jnp.zeros((sub_q, 1), jnp.float32)
+
+
+def _call_kernel3(kernel, feats_t, qmat, blk_lo, blk_hi, q_block, w_chunk,
+                  sub_q, cfg, with_ep, interpret, q_slice=None):
+    if (qmat.shape[0] // sub_q) * 128 > 900_000:
+        raise ValueError(
+            f"sub_q={sub_q} yields {qmat.shape[0] // sub_q} window blocks; "
+            "their SMEM-prefetched bounds would exceed the 1 MB scalar "
+            "memory budget — use a larger sub_q")
+    if q_slice is not None:
+        off, cnt = q_slice
+        qmat = _slice_rows(qmat, off, cnt)
+        blk_lo = jax.lax.dynamic_slice(blk_lo, (off // sub_q * 16,),
+                                       (cnt // sub_q * 16,))
+        blk_hi = jax.lax.dynamic_slice(blk_hi, (off // sub_q * 16,),
+                                       (cnt // sub_q * 16,))
+    n = qmat.shape[0]
+    b = n // q_block
+    feats_t = jnp.pad(feats_t, ((0, 0), (0, w_chunk)))
+    hbm_feats = feats_t.size * 4 > VMEM_FEATS_LIMIT_BYTES
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((q_block, 16), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=(pltpu.HBM if hbm_feats
+                                       else pltpu.VMEM)),
+        ],
+        out_specs=pl.BlockSpec((q_block, 16), lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=([pltpu.VMEM((16, w_chunk), jnp.float32),
+                         pltpu.SemaphoreType.DMA(())] if hbm_feats else []),
+    )
+    return pl.pallas_call(
+        functools.partial(kernel, cfg=cfg, w_chunk=w_chunk, sub_q=sub_q,
+                          with_ep=with_ep, hbm_feats=hbm_feats),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, 16), jnp.float32),
+        interpret=interpret,
+    )(blk_lo, blk_hi, qmat, feats_t)
+
+
+def sweep_a3(fs, feats_a, blk_lo, blk_hi, q_block: int, w_chunk: int,
+             cfg: SimConfig, with_ep: bool = True,
+             interpret: bool | None = None, q_slice=None,
+             sub_q: int = 64):
+    """QM_A (N,16) + feature matrix -> OUT_A (N,16), sorted order."""
+    if interpret is None:
+        interpret = _interpret_default()
+    return _call_kernel3(_kernel_a3, feats_a, fs, blk_lo, blk_hi, q_block,
+                         w_chunk, sub_q, cfg, with_ep, interpret, q_slice)
+
+
+def sweep_b3(out_a, feats_b, blk_lo, blk_hi, q_block: int, w_chunk: int,
+             cfg: SimConfig, with_ep: bool = True,
+             interpret: bool | None = None, q_slice=None,
+             sub_q: int = 64):
+    """OUT_A (N,16) + feature matrix -> OUT_B (N,16), sorted order."""
+    if interpret is None:
+        interpret = _interpret_default()
+    return _call_kernel3(_kernel_b3, feats_b, out_a, blk_lo, blk_hi,
+                         q_block, w_chunk, sub_q, cfg, with_ep, interpret,
+                         q_slice)
+
+
+def feats_from_out_a(out_a, vol):
+    """(16, N) candidate features for sweep B from OUT_A columns."""
+    n = out_a.shape[0]
+    z = jnp.zeros((n,), jnp.float32)
+    return jnp.stack([out_a[:, 0], out_a[:, 1], out_a[:, 2],
+                      out_a[:, 3], out_a[:, 4], out_a[:, 5],
+                      vol, out_a[:, 6], out_a[:, 7], z, z, z,
+                      out_a[:, 12], z, z, z], axis=0)

@@ -457,9 +457,13 @@ def sweep_b(pos_s, ivel_s, vol_s, pres_s, vm_s, qstart, qend, blk_start,
 #     (N, 16) bound arrays;
 #   - consecutive run windows are clamped disjoint, and the kernel masks
 #     rows to the exact [lo, hi) window (per sub-block scalars) plus an
-#     in-kernel 3x3x3 stencil test on quantized cell coordinates, so sums
-#     equal the reference's 27-cell stencil exactly with no per-query
-#     bookkeeping;
+#     in-kernel stencil test |hash_q - hash_c - d_r| <= 1 on the linear
+#     cell hash (one f32 feature; hashes < 2^17 are exact in f32). The
+#     hash test admits x/y/z-boundary wrap pairs that the reference's
+#     per-axis clamped stencil excludes (cpp:462-481), but every such pair
+#     is >= one world edge minus two cells apart — far outside all kernel
+#     supports (2h max), so its contribution is exactly 0 and the sums
+#     still equal the reference's 27-cell stencil;
 #   - neighbor sums accumulate lane-wise into (sub_q, Wc) VMEM accumulators
 #     (chunks alias into the same columns) with ONE horizontal reduction per
 #     sub-block — no per-chunk MXU contraction or VPU reduce.
@@ -469,16 +473,16 @@ _COORD_SENTINEL = -1048576.0  # marks out-of-grid / inactive particles
 
 def sweep_bookkeeping2(pos: jax.Array, active: jax.Array, cfg: SimConfig,
                        win_block: int):
-    """Sort + per-sub-block window bookkeeping for the v2 sweeps.
+    """Sort + per-sub-block window bookkeeping for the v2/v3 sweeps.
 
-    Returns (order, inv, blk_lo, blk_hi, ccoord):
+    Returns (order, inv, blk_lo, blk_hi, chash):
       order (N,)      sorted-row -> original index
       inv (N,)        original -> sorted-row
-      blk_lo (B,16)   per-sub-block window start rows (9 used columns)
-      blk_hi (B,16)   per-sub-block window end rows, clamped so consecutive
-                      run windows are disjoint (no candidate row is
-                      enumerated twice for one query sub-block)
-      ccoord (N,3)    f32 cell coordinates in ORIGINAL order, sentinel for
+      blk_lo (B*16,)  per-sub-block window start rows (9 used of each 16)
+      blk_hi (B*16,)  per-sub-block window end rows (iteration bounds
+                      only — the in-kernel stencil test is the exact mask
+                      and accepts each pair under at most one run)
+      chash (N,)      f32 linear cell hash in ORIGINAL order, sentinel for
                       out-of-grid / inactive lanes (feeds the in-kernel
                       stencil mask)
     """
@@ -513,17 +517,17 @@ def sweep_bookkeeping2(pos: jax.Array, active: jax.Array, cfg: SimConfig,
     bhi = jnp.clip(h_hi[:, None] + d[None, :] + 2, 0, num_cells)
     lo = jnp.searchsorted(sorted_ids, blo).astype(jnp.int32)
     hi = jnp.searchsorted(sorted_ids, bhi).astype(jnp.int32)
-    # clamp consecutive windows disjoint (d is strictly increasing, so lo/hi
-    # are monotone per row; overlapping rows stay covered by the next run)
-    hi = jnp.concatenate([jnp.minimum(hi[:, :-1], lo[:, 1:]), hi[:, -1:]],
-                         axis=1)
+    # overlapping run windows (sparse blocks spanning >= Gx cells) cannot
+    # double-count: the per-run stencil test |hash_q + d_r - hash_c| <= 1
+    # accepts a pair under AT MOST ONE run offset (offsets differ by >= Gx
+    # > 2), so windows are pure iteration bounds and need no clamping
 
-    ccoord = jnp.where(valid[:, None], coords.astype(jnp.float32),
-                       jnp.float32(_COORD_SENTINEL))
+    chash = jnp.where(valid, ids.astype(jnp.float32),
+                      jnp.float32(_COORD_SENTINEL))
     # FLAT (B*16,) layout: 2-D scalar-prefetch operands are lane-padded to
     # 128 columns in SMEM (8x waste blew the 1 MB budget at sub_q=16)
     flat16 = lambda a: jnp.pad(a, ((0, 0), (0, 16 - a.shape[1]))).reshape(-1)
-    return order, inv, flat16(lo), flat16(hi), ccoord
+    return order, inv, flat16(lo), flat16(hi), chash
 
 
 def _sweep_a2_kernel(blk_lo_ref, blk_hi_ref, qm_ref, feats_ref, out_ref,
@@ -531,8 +535,8 @@ def _sweep_a2_kernel(blk_lo_ref, blk_hi_ref, qm_ref, feats_ref, out_ref,
                      hbm_feats: bool = False):
     """v2 XSPH + density.
 
-    qm cols: [x, y, z, cvx, cvy, cvz, ..., cx, cy, cz @ 12:15]; feats rows:
-    [x, y, z, cvx, cvy, cvz, vol(prev), mass, ..., cx, cy, cz @ 12:15].
+    qm cols: [x, y, z, cvx, cvy, cvz, ..., chash @ 12]; feats rows:
+    [x, y, z, cvx, cvy, cvz, vol(prev), mass, ..., chash @ 12].
     out cols: [dens, xsph_x, xsph_y, xsph_z, 0...].
     """
     bid = pl.program_id(0)
@@ -540,7 +544,7 @@ def _sweep_a2_kernel(blk_lo_ref, blk_hi_ref, qm_ref, feats_ref, out_ref,
     nsub = q // sub_q
     h2 = jnp.float32(cfg.kernel_h * cfg.kernel_h)
     p6c = jnp.float32(cfg.poly6_constant)
-    wiota = jax.lax.broadcasted_iota(jnp.int32, (1, w_chunk), 1)
+    gx, gy, _ = cfg.grid_size
 
     for sb in range(nsub):
         lo_q = sb * sub_q
@@ -549,21 +553,21 @@ def _sweep_a2_kernel(blk_lo_ref, blk_hi_ref, qm_ref, feats_ref, out_ref,
         qy = qm_ref[lo_q:lo_q + sub_q, 1:2]
         qz = qm_ref[lo_q:lo_q + sub_q, 2:3]
         qcv = qm_ref[lo_q:lo_q + sub_q, 3:6]                 # (q', 3)
-        qcx = qm_ref[lo_q:lo_q + sub_q, 12:13]
-        qcy = qm_ref[lo_q:lo_q + sub_q, 13:14]
-        qcz = qm_ref[lo_q:lo_q + sub_q, 14:15]
+        qh = qm_ref[lo_q:lo_q + sub_q, 12:13]
 
         zeros = jnp.zeros((sub_q, w_chunk), jnp.float32)
         accs = (zeros, zeros, zeros, zeros, zeros)  # dens, wv, x, y, z
 
         for r in range(9):
+            d_r = float(gx * (_RUN_OFFSETS[r, 0] + gy * _RUN_OFFSETS[r, 1]))
+            qhd = qh + jnp.float32(d_r)
             w_lo = blk_lo_ref[base * 16 + r]
             w_hi = blk_hi_ref[base * 16 + r]
             start = pl.multiple_of((w_lo // 128) * 128, 128)
             trips = pl.cdiv(w_hi - start, w_chunk)
 
-            def chunk(c, carry, start=start, w_lo=w_lo, w_hi=w_hi,
-                      qx=qx, qy=qy, qz=qz, qcx=qcx, qcy=qcy, qcz=qcz):
+            def chunk(c, carry, start=start, qx=qx, qy=qy, qz=qz,
+                      qhd=qhd):
                 a_d, a_wv, a_x, a_y, a_z = carry
                 off = pl.multiple_of(start + c * w_chunk, 128)
                 if hbm_feats:
@@ -575,18 +579,16 @@ def _sweep_a2_kernel(blk_lo_ref, blk_hi_ref, qm_ref, feats_ref, out_ref,
                     cand = buf[:, :]                          # (16, Wc)
                 else:
                     cand = feats_ref[:, pl.ds(off, w_chunk)]  # (16, Wc)
-                rows = off + wiota                            # (1, Wc)
-                rowm = (rows >= w_lo) & (rows < w_hi)
-                cheb = jnp.maximum(
-                    jnp.maximum(jnp.abs(qcx - cand[12:13, :]),
-                                jnp.abs(qcy - cand[13:14, :])),
-                    jnp.abs(qcz - cand[14:15, :]))
+                # the stencil test alone is exact: rows outside [lo, hi)
+                # can never satisfy it, zero-padded rows are inert
+                # (mass = vol = 0), inactive rows carry a hash sentinel
+                stencil = jnp.abs(qhd - cand[12:13, :]) <= 1.0
                 dx = qx - cand[0:1, :]
                 dy = qy - cand[1:2, :]
                 dz = qz - cand[2:3, :]
                 r2 = dx * dx + dy * dy + dz * dz              # (q', Wc)
                 t = h2 - r2
-                m = rowm & (cheb <= 1.0) & (r2 <= h2)
+                m = stencil & (r2 <= h2)
                 w6 = jnp.where(m, p6c * t * t * t, 0.0)
                 wv = w6 * cand[6:7, :]                        # * vol_j
                 return (a_d + w6 * cand[7:8, :], a_wv + wv,
@@ -612,8 +614,8 @@ def _sweep_b2_kernel(blk_lo_ref, blk_hi_ref, qm_ref, feats_ref, out_ref,
                      hbm_feats: bool = False):
     """v2 force + Vm Laplacian.
 
-    qm cols: [x, y, z, ivx, ivy, ivz, pres, vm, ..., cx, cy, cz @ 12:15];
-    feats rows: [x, y, z, ivx, ivy, ivz, vol, pres, vm, ..., cx, cy, cz].
+    qm cols: [x, y, z, ivx, ivy, ivz, pres, vm, ..., chash @ 12];
+    feats rows: [x, y, z, ivx, ivy, ivz, vol, pres, vm, ..., chash @ 12].
     out cols: [ax, ay, az, lap, 0...] (acc BEFORE the /dens_i of cpp:568).
     """
     bid = pl.program_id(0)
@@ -624,7 +626,7 @@ def _sweep_b2_kernel(blk_lo_ref, blk_hi_ref, qm_ref, feats_ref, out_ref,
     spiky_c = jnp.float32(cfg.spiky_constant)
     bs_c = jnp.float32(cfg.b_spline_constant)
     mu = jnp.float32(cfg.mu_viscosity)
-    wiota = jax.lax.broadcasted_iota(jnp.int32, (1, w_chunk), 1)
+    gx, gy, _ = cfg.grid_size
 
     for sb in range(nsub):
         lo_q = sb * sub_q
@@ -636,23 +638,22 @@ def _sweep_b2_kernel(blk_lo_ref, blk_hi_ref, qm_ref, feats_ref, out_ref,
         qiv = qm_ref[lo_q:lo_q + sub_q, 3:6]
         qp = qm_ref[lo_q:lo_q + sub_q, 6:7]
         qvm = qm_ref[lo_q:lo_q + sub_q, 7:8]
-        qcx = qm_ref[lo_q:lo_q + sub_q, 12:13]
-        qcy = qm_ref[lo_q:lo_q + sub_q, 13:14]
-        qcz = qm_ref[lo_q:lo_q + sub_q, 14:15]
+        qh = qm_ref[lo_q:lo_q + sub_q, 12:13]
 
         zeros = jnp.zeros((sub_q, w_chunk), jnp.float32)
         accs = (zeros,) * 10
         # fp, fpx, fpy, fpz, fv, fvx, fvy, fvz, vw, vwvm
 
         for r in range(9):
+            d_r = float(gx * (_RUN_OFFSETS[r, 0] + gy * _RUN_OFFSETS[r, 1]))
+            qhd = qh + jnp.float32(d_r)
             w_lo = blk_lo_ref[base * 16 + r]
             w_hi = blk_hi_ref[base * 16 + r]
             start = pl.multiple_of((w_lo // 128) * 128, 128)
             trips = pl.cdiv(w_hi - start, w_chunk)
 
-            def chunk(c, carry, start=start, w_lo=w_lo, w_hi=w_hi,
-                      qx=qx, qy=qy, qz=qz, qp=qp, qvm=qvm,
-                      qcx=qcx, qcy=qcy, qcz=qcz):
+            def chunk(c, carry, start=start, qx=qx, qy=qy, qz=qz,
+                      qp=qp, qvm=qvm, qhd=qhd):
                 (a_fp, a_fpx, a_fpy, a_fpz, a_fv, a_fvx, a_fvy, a_fvz,
                  a_vw, a_vwvm) = carry
                 off = pl.multiple_of(start + c * w_chunk, 128)
@@ -665,17 +666,12 @@ def _sweep_b2_kernel(blk_lo_ref, blk_hi_ref, qm_ref, feats_ref, out_ref,
                     cand = buf[:, :]                          # (16, Wc)
                 else:
                     cand = feats_ref[:, pl.ds(off, w_chunk)]  # (16, Wc)
-                rows = off + wiota
-                rowm = (rows >= w_lo) & (rows < w_hi)
-                cheb = jnp.maximum(
-                    jnp.maximum(jnp.abs(qcx - cand[12:13, :]),
-                                jnp.abs(qcy - cand[13:14, :])),
-                    jnp.abs(qcz - cand[14:15, :]))
+                stencil = jnp.abs(qhd - cand[12:13, :]) <= 1.0
                 dx = qx - cand[0:1, :]
                 dy = qy - cand[1:2, :]
                 dz = qz - cand[2:3, :]
                 r2 = dx * dx + dy * dy + dz * dz
-                pair = rowm & (cheb <= 1.0) & (r2 > _PAIR_EPS)  # cpp:546
+                pair = stencil & (r2 > _PAIR_EPS)             # cpp:546
                 inv_rr = jax.lax.rsqrt(jnp.where(pair, r2, 1.0))
                 rr = r2 * inv_rr
                 vol_j = cand[6:7, :]
@@ -761,7 +757,7 @@ def _call_sweep2(kernel, feats_t, qmat, blk_lo, blk_hi, q_block, w_chunk,
     )(blk_lo, blk_hi, qmat, feats_t)
 
 
-def sweep_a2(pos_s, cvel_s, vol_s, mass_s, coord_s, blk_lo, blk_hi,
+def sweep_a2(pos_s, cvel_s, vol_s, mass_s, hash_s, blk_lo, blk_hi,
              q_block: int, w_chunk: int, cfg: SimConfig,
              interpret: bool | None = None, q_slice=None,
              sub_q: int = 32):
@@ -773,23 +769,20 @@ def sweep_a2(pos_s, cvel_s, vol_s, mass_s, coord_s, blk_lo, blk_hi,
     if interpret is None:
         interpret = _interpret_default()
     n = pos_s.shape[0]
+    z = jnp.zeros((n,), jnp.float32)
     feats_t = _pad_cols([pos_s[:, 0], pos_s[:, 1], pos_s[:, 2],
                          cvel_s[:, 0], cvel_s[:, 1], cvel_s[:, 2],
-                         vol_s, mass_s,
-                         jnp.zeros((n,), jnp.float32),
-                         jnp.zeros((n,), jnp.float32),
-                         jnp.zeros((n,), jnp.float32),
-                         jnp.zeros((n,), jnp.float32),
-                         coord_s[:, 0], coord_s[:, 1], coord_s[:, 2]], n)
+                         vol_s, mass_s, z, z, z, z, hash_s], n)
     qmat = jnp.concatenate([pos_s, cvel_s, jnp.zeros((n, 6), jnp.float32),
-                            coord_s, jnp.zeros((n, 1), jnp.float32)], axis=1)
+                            hash_s[:, None],
+                            jnp.zeros((n, 3), jnp.float32)], axis=1)
     out = _call_sweep2(_sweep_a2_kernel, feats_t, qmat, blk_lo, blk_hi,
                        q_block, w_chunk, sub_q, cfg, interpret,
                        q_slice=q_slice)
     return out[:, 0], out[:, 1:4]
 
 
-def sweep_b2(pos_s, ivel_s, vol_s, pres_s, vm_s, coord_s, blk_lo, blk_hi,
+def sweep_b2(pos_s, ivel_s, vol_s, pres_s, vm_s, hash_s, blk_lo, blk_hi,
              q_block: int, w_chunk: int, cfg: SimConfig,
              interpret: bool | None = None, q_slice=None,
              sub_q: int = 32):
@@ -801,16 +794,14 @@ def sweep_b2(pos_s, ivel_s, vol_s, pres_s, vm_s, coord_s, blk_lo, blk_hi,
     if interpret is None:
         interpret = _interpret_default()
     n = pos_s.shape[0]
+    z = jnp.zeros((n,), jnp.float32)
     feats_t = _pad_cols([pos_s[:, 0], pos_s[:, 1], pos_s[:, 2],
                          ivel_s[:, 0], ivel_s[:, 1], ivel_s[:, 2],
-                         vol_s, pres_s, vm_s,
-                         jnp.zeros((n,), jnp.float32),
-                         jnp.zeros((n,), jnp.float32),
-                         jnp.zeros((n,), jnp.float32),
-                         coord_s[:, 0], coord_s[:, 1], coord_s[:, 2]], n)
+                         vol_s, pres_s, vm_s, z, z, z, hash_s], n)
     qmat = jnp.concatenate([pos_s, ivel_s, pres_s[:, None], vm_s[:, None],
                             jnp.zeros((n, 4), jnp.float32),
-                            coord_s, jnp.zeros((n, 1), jnp.float32)], axis=1)
+                            hash_s[:, None],
+                            jnp.zeros((n, 3), jnp.float32)], axis=1)
     out = _call_sweep2(_sweep_b2_kernel, feats_t, qmat, blk_lo, blk_hi,
                        q_block, w_chunk, sub_q, cfg, interpret,
                        q_slice=q_slice)
@@ -843,7 +834,10 @@ def auto_sweep2_params(positions: np.ndarray, cfg: SimConfig,
     best = None
     for wc in (128, 256, 384):
         trips = np.maximum(0, -(-(hi - start) // wc))
-        cost = (trips * wc).sum() + trips.sum() * 24  # lanes + chunk overhead
+        # enumerated lane slots + per-chunk fixed overhead; the 160
+        # slot-equivalents/chunk constant is fit to v5e A/B timings of the
+        # flagship scene (Wc=256 measured fastest, 128 and 384 slower)
+        cost = (trips * wc).sum() + trips.sum() * 160
         if best is None or cost < best[0]:
             best = (cost, wc)
     return sub_q, best[1]
@@ -856,8 +850,9 @@ def auto_block_window(positions: np.ndarray, cfg: SimConfig, q_block: int,
     With the dynamic-trip chunked windows, any Wc is CORRECT (coverage is
     exact); this just balances VPU efficiency (wide chunks) against padding
     waste on narrow windows. The median (block, run) window width at init,
-    rounded to a lane multiple of 128 and clamped to [256, 1024], works
-    well. Host-side, once per scene.
+    rounded to a lane multiple of 128 and clamped to [minimum, 512], works
+    well (wider chunks never paid off in v5e measurements — the biceps
+    clouds have median windows ~200). Host-side, once per scene.
     """
     gx, gy, gz = cfg.grid_size
     num_cells = cfg.num_cells

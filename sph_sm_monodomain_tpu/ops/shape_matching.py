@@ -21,6 +21,8 @@ Reference quirks preserved:
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 
@@ -53,6 +55,51 @@ def apply_external_forces(state: ParticleState, cfg: SimConfig,
     return state.replace(predicted_vel=pv)
 
 
+class SMInvariants(NamedTuple):
+    """Step-invariant shape-matching moments.
+
+    orig_pos, mass, fixed and active never change during a run, so the
+    rest-shape side of the reference's per-step reduction loops
+    (cpp:244-291) is constant: computing it once per simulate() call
+    removes half the per-step SM passes. `None` fields belong to the
+    unused match path (linear vs quadratic)."""
+    mass_cm_sum: jax.Array       # sum of cm-weighted masses (cpp:244-253)
+    q: jax.Array                 # (N,3) orig_pos - ocm (cpp:263)
+    mq: jax.Array                # (3,) sum of m*q (for the Apq split)
+    aqq_inv: jax.Array | None    # (3,3) Aqq^-1 (cpp:281-291, 307)
+    q9: jax.Array | None         # (N,9) quadratic basis (cpp:348-350)
+    mq9: jax.Array | None        # (9,) sum of m*q9
+    a9qq_pinv: jax.Array | None  # (9,9) pseudo-inverse (cpp:383-388)
+
+
+def sm_invariants(state: ParticleState, cfg: SimConfig,
+                  axis_name: str | None = None) -> SMInvariants:
+    """Precompute the rest-shape moments of `project_positions`."""
+    def allsum(x):
+        return jax.lax.psum(x, axis_name) if axis_name else x
+
+    dtype = state.pos.dtype
+    act = state.active.astype(dtype)
+    m = state.mass * act
+    m_cm = m * jnp.where(state.fixed, cfg.fixed_mass_scale, 1.0)
+    mass_cm_sum = allsum(jnp.sum(m_cm))
+    ocm = allsum(jnp.matmul(m_cm, state.orig_pos, precision=_HI)) \
+        / mass_cm_sum
+    q = state.orig_pos - ocm
+    mq = allsum(jnp.matmul(m, q, precision=_HI))
+    if not cfg.quadratic_match:
+        aqq = allsum(jnp.matmul((q * m[:, None]).T, q, precision=_HI))
+        return SMInvariants(mass_cm_sum, q, mq, invert3(aqq),
+                            None, None, None)
+    x, y, z = q[:, 0], q[:, 1], q[:, 2]
+    q9 = jnp.stack([x, y, z, x * x, y * y, z * z, x * y, y * z, z * x],
+                   axis=1)
+    mq9 = allsum(jnp.matmul(m, q9, precision=_HI))
+    a9qq = allsum(jnp.matmul((q9 * m[:, None]).T, q9, precision=_HI))
+    return SMInvariants(mass_cm_sum, q, mq, None, q9, mq9,
+                        pseudo_inverse(a9qq, cfg.jacobi_iterations))
+
+
 def _volume_scale(det, dtype):
     """1/sqrt(|det|) clamped at 2, or 1 when det == 0 (cpp:311-320)."""
     nz = det != 0.0
@@ -62,36 +109,41 @@ def _volume_scale(det, dtype):
 
 
 def project_positions(state: ParticleState, cfg: SimConfig,
-                      axis_name: str | None = None) -> jnp.ndarray:
+                      axis_name: str | None = None,
+                      sm_inv: SMInvariants | None = None) -> jnp.ndarray:
     """Goal positions from a global best-fit transform (cpp:234-446).
 
     Returns new goal_pos; fixed particles keep their previous goal
     (cpp:324-329 / 429-443 skip fixed).
 
     When `axis_name` is given (inside shard_map over a particle-sharded
-    mesh), every global accumulation — mass sum, centers of mass, Apq/Aqq
+    mesh), every global accumulation — mass sum, centers of mass, Apq
     (and the 9-D moments in the quadratic path) — is psum'd across the mesh;
     the tiny decomposition then runs replicated on every device. This is the
     TPU-native form of the serial reduction loops (SURVEY.md §2).
+
+    `sm_inv` (see sm_invariants) carries the rest-shape constants; drivers
+    compute it once per run. The deforming-side moment splits as
+    Apq = sum(m pos q^T) - cm (x) sum(m q)  (exact up to fp reassociation),
+    so the per-step work is ONE (3,N)@(N,3) MXU pass plus the cm reduction.
     """
     def allsum(x):
         return jax.lax.psum(x, axis_name) if axis_name else x
+
+    if sm_inv is None:
+        sm_inv = sm_invariants(state, cfg, axis_name)
 
     dtype = state.pos.dtype
     act = state.active.astype(dtype)
     m = state.mass * act                                   # plain mass (cpp:267)
     m_cm = m * jnp.where(state.fixed, cfg.fixed_mass_scale, 1.0)  # cpp:247
 
-    mass_sum = allsum(jnp.sum(m_cm))
-    cm = allsum(jnp.matmul(m_cm, state.pos, precision=_HI)) / mass_sum  # cpp:244-253
-    ocm = allsum(jnp.matmul(m_cm, state.orig_pos, precision=_HI)) / mass_sum
-
-    p = state.pos - cm
-    q = state.orig_pos - ocm
-
-    pm = p * m[:, None]
-    Apq = allsum(jnp.matmul(pm.T, q, precision=_HI))       # (3,3), cpp:269-279
-    Aqq = allsum(jnp.matmul((q * m[:, None]).T, q, precision=_HI))  # cpp:281-291
+    cm = allsum(jnp.matmul(m_cm, state.pos, precision=_HI)) \
+        / sm_inv.mass_cm_sum                               # cpp:244-253
+    q = sm_inv.q
+    posm = state.pos * m[:, None]
+    Apq = allsum(jnp.matmul(posm.T, q, precision=_HI)) \
+        - cm[:, None] * sm_inv.mq[None, :]                 # cpp:269-279
 
     if not cfg.quadratic_match:
         # anti-flip BEFORE polar decomposition in the linear path (cpp:294-302)
@@ -100,16 +152,12 @@ def project_positions(state: ParticleState, cfg: SimConfig,
             Apq = jnp.where(flip, Apq * _FLIP_SIGNS, Apq)
         R, _ = polar_decomposition(Apq, cfg.jacobi_iterations)
 
-        A = jnp.matmul(Apq, invert3(Aqq), precision=_HI)                             # cpp:307-309
+        A = jnp.matmul(Apq, sm_inv.aqq_inv, precision=_HI)  # cpp:307-309
         if cfg.volume_conservation:
             A = A * _volume_scale(det3(A), dtype)          # cpp:311-320
         T = R * (1.0 - cfg.sm_beta) + A * cfg.sm_beta      # cpp:322
         goal = jnp.matmul(q, T.T, precision=_HI) + cm                                # cpp:324-329
     else:
-        # quadratic basis q9 = (x, y, z, x2, y2, z2, xy, yz, zx) (cpp:348-350)
-        x, y, z = q[:, 0], q[:, 1], q[:, 2]
-        q9 = jnp.stack([x, y, z, x * x, y * y, z * z, x * y, y * z, z * x],
-                       axis=1)                             # (N, 9)
         # polar R of the (possibly flipped) Apq — the reference computes the
         # flip + polar before branching (cpp:294-302)
         if not cfg.allow_flip:
@@ -117,9 +165,11 @@ def project_positions(state: ParticleState, cfg: SimConfig,
             Apq = jnp.where(flip, Apq * _FLIP_SIGNS, Apq)
         R, _ = polar_decomposition(Apq, cfg.jacobi_iterations)
 
-        A9pq = allsum(jnp.matmul(pm.T, q9, precision=_HI))       # (3,9), cpp:352-381
-        A9qq = allsum(jnp.matmul((q9 * m[:, None]).T, q9, precision=_HI))  # (9,9), cpp:383-385
-        A9 = jnp.matmul(A9pq, pseudo_inverse(A9qq, cfg.jacobi_iterations), precision=_HI) * cfg.sm_beta
+        q9 = sm_inv.q9                                     # cpp:348-350
+        A9pq = allsum(jnp.matmul(posm.T, q9, precision=_HI)) \
+            - cm[:, None] * sm_inv.mq9[None, :]            # (3,9), cpp:352-381
+        A9 = jnp.matmul(A9pq, sm_inv.a9qq_pinv,
+                        precision=_HI) * cfg.sm_beta       # cpp:383-388
         A9 = A9.at[:, :3].add((1.0 - cfg.sm_beta) * R)     # cpp:390-403
         det = det3(A9[:, :3])                              # cpp:405-408
         if not cfg.allow_flip:                             # cpp:410-414
@@ -135,11 +185,12 @@ def project_positions(state: ParticleState, cfg: SimConfig,
 
 
 def corrected_velocity(state: ParticleState, cfg: SimConfig,
-                       axis_name: str | None = None) -> ParticleState:
+                       axis_name: str | None = None,
+                       sm_inv: SMInvariants | None = None) -> ParticleState:
     """Full SM velocity-correction phase (calculate_corrected_velocity,
     cpp:653-667): external forces -> goal positions -> corrected_vel."""
     state = apply_external_forces(state, cfg)
-    goal = project_positions(state, cfg, axis_name=axis_name)
+    goal = project_positions(state, cfg, axis_name=axis_name, sm_inv=sm_inv)
     cv = state.predicted_vel + (goal - state.pos) * (
         (1.0 / cfg.time_delta) * cfg.sm_alpha)             # cpp:661-666
     return state.replace(goal_pos=goal, corrected_vel=cv)

@@ -41,7 +41,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import SimConfig
 from ..state import ParticleState
 from ..ops.grid import build_neighbor_table
-from ..ops.shape_matching import corrected_velocity
+from ..ops.shape_matching import corrected_velocity, sm_invariants
 from ..ops.sph import (density_pressure_arrays, force_diffusion_arrays,
                        xsph_arrays)
 from ..ops.electrophysiology import fhn_cell_model, turn_off_stim
@@ -177,19 +177,20 @@ def make_sharded_simulate(mesh: Mesh, cfg: SimConfig, cell_capacity: int,
 
 
 def _sharded_fused_body(state: ParticleState, cfg: SimConfig, q_block: int,
-                        w_chunk: int, n_devices: int, axis: str = AXIS):
+                        w_chunk: int, sub_q: int, axis: str = AXIS):
     """One fused-Pallas coupled step on LOCAL shards (inside shard_map).
 
     Strategy: all_gather the per-particle fields once per phase group,
     compute global sort/window bookkeeping redundantly on every device
-    (cheap), and run the fused sweep kernels over THIS device's contiguous
-    slab of sorted query rows — compute scales 1/D while candidates come
-    from the full gathered arrays. Slab outputs are all_gathered (sorted
-    order) and mapped back to each device's original-order shard.
+    (cheap), and run the v3 fused kernels (ops/fused_step.py) over THIS
+    device's contiguous slab of sorted query rows — compute scales 1/D
+    while candidates come from the full gathered arrays. Slab outputs are
+    all_gathered (sorted order) and mapped back to each device's
+    original-order shard.
     """
     import jax.numpy as jnp
-    from ..ops import kernels as K
-    from ..ops.pallas_sweeps import sweep_a, sweep_b, sweep_bookkeeping
+    from ..ops.fused_step import feats_from_out_a, sweep_a3, sweep_b3
+    from ..ops.pallas_sweeps import sweep_bookkeeping2
 
     def ag(x):
         return jax.lax.all_gather(x, axis, tiled=True)
@@ -199,77 +200,57 @@ def _sharded_fused_body(state: ParticleState, cfg: SimConfig, q_block: int,
     lo = d * n_loc  # this device's sorted-row slab
 
     g_pos, g_active = ag(state.pos), ag(state.active)
-    order, inv, qstart, qend, blk_start, blk_len = sweep_bookkeeping(
-        g_pos, g_active, cfg, q_block)
+    order, inv, blk_lo, blk_hi, chash = sweep_bookkeeping2(
+        g_pos, g_active, cfg, sub_q)
     my_inv = jax.lax.dynamic_slice(inv, (lo,), (n_loc,))
 
     # shape matching: local moments + psum
     state = corrected_velocity(state, cfg, axis_name=axis)
 
-    # ---- sweep A: XSPH + density ----
-    g_mass = ag(state.mass)
-    g_cvel = ag(state.corrected_vel)
-    g_dens_prev = ag(state.dens)
-    pos_s = g_pos[order]
-    mass_s = g_mass[order]
-    cvel_s = g_cvel[order]
-    vol_prev = mass_s / g_dens_prev[order]
-    dens_slab, xsph_slab = sweep_a(pos_s, cvel_s, vol_prev, mass_s, qstart,
-                                   qend, blk_start, blk_len, q_block,
-                                   w_chunk, cfg, q_slice=(lo, n_loc))
-    dens_sorted = ag(dens_slab)
-    xsph_sorted = ag(xsph_slab)
-    dens = dens_sorted[my_inv]                     # local, original order
-    inter_vel = state.corrected_vel + xsph_sorted[my_inv] \
-        * cfg.velocity_mixing                                # cpp:699
-    if cfg.quirk_double_self_density:                        # cpp:483
-        dens = dens + state.mass * K.poly6(jnp.zeros_like(dens), cfg)
-    pres = cfg.k_stiffness * (dens - cfg.stand_density) \
-        - state.vm * cfg.voltage_constant                    # cpp:486-491
-    clamped = jnp.clip(pres, -cfg.max_pressure, cfg.max_pressure)
-    if cfg.quirk_pressure_stim_gate:                         # cpp:493-503
-        pres = jnp.where(state.stim > 0.0, clamped,
-                         jnp.asarray(-0.0, pres.dtype))
-    else:
-        pres = clamped
-    state = state.replace(dens=dens, pres=pres, inter_vel=inter_vel)
+    n = g_pos.shape[0]
+    fields = jnp.concatenate([
+        g_pos, ag(state.corrected_vel), ag(state.mass)[:, None],
+        ag(state.dens)[:, None], ag(state.vm)[:, None],
+        ag(state.stim)[:, None], ag(state.iion)[:, None],
+        ag(state.w)[:, None], chash[:, None],
+        jnp.zeros((n, 3), jnp.float32)], axis=1)            # QM_A layout
+    fs = fields[order]
 
-    # FHN (pointwise, local)
-    state = fhn_cell_model(state, cfg)
+    z = jnp.zeros((n,), jnp.float32)
+    vol_prev = jnp.where(fs[:, 7] > 0.0, fs[:, 6] / fs[:, 7], 0.0)
+    feats_a = jnp.stack([fs[:, 0], fs[:, 1], fs[:, 2], fs[:, 3], fs[:, 4],
+                         fs[:, 5], vol_prev, fs[:, 6], z, z, z, z,
+                         fs[:, 12], z, z, z], axis=0)
+    out_a_slab = sweep_a3(fs, feats_a, blk_lo, blk_hi, q_block, w_chunk,
+                          cfg, q_slice=(lo, n_loc), sub_q=sub_q)
+    out_a = ag(out_a_slab)                                  # global, sorted
 
-    # ---- sweep B: forces + Vm Laplacian ----
-    g_ivel = ag(state.inter_vel)
-    g_pres = ag(state.pres)
-    g_vm = ag(state.vm)
-    g_dens = ag(state.dens)
-    dens_s = g_dens[order]
-    acc_slab, lap_slab = sweep_b(pos_s, g_ivel[order], mass_s / dens_s,
-                                 g_pres[order], g_vm[order], qstart, qend,
-                                 blk_start, blk_len, q_block, w_chunk, cfg,
-                                 q_slice=(lo, n_loc))
-    dens_slab_now = jax.lax.dynamic_slice(dens_s, (lo,), (n_loc,))
-    acc_sorted = ag(acc_slab / dens_slab_now[:, None])       # cpp:568
-    lap_sorted = ag(lap_slab)
-    acc = acc_sorted[my_inv]
-    lap = lap_sorted[my_inv]
-    inter_vm = lap + (cfg.sigma / (cfg.beta_sv_ratio
-                                   * cfg.cm_capacitance)) * lap \
-        - (state.iion - state.stim * cfg.time_delta / state.mass) \
-        / cfg.cm_capacitance                                 # cpp:571
-    state = state.replace(acc=acc, inter_vm=inter_vm)
+    vol_now = jnp.where(out_a[:, 8] > 0.0, out_a[:, 10] / out_a[:, 8], 0.0)
+    feats_b = feats_from_out_a(out_a, vol_now)
+    out_b_slab = sweep_b3(out_a, feats_b, blk_lo, blk_hi, q_block, w_chunk,
+                          cfg, q_slice=(lo, n_loc), sub_q=sub_q)
+    out_b = ag(out_b_slab)
 
-    state = update_properties(state, cfg)
+    ou = jnp.concatenate([out_b, out_a[:, 3:6]], axis=1)[my_inv]
+    act = state.active
+    upd = act & ~state.fixed
+    state = state.replace(
+        pos=jnp.where(upd[:, None], ou[:, 0:3], state.pos),
+        vel=jnp.where(upd[:, None], ou[:, 3:6], state.vel),
+        vm=jnp.where(act, ou[:, 6], state.vm),
+        dens=ou[:, 7], pres=ou[:, 8], iion=ou[:, 9], w=ou[:, 10],
+        inter_vm=ou[:, 11], acc=ou[:, 12:15], inter_vel=ou[:, 16:19])
     return state, jnp.zeros((), jnp.int32)
 
 
 def make_sharded_step_fused(mesh: Mesh, cfg: SimConfig, q_block: int = 128,
-                            w_chunk: int = 512, axis: str = AXIS):
+                            w_chunk: int = 128, sub_q: int = 64,
+                            axis: str = AXIS):
     """Multi-chip fused-Pallas step: ParticleState -> (ParticleState, i32).
 
     Requires state.capacity to be a multiple of n_devices * q_block so each
     device owns a whole number of sorted query blocks.
     """
-    n_devices = mesh.devices.size
     spec = state_pspec(axis)
 
     # check_vma=False: pallas_call outputs carry no varying-mesh-axes
@@ -278,7 +259,7 @@ def make_sharded_step_fused(mesh: Mesh, cfg: SimConfig, q_block: int = 128,
     @partial(jax.shard_map, mesh=mesh, in_specs=(spec,),
              out_specs=(spec, P()), check_vma=False)
     def sharded_step(state):
-        return _sharded_fused_body(state, cfg, q_block, w_chunk,
-                                   n_devices, axis)
+        return _sharded_fused_body(state, cfg, q_block, w_chunk, sub_q,
+                                   axis)
 
     return sharded_step

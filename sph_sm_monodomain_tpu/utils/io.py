@@ -17,7 +17,7 @@ import numpy as np
 from ..config import SimConfig
 from ..state import ParticleState, init_fluid
 from ..ops.grid import auto_cell_capacity, auto_window_capacity
-from ..ops.pallas_sweeps import auto_block_window
+from ..ops.pallas_sweeps import auto_sweep2_params
 from ..ops import electrophysiology as ep
 
 _REPO_ROOT = Path(__file__).resolve().parents[2]
@@ -101,8 +101,8 @@ class Scene(NamedTuple):
     num_particles: int
     name: str
     q_block: int = 128       # fused-sweep query block size (static)
-    block_window: int = 512  # fused-sweep candidate window width (static)
-    sub_block: int = 0       # window-bound granularity (0 = q_block)
+    block_window: int = 256  # fused-sweep candidate chunk width (static)
+    sub_block: int = 64      # window-bound granularity (v3 sub_q)
 
 
 _SCENE_FILES = {
@@ -173,12 +173,15 @@ def build_scene(name: str, cfg: SimConfig | None = None, replicate: int = 1,
                                                      else None))
     cap = cfg.cell_capacity or auto_cell_capacity(pts, cfg)
     k_nbr = auto_window_capacity(pts, cfg)
-    q_block = 128
+    # v3 fused-sweep tuning, measured on v5e (DEVELOPMENT.md): sub_q=64
+    # window granularity with 256-wide candidate chunks is the optimum for
+    # the biceps-density clouds; the auto-tuner only widens chunks for
+    # much denser scenes
+    sub_q, w_chunk = auto_sweep2_params(pts, cfg, sub_q=64)
     return Scene(state=state, cfg=cfg, cell_capacity=cap,
                  neighbor_capacity=k_nbr,
                  num_particles=int(pts.shape[0]), name=name,
-                 q_block=q_block,
-                 block_window=auto_block_window(pts, cfg, q_block))
+                 q_block=128, block_window=w_chunk, sub_block=sub_q)
 
 
 def load_surface_mesh(which: str = "biceps"):

@@ -75,8 +75,8 @@ def render_points(state: ParticleState, cfg: SimConfig,
 
     img = np.zeros((size, size, 3), dtype=np.uint8)
     img[:] = background
-    zbuf = np.full((size, size), -np.inf, dtype=np.float32)
-    order = np.argsort(depth)  # back-to-front
+    # painter's algorithm: back-to-front overwrite resolves occlusion
+    order = np.argsort(depth)
     colors = (rgb * 255).astype(np.uint8)
     r = point_px // 2
     for dy in range(-r, r + 1):
@@ -84,7 +84,6 @@ def render_points(state: ParticleState, cfg: SimConfig,
             qx = np.clip(px[order] + dx, 0, size - 1)
             qy = np.clip(py[order] + dy, 0, size - 1)
             img[qy, qx] = colors[order]
-            zbuf[qy, qx] = depth[order]
     return img
 
 

@@ -32,11 +32,12 @@ def test_sharded_fused_matches_single_chip(rng, mesh):
     st = st.replace(fixed=jnp.asarray(fixed))
 
     sharded = shard_state(st, mesh)
-    step_fn = make_sharded_step_fused(mesh, CFG, q_block=QB, w_chunk=256)
+    step_fn = make_sharded_step_fused(mesh, CFG, q_block=QB, w_chunk=256,
+                                      sub_q=QB)
 
     ref = st
     for _ in range(2):
-        ref, _ = step_fused(ref, CFG, QB, 256)
+        ref, _ = step_fused(ref, CFG, QB, 256, QB)
         sharded, _ = step_fn(sharded)
 
     tol = {"pos": (5e-5, 0), "vel": (5e-4, 0), "vm": (1e-3, 0),

@@ -92,6 +92,49 @@ def main():
             return s
         run(name, full2, (st,))
 
+    # ---- full fused step, v3 kernels (via simulate: sm_inv hoisted) ----
+    for sub_q, wc3 in [(64, 128), (32, 128), (64, 256), (128, 128),
+                       (128, 256), (256, 256), (128, 384), (64, 384),
+                       (256, 384), (256, 512)]:
+        name = f"v3_{sub_q}_{wc3}"
+        if only and name not in only:
+            continue
+        def full3(state, sub_q=sub_q, wc3=wc3):
+            out = smt.simulate(state, cfg, sc.cell_capacity,
+                               sc.neighbor_capacity, num_steps=STEPS,
+                               fused=True, q_block=max(qb, sub_q),
+                               w_window=wc3, sub_q=sub_q)
+            return out[0]
+        run(name, full3, (st,))
+
+    # ---- v2 bookkeeping only ----
+    if not only or "book2" in only:
+        from sph_sm_monodomain_tpu.ops.pallas_sweeps import sweep_bookkeeping2
+        @jax.jit
+        def f_book2(pos):
+            def body(p, _):
+                o, i, lo2, hi2, ch = sweep_bookkeeping2(p, st.active, cfg, 64)
+                p = p + (o[0] % 2).astype(jnp.float32) * 1e-7 \
+                    + (i[0] % 2).astype(jnp.float32) * 1e-7
+                return p, ()
+            p, _ = jax.lax.scan(body, pos, None, length=STEPS)
+            return p
+        run("book2", f_book2, (st.pos,))
+
+    # ---- shape matching with hoisted invariants ----
+    if not only or "sm2" in only:
+        from sph_sm_monodomain_tpu.ops.shape_matching import sm_invariants
+        sminv = sm_invariants(st, cfg)
+        @jax.jit
+        def f_sm2(state):
+            def body(s, _):
+                s = corrected_velocity(s, cfg, sm_inv=sminv)
+                s = s.replace(pos=s.pos + 1e-9 * s.corrected_vel)
+                return s, ()
+            s, _ = jax.lax.scan(body, state, None, length=STEPS)
+            return s
+        run("sm2", f_sm2, (st,))
+
     # ---- bookkeeping only ----
     @jax.jit
     def f_book(pos):
