@@ -100,7 +100,8 @@ def main(argv=None) -> int:
     from .config import SimConfig
     from .utils.io import build_scene
     from .utils import render as render_mod
-    from .utils.report import profile_phases, report_row, REPORT_HEADER
+    from .utils.report import (profile_phases, profile_phases_fused,
+                               report_row, REPORT_HEADER)
     from .state import save_checkpoint, load_checkpoint
     from . import models
     from .models import variants
@@ -300,8 +301,14 @@ def main(argv=None) -> int:
     if args.report:
         phases = {}
         if args.profile_phases:
-            phases = profile_phases(scene.state, cfg, scene.cell_capacity,
-                                    scene.neighbor_capacity)
+            # profile the path that actually ran: the fused kernels on TPU,
+            # the XLA phase transforms elsewhere
+            if jax.default_backend() == "tpu" and args.mode == "coupled":
+                phases = profile_phases_fused(scene._replace(cfg=cfg))
+            else:
+                phases = profile_phases(scene.state, cfg,
+                                        scene.cell_capacity,
+                                        scene.neighbor_capacity)
         row = report_row(cfg, args.steps, avg_step, phases)
         import os
         write_header = not os.path.exists(args.report)

@@ -78,7 +78,12 @@ def _gather_loop(blk_lo_ref, blk_hi_ref, feats_ref, scratch, w_chunk,
             stencil = jnp.abs(qhd - cand[12:13, :]) <= 1.0
             return pair_fn(cand, stencil, carry)
 
-        accs = jax.lax.fori_loop(0, trips, chunk, accs)
+        # chunk 0 runs straight-line: almost every window fits one chunk
+        # (the tuner sizes w_chunk that way), and running it on an EMPTY
+        # window is harmless — the stencil test masks every lane — so no
+        # branch is needed. The dynamic loop only covers the rare tail.
+        accs = chunk(0, accs)
+        accs = jax.lax.fori_loop(1, trips, chunk, accs)
     return accs
 
 
@@ -223,9 +228,12 @@ def _kernel_b3(blk_lo_ref, blk_hi_ref, qm_ref, feats_ref, out_ref,
             p = m & (r2 > _PAIR_EPS)                         # cpp:546
             inv_rr = jax.lax.rsqrt(jnp.where(p, r2, 1.0))
             rr = r2 * inv_rr
-            vol_j = cand[6:7, :]
-            hr = h - rr
-            common = jnp.where(p & (rr <= h), vol_j * (spiky_c * hr), 0.0)
+            # fold the pair mask into the volume ONCE: every weight below
+            # scales by volm, so masked lanes contribute exactly 0
+            volm = jnp.where(p, cand[6:7, :], 0.0)
+            # spiky support [0, h] via relu(h - r) (hr < 0 -> weight 0)
+            hr = jnp.maximum(h - rr, 0.0)
+            common = volm * (spiky_c * hr)
             f_p = common * (hr * (-0.5) * inv_rr) * (qp + cand[7:8, :])
             f_v = mu * common
             a_ax = a_ax + (f_v * (cand[3:4, :] - qiv[:, 0:1]) - f_p * dx)
@@ -233,11 +241,12 @@ def _kernel_b3(blk_lo_ref, blk_hi_ref, qm_ref, feats_ref, out_ref,
             a_az = a_az + (f_v * (cand[5:6, :] - qiv[:, 2:3]) - f_p * dz)
             if with_ep:
                 qr = rr * inv_h
-                w2 = jnp.where(qr < 1.0, bs_c * (-3.0 + 4.5 * qr),
-                               jnp.where(qr < 2.0,
-                                         bs_c * 1.5 * (2.0 - qr), 0.0))
-                vw = jnp.where(p, vol_j * w2, 0.0)
-                a_lap = a_lap + vw * (cand[8:9, :] - qvm)
+                # B_spline_2 (cpp:186-196) in relu form:
+                #   qr < 1: bs_c*(-3 + 4.5 qr);  1 <= qr < 2: bs_c*1.5*(2-qr)
+                # == bs_c*(1.5*relu(2 - qr) - 6*relu(1 - qr))
+                w2 = bs_c * (1.5 * jnp.maximum(2.0 - qr, 0.0)
+                             - 6.0 * jnp.maximum(1.0 - qr, 0.0))
+                a_lap = a_lap + (volm * w2) * (cand[8:9, :] - qvm)
             return (a_ax, a_ay, a_az, a_lap)
 
         zeros = jnp.zeros((sub_q, w_chunk), jnp.float32)

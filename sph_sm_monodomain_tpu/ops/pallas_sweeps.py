@@ -834,10 +834,11 @@ def auto_sweep2_params(positions: np.ndarray, cfg: SimConfig,
     best = None
     for wc in (128, 256, 384):
         trips = np.maximum(0, -(-(hi - start) // wc))
-        # enumerated lane slots + per-chunk fixed overhead; the 160
+        # enumerated lane slots + per-chunk fixed overhead; the 40
         # slot-equivalents/chunk constant is fit to v5e A/B timings of the
-        # flagship scene (Wc=256 measured fastest, 128 and 384 slower)
-        cost = (trips * wc).sum() + trips.sum() * 160
+        # flagship scene with the straight-lined first chunk (Wc=128
+        # measured fastest at both sub_q=64 and 128)
+        cost = (trips * wc).sum() + trips.sum() * 40
         if best is None or cost < best[0]:
             best = (cost, wc)
     return sub_q, best[1]

@@ -64,6 +64,7 @@ class SMInvariants(NamedTuple):
     removes half the per-step SM passes. `None` fields belong to the
     unused match path (linear vs quadratic)."""
     mass_cm_sum: jax.Array       # sum of cm-weighted masses (cpp:244-253)
+    ocm: jax.Array               # (3,) rest-shape center of mass
     q: jax.Array                 # (N,3) orig_pos - ocm (cpp:263)
     mq: jax.Array                # (3,) sum of m*q (for the Apq split)
     aqq_inv: jax.Array | None    # (3,3) Aqq^-1 (cpp:281-291, 307)
@@ -89,15 +90,30 @@ def sm_invariants(state: ParticleState, cfg: SimConfig,
     mq = allsum(jnp.matmul(m, q, precision=_HI))
     if not cfg.quadratic_match:
         aqq = allsum(jnp.matmul((q * m[:, None]).T, q, precision=_HI))
-        return SMInvariants(mass_cm_sum, q, mq, invert3(aqq),
+        return SMInvariants(mass_cm_sum, ocm, q, mq, invert3(aqq),
                             None, None, None)
     x, y, z = q[:, 0], q[:, 1], q[:, 2]
     q9 = jnp.stack([x, y, z, x * x, y * y, z * z, x * y, y * z, z * x],
                    axis=1)
     mq9 = allsum(jnp.matmul(m, q9, precision=_HI))
     a9qq = allsum(jnp.matmul((q9 * m[:, None]).T, q9, precision=_HI))
-    return SMInvariants(mass_cm_sum, q, mq, None, q9, mq9,
+    return SMInvariants(mass_cm_sum, ocm, q, mq, None, q9, mq9,
                         pseudo_inverse(a9qq, cfg.jacobi_iterations))
+
+
+def sm_rebind_rows(sm_inv: SMInvariants,
+                   state: ParticleState) -> SMInvariants:
+    """Recompute the PER-ROW members of hoisted SM invariants after a
+    permutation or migration of the particle rows (the scalar moments are
+    permutation-invariant; q / q9 are row-aligned and must follow the
+    rows)."""
+    q = state.orig_pos - sm_inv.ocm
+    if sm_inv.q9 is None:
+        return sm_inv._replace(q=q)
+    x, y, z = q[:, 0], q[:, 1], q[:, 2]
+    q9 = jnp.stack([x, y, z, x * x, y * y, z * z, x * y, y * z, z * x],
+                   axis=1)
+    return sm_inv._replace(q=q, q9=q9)
 
 
 def _volume_scale(det, dtype):

@@ -1,0 +1,440 @@
+"""ppermute halo-exchange + migration multi-chip step (z-slab ownership).
+
+The all_gather design (sharded_step.py) replicates the global sort and
+window bookkeeping on every device and moves O(N) bytes per phase group;
+this module implements the O(N/D)-per-device design from
+docs/halo_exchange_design.md:
+
+  - ownership: device d owns the cells with z in [zb[d], zb[d+1]) — one
+    CONTIGUOUS hash interval, because the cell hash is x + Gx*(y + Gy*z)
+    (SPH_SM_monodomain.cpp:142). Concatenating the devices' locally-sorted
+    slabs therefore yields a globally-sorted array.
+  - per step, each device locally sorts its S rows, ppermutes emigrants
+    (rows whose hash left its interval — after integration a particle
+    moves less than one cell per CFL step, so only adjacent slabs ever
+    receive) to its neighbors, merges immigrants with a second local sort,
+    and exchanges one boundary z-PLANE of candidate features with each
+    neighbor per sweep. All bookkeeping (sorts, searchsorted windows) is
+    O(S log S) per device; the only O(N) collectives left are the tiny
+    psums of the shape-matching moments.
+  - the sweeps are the v3 fused kernels (ops/fused_step.py) with LOCAL
+    queries (S rows) gathering from [left halo | local | right halo]
+    merged candidates — hash-sorted by construction.
+
+The state keeps a device-sorted row layout (rows migrate and reorder
+freely); particle identity travels in the per-particle fields themselves
+(orig_pos, goal_pos, masses, ...), exactly like the reference's particles
+have no global index either.
+
+Fixed capacities, sized at sharding time with headroom and surfaced
+through the step's overflow counter when exceeded (the host driver can
+then re-shard — the same elastic-recovery pattern as run_protocol):
+  S          per-device row capacity
+  mig_cap    migration rows exchanged per direction per step
+  halo_cap   boundary-plane rows exchanged per direction per sweep
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import SimConfig
+from ..state import ParticleState
+from ..ops.fused_step import feats_from_out_a, sweep_a3, sweep_b3
+from ..ops.shape_matching import (corrected_velocity, sm_invariants,
+                                  sm_rebind_rows)
+from ..ops.electrophysiology import turn_off_stim
+from .sharded_step import AXIS, state_pspec
+
+_SENTINEL = -1048576.0  # matches pallas_sweeps._COORD_SENTINEL
+
+
+def z_slab_bounds(cfg: SimConfig, n_devices: int) -> np.ndarray:
+    """Cell-plane split points: device d owns z in [zb[d], zb[d+1])."""
+    gz = cfg.grid_size[2]
+    return np.array([(d * gz) // n_devices for d in range(n_devices + 1)],
+                    dtype=np.int32)
+
+
+def _hash_ids(pos, active, cfg: SimConfig):
+    gx, gy, gz = cfg.grid_size
+    coords = (pos / cfg.cell_size).astype(jnp.int32)
+    x, y, z = coords[..., 0], coords[..., 1], coords[..., 2]
+    inside = ((x >= 0) & (x < gx) & (y >= 0) & (y < gy)
+              & (z >= 0) & (z < gz))
+    return jnp.where(inside & active, x + gx * (y + gy * z), cfg.num_cells)
+
+
+def shard_state_halo(state: ParticleState, mesh: Mesh, cfg: SimConfig,
+                     mig_cap: int = 0, halo_cap: int = 0, slack: float = 1.5,
+                     axis: str = AXIS):
+    """Re-layout a single-device state into z-slab ownership.
+
+    Returns (sharded_state, S, mig_cap, halo_cap): a NEW state of capacity
+    D*S whose rows live on their owning device (locally hash-sorted),
+    padded with inactive rows. Capacities are auto-sized from the initial
+    distribution with `slack` headroom when not given.
+    """
+    d = mesh.devices.size
+    zb = z_slab_bounds(cfg, d)
+    gxy = cfg.grid_size[0] * cfg.grid_size[1]
+    ids = np.asarray(_hash_ids(state.pos, state.active, cfg))
+    order = np.argsort(ids, kind="stable")
+    ids_s = ids[order]
+    starts = np.searchsorted(ids_s, zb.astype(np.int64) * gxy)
+    n_act = int(np.searchsorted(ids_s, cfg.num_cells))
+    counts = np.diff(np.append(starts[:-1], n_act))
+    if not mig_cap:
+        mig_cap = max(128, int(-(-int(counts.max() * 0.1) // 128) * 128))
+    if not halo_cap:
+        # max particles in any single boundary z-plane, with slack
+        plane = np.maximum(ids_s[:n_act] // gxy, 0)
+        plane_counts = np.bincount(plane.astype(np.int64),
+                                   minlength=cfg.grid_size[2])
+        halo_cap = int(-(-int(plane_counts.max() * slack) // 128) * 128)
+    s_cap = int(-(-int(counts.max() * slack + 2 * mig_cap) // 128) * 128)
+
+    leaves = jax.tree_util.tree_leaves(state)
+    cap = state.capacity
+
+    def slab(arr):
+        arr = np.asarray(arr)
+        if arr.ndim == 0 or arr.shape[0] != cap:
+            return jnp.asarray(arr)
+        out = np.zeros((d * s_cap,) + arr.shape[1:], dtype=arr.dtype)
+        for k in range(d):
+            rows = order[starts[k]:min(starts[k + 1], n_act)] \
+                if k < d - 1 else order[starts[k]:n_act]
+            seg = arr[rows]
+            out[k * s_cap:k * s_cap + len(seg)] = seg
+            if arr.dtype == np.float32 and arr.ndim == 2:
+                # park padded positions far outside the grid
+                out[k * s_cap + len(seg):(k + 1) * s_cap] = \
+                    4.0 * max(cfg.world_size)
+        return jnp.asarray(out)
+
+    new = jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(state), [slab(x) for x in leaves])
+    # active mask: only the copied rows
+    act = np.zeros((d * s_cap,), bool)
+    for k in range(d):
+        hi = min(starts[k + 1], n_act) if k < d - 1 else n_act
+        act[k * s_cap:k * s_cap + (hi - starts[k])] = True
+    actj = jnp.asarray(act)
+    # padded lanes must keep nonzero mass / rest density like init_fluid's
+    # padding (a zero mass turns g*dt/m into inf, which masked products
+    # would then turn into NaN)
+    new = new.replace(
+        active=actj, is_stim_on=state.is_stim_on,
+        mass=jnp.where(actj, new.mass, cfg.particle_mass),
+        dens=jnp.where(actj, new.dens, cfg.stand_density))
+    spec = state_pspec(axis)
+    new = jax.tree_util.tree_map(
+        lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)), new, spec)
+    return new, s_cap, mig_cap, halo_cap
+
+
+class HaloAux(NamedTuple):
+    overflow: jax.Array  # emigrants > mig_cap, actives > S, plane > halo_cap
+
+
+def _shift(x, axis, direction, n_devices):
+    """ppermute by one slab; edge devices receive zeros."""
+    perm = [(k, k + direction) for k in range(n_devices)
+            if 0 <= k + direction < n_devices]
+    return jax.lax.ppermute(x, axis, perm)
+
+
+def _halo_body(state: ParticleState, cfg: SimConfig, q_block: int,
+               w_chunk: int, sub_q: int, mig_cap: int, halo_cap: int,
+               n_devices: int, sm_inv, axis: str):
+    s_cap = state.pos.shape[0]
+    gxy = cfg.grid_size[0] * cfg.grid_size[1]
+    zb = jnp.asarray(z_slab_bounds(cfg, n_devices), jnp.int32)
+    d = jax.lax.axis_index(axis)
+    my_lo = zb[d] * gxy
+    my_hi = zb[d + 1] * gxy
+    num_cells = cfg.num_cells
+    iota_s = jnp.arange(s_cap, dtype=jnp.int32)
+
+    # ---- 1. local sort ----------------------------------------------------
+    ids = _hash_ids(state.pos, state.active, cfg)
+    order = jnp.argsort(ids, stable=True).astype(jnp.int32)
+    ids_s = ids[order]
+
+    # permute the WHOLE state into local sorted order (one fused gather)
+    state = jax.tree_util.tree_map(
+        lambda a: a[order] if a.ndim and a.shape[0] == s_cap else a, state)
+
+    # ---- 2. migration -----------------------------------------------------
+    count_lo = jnp.searchsorted(ids_s, my_lo).astype(jnp.int32)
+    hi_start = jnp.searchsorted(ids_s, my_hi).astype(jnp.int32)
+    act_end = jnp.searchsorted(ids_s, num_cells).astype(jnp.int32)
+    count_hi = act_end - hi_start
+    overflow = jnp.maximum(count_lo - mig_cap, 0) \
+        + jnp.maximum(count_hi - mig_cap, 0)
+
+    mig_fields = ("pos", "vel", "orig_pos", "goal_pos", "mass", "dens",
+                  "vm", "iion", "stim", "w")
+
+    def pack(lo_row, valid):
+        cols = [getattr(state, f) for f in mig_fields]
+        cols = [c[:, None] if c.ndim == 1 else c for c in cols]
+        mat = jnp.concatenate(cols + [state.fixed[:, None].astype(jnp.float32),
+                                      valid.astype(jnp.float32)[:, None]],
+                              axis=1)
+        return jax.lax.dynamic_slice(
+            mat, (lo_row, 0), (mig_cap, mat.shape[1]))
+
+    left_valid = (iota_s < jnp.minimum(count_lo, mig_cap)) & state.active
+    right_lo = jnp.maximum(act_end - mig_cap, 0)
+    right_valid = ((iota_s >= act_end - jnp.minimum(count_hi, mig_cap))
+                   & (iota_s < act_end) & state.active)
+    left_out = pack(jnp.zeros((), jnp.int32), left_valid)
+    right_out = pack(right_lo, right_valid)
+    left_in = _shift(right_out, axis, +1, n_devices)   # from d-1's tail
+    right_in = _shift(left_out, axis, -1, n_devices)   # from d+1's head
+
+    # deactivate emigrant rows in place
+    emigrant = (iota_s < count_lo) | ((iota_s >= hi_start)
+                                      & (iota_s < act_end))
+    state = state.replace(active=state.active & ~emigrant)
+
+    # land immigrants: merge (S + 2M) rows, re-sort, keep the first S
+    def unpack(mat):
+        c = {}
+        k = 0
+        for f in mig_fields:
+            w = 3 if getattr(state, f).ndim == 2 else 1
+            c[f] = mat[:, k:k + w] if w == 3 else mat[:, k]
+            k += w
+        fixed = mat[:, k] > 0.5
+        valid = mat[:, k + 1] > 0.5
+        return c, fixed, valid
+
+    lc, lfix, lval = unpack(left_in)
+    rc, rfix, rval = unpack(right_in)
+
+    def merged(f):
+        a = getattr(state, f)
+        return jnp.concatenate([a, lc[f].astype(a.dtype).reshape(
+            (mig_cap,) + a.shape[1:]), rc[f].astype(a.dtype).reshape(
+            (mig_cap,) + a.shape[1:])], axis=0)
+
+    parts = {f: merged(f) for f in mig_fields}
+    m_fixed = jnp.concatenate([state.fixed, lfix, rfix])
+    m_active = jnp.concatenate([state.active, lval, rval])
+    m_zero1 = jnp.zeros((s_cap + 2 * mig_cap,), jnp.float32)
+    m_zero3 = jnp.zeros((s_cap + 2 * mig_cap, 3), jnp.float32)
+    mstate = ParticleState(
+        pos=parts["pos"], vel=parts["vel"], predicted_vel=m_zero3,
+        corrected_vel=m_zero3, inter_vel=m_zero3, acc=m_zero3,
+        orig_pos=parts["orig_pos"], goal_pos=parts["goal_pos"],
+        mass=parts["mass"], dens=parts["dens"], pres=m_zero1,
+        vm=parts["vm"], inter_vm=m_zero1, iion=parts["iion"],
+        stim=parts["stim"], w=parts["w"], fixed=m_fixed, active=m_active,
+        is_stim_on=state.is_stim_on)
+
+    ids2 = _hash_ids(mstate.pos, mstate.active, cfg)
+    order2 = jnp.argsort(ids2, stable=True).astype(jnp.int32)[:s_cap]
+    ids2_s = ids2[order2]
+    # active rows beyond S are LOST: surface through the overflow counter
+    overflow = overflow + jnp.maximum(
+        jnp.sum((ids2 < num_cells).astype(jnp.int32)) - s_cap, 0)
+    state = jax.tree_util.tree_map(
+        lambda a: a[order2] if a.ndim and a.shape[0] == s_cap + 2 * mig_cap
+        else a, mstate)
+
+    # ---- 3. shape matching (global psums) ---------------------------------
+    # the hoisted invariants' per-row members must follow the migrated rows
+    sm_inv = sm_rebind_rows(sm_inv, state)
+    state = corrected_velocity(state, cfg, axis_name=axis, sm_inv=sm_inv)
+
+    # ---- 4. sweep A with one boundary-plane halo exchange -----------------
+    act_end2 = jnp.searchsorted(ids2_s, num_cells).astype(jnp.int32)
+    chash = jnp.where(ids2_s < num_cells, ids2_s.astype(jnp.float32),
+                      jnp.float32(_SENTINEL))
+    fields = jnp.concatenate([
+        state.pos, state.corrected_vel, state.mass[:, None],
+        state.dens[:, None], state.vm[:, None], state.stim[:, None],
+        state.iion[:, None], state.w[:, None], chash[:, None],
+        jnp.zeros((s_cap, 3), jnp.float32)], axis=1)        # QM_A layout
+
+    def exchange_halo(mat, ids_col):
+        """Send my first/last boundary rows to my neighbors; return the
+        (halo_cap, C) blocks to prepend/append, with id columns kept
+        monotone (invalid lead/tail rows clamp onto the plane edges and
+        carry sentinel hashes, so the stencil test ignores them)."""
+        head = jax.lax.dynamic_slice(mat, (0, 0), (halo_cap, mat.shape[1]))
+        tail_lo = jnp.maximum(act_end2 - halo_cap, 0)
+        tail = jax.lax.dynamic_slice(mat, (tail_lo, 0),
+                                     (halo_cap, mat.shape[1]))
+        hiota = jnp.arange(halo_cap, dtype=jnp.int32)
+        # invalid rows carry sentinel FEATURE hashes already (the stencil
+        # test ignores them); only their id column must keep the receiver's
+        # merged id array sorted. Head rows beyond my active set clamp UP
+        # to num_cells (receiver appends); tail rows beyond it clamp DOWN
+        # to my_hi - 1 == receiver's lo - 1 (receiver prepends).
+        head_ok = hiota < act_end2
+        head_ids = jnp.where(head_ok, ids_col[:halo_cap], num_cells)
+        tail_ids_raw = jax.lax.dynamic_slice(ids_col, (tail_lo,),
+                                             (halo_cap,))
+        tail_ok = hiota < act_end2 - tail_lo
+        tail_ids = jnp.where(tail_ok, jnp.minimum(tail_ids_raw, my_hi - 1),
+                             my_hi - 1)
+        left_halo = _shift(jnp.concatenate(
+            [tail, tail_ids[:, None].astype(jnp.float32)], axis=1),
+            axis, +1, n_devices)                            # from d-1
+        right_halo = _shift(jnp.concatenate(
+            [head, head_ids[:, None].astype(jnp.float32)], axis=1),
+            axis, -1, n_devices)                            # from d+1
+        # edge devices receive zeros: mark those ids inert
+        l_ids = jnp.where(d > 0, left_halo[:, -1].astype(jnp.int32), 0)
+        r_ids = jnp.where(d < n_devices - 1,
+                          right_halo[:, -1].astype(jnp.int32), num_cells)
+        l_mat = jnp.where(d > 0, left_halo[:, :-1], _SENTINEL)
+        r_mat = jnp.where(d < n_devices - 1, right_halo[:, :-1], _SENTINEL)
+        return l_mat, l_ids, r_mat, r_ids
+
+    l_mat, l_ids, r_mat, r_ids = exchange_halo(fields, ids2_s)
+    # window ids must be GLOBALLY sorted across [left halo | core | right
+    # halo]: clamp the core's inactive sentinel ids (num_cells, which would
+    # sort AFTER the right halo's >= my_hi ids) down to my_hi - 1. Their
+    # feature hash stays the sentinel, so the stencil test still ignores
+    # them — the clamp only affects window bounds.
+    win_ids = jnp.where(ids2_s < num_cells, ids2_s, my_hi - 1)
+    merged_ids = jnp.concatenate([l_ids, win_ids, r_ids])
+    # halo feature matrices already carry sentinel hashes on every row the
+    # receiver must ignore (inactive senders' rows; edge devices get a
+    # whole-sentinel block), so no fix-up pass is needed here
+    merged_fs = jnp.concatenate([l_mat, fields, r_mat], axis=0)
+
+    overflow = overflow + _plane_overflow(ids2_s, act_end2, my_lo, my_hi,
+                                          gxy, halo_cap)
+
+    blk_lo, blk_hi = _window_bounds(win_ids, merged_ids, cfg, sub_q)
+
+    n_m = merged_fs.shape[0]
+    z = jnp.zeros((n_m,), jnp.float32)
+    vol_prev = jnp.where(merged_fs[:, 7] > 0.0,
+                         merged_fs[:, 6] / merged_fs[:, 7], 0.0)
+    feats_a = jnp.stack(
+        [merged_fs[:, 0], merged_fs[:, 1], merged_fs[:, 2],
+         merged_fs[:, 3], merged_fs[:, 4], merged_fs[:, 5], vol_prev,
+         merged_fs[:, 6], z, z, z, z, merged_fs[:, 12], z, z, z], axis=0)
+    out_a = sweep_a3(fields, feats_a, blk_lo, blk_hi, q_block, w_chunk,
+                     cfg, sub_q=sub_q)
+
+    # ---- 5. sweep B with the second halo exchange -------------------------
+    la, li, ra, ri = exchange_halo(out_a, ids2_s)
+    merged_a = jnp.concatenate([la, out_a, ra], axis=0)
+    vol_now = jnp.where(merged_a[:, 8] > 0.0,
+                        merged_a[:, 10] / merged_a[:, 8], 0.0)
+    feats_b = feats_from_out_a(merged_a, vol_now)
+    out_b = sweep_b3(out_a, feats_b, blk_lo, blk_hi, q_block, w_chunk,
+                     cfg, sub_q=sub_q)
+
+    # ---- 6. final state (device-sorted layout, no unsort) -----------------
+    ou = jnp.concatenate([out_b, out_a[:, 3:6]], axis=1)
+    act = state.active
+    upd = act & ~state.fixed
+    state = state.replace(
+        pos=jnp.where(upd[:, None], ou[:, 0:3], state.pos),
+        vel=jnp.where(upd[:, None], ou[:, 3:6], state.vel),
+        vm=jnp.where(act, ou[:, 6], state.vm),
+        dens=ou[:, 7], pres=ou[:, 8], iion=ou[:, 9], w=ou[:, 10],
+        inter_vm=ou[:, 11], acc=ou[:, 12:15], inter_vel=ou[:, 16:19])
+    return state, jax.lax.psum(overflow, axis)
+
+
+def _plane_overflow(ids_s, act_end, my_lo, my_hi, gxy, halo_cap):
+    """Count boundary-plane rows beyond the halo capacity."""
+    first_plane_end = jnp.searchsorted(ids_s, my_lo + gxy).astype(jnp.int32)
+    last_plane_start = jnp.searchsorted(ids_s,
+                                        my_hi - gxy).astype(jnp.int32)
+    n_first = jnp.minimum(first_plane_end, act_end)
+    n_last = act_end - jnp.minimum(last_plane_start, act_end)
+    return (jnp.maximum(n_first - halo_cap, 0)
+            + jnp.maximum(n_last - halo_cap, 0))
+
+
+def _window_bounds(core_ids, merged_ids, cfg: SimConfig, sub_q: int):
+    """Per-sub-block candidate windows into the merged array (the local
+    equivalent of pallas_sweeps.sweep_bookkeeping2's searchsorted step)."""
+    from ..ops.pallas_sweeps import _RUN_OFFSETS
+    gx, gy, _ = cfg.grid_size
+    num_cells = cfg.num_cells
+    n = core_ids.shape[0]
+    b = n // sub_q
+    h_lo = core_ids[::sub_q][:b]
+    h_hi = core_ids[sub_q - 1::sub_q][:b]
+    dvec = jnp.asarray(gx * (_RUN_OFFSETS[:, 0] + gy * _RUN_OFFSETS[:, 1]))
+    blo = jnp.clip(h_lo[:, None] + dvec[None, :] - 1, 0, num_cells)
+    bhi = jnp.clip(h_hi[:, None] + dvec[None, :] + 2, 0, num_cells)
+    lo = jnp.searchsorted(merged_ids, blo).astype(jnp.int32)
+    hi = jnp.searchsorted(merged_ids, bhi).astype(jnp.int32)
+    flat16 = lambda a: jnp.pad(a, ((0, 0), (0, 16 - a.shape[1]))).reshape(-1)
+    return flat16(lo), flat16(hi)
+
+
+def make_halo_step(mesh: Mesh, cfg: SimConfig, mig_cap: int, halo_cap: int,
+                   q_block: int = 128, w_chunk: int = 256, sub_q: int = 64,
+                   axis: str = AXIS):
+    """Build the jitted halo-exchange step: state -> (state, overflow).
+
+    The per-device capacity (state.capacity / n_devices) must be a
+    multiple of q_block. State must come from shard_state_halo.
+    """
+    n_devices = mesh.devices.size
+    spec = state_pspec(axis)
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh, in_specs=(spec,),
+             out_specs=(spec, P()), check_vma=False)
+    def halo_step(state):
+        sm_inv = sm_invariants(state, cfg, axis_name=axis)
+        return _halo_body(state, cfg, q_block, w_chunk, sub_q, mig_cap,
+                          halo_cap, n_devices, sm_inv, axis)
+
+    return halo_step
+
+
+def make_halo_simulate(mesh: Mesh, cfg: SimConfig, mig_cap: int,
+                       halo_cap: int, num_steps: int,
+                       stim_off_step: int = -1, q_block: int = 128,
+                       w_chunk: int = 256, sub_q: int = 64,
+                       axis: str = AXIS):
+    """N halo-exchange steps under lax.scan with the reference stim-off
+    protocol; SM rest-shape moments hoisted out of the scan (they are
+    migration-invariant: psums are permutation-independent)."""
+    n_devices = mesh.devices.size
+    spec = state_pspec(axis)
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh, in_specs=(spec,),
+             out_specs=(spec, P()), check_vma=False)
+    def halo_simulate(state):
+        sm_inv = sm_invariants(state, cfg, axis_name=axis)
+
+        def body(carry, i):
+            st, ovf = carry
+            if stim_off_step >= 0:
+                st = jax.lax.cond(i == stim_off_step,
+                                  lambda s: turn_off_stim(s, cfg),
+                                  lambda s: s, st)
+            st, o = _halo_body(st, cfg, q_block, w_chunk, sub_q, mig_cap,
+                               halo_cap, n_devices, sm_inv, axis)
+            return (st, jnp.maximum(ovf, o)), None
+
+        (state, overflow), _ = jax.lax.scan(
+            body, (state, jnp.asarray(0, jnp.int32)),
+            jnp.arange(num_steps))
+        return state, overflow
+
+    return halo_simulate

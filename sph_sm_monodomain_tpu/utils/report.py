@@ -60,8 +60,10 @@ def _scan_time(body: Callable, init, length: int = 20, reps: int = 3) -> float:
 
 def profile_phases(state: ParticleState, cfg: SimConfig, cell_capacity: int,
                    neighbor_capacity: int, length: int = 20) -> dict:
-    """Scan-amortized per-phase seconds, mirroring the 7 timed phases of
-    compute_SPH_SM_monodomain (cpp:794-824)."""
+    """Scan-amortized per-phase seconds for the XLA (non-fused) step,
+    mirroring the 7 timed phases of compute_SPH_SM_monodomain
+    (cpp:794-824). Every phase output feeds the scan carry with a NONZERO
+    coefficient so no iteration can be folded or dead-code-eliminated."""
     nbr = jax.jit(lambda p, a: grid.build_neighbor_table(
         p, p, a, cfg, cell_capacity, neighbor_capacity))(state.pos,
                                                          state.active)
@@ -69,9 +71,10 @@ def profile_phases(state: ParticleState, cfg: SimConfig, cell_capacity: int,
     mut = 1.0000001  # tiny mutation so scan iterations can't be CSE'd away
 
     phases = {
-        "find_neighbors": lambda p: p * mut + 0e-9 * grid.build_neighbor_table(
+        "find_neighbors": lambda p: p * mut
+        + 1e-9 * (grid.build_neighbor_table(
             p, p, state.active, cfg, cell_capacity,
-            neighbor_capacity).idx[0, 0],
+            neighbor_capacity).idx[0, 0] % 2).astype(p.dtype),
         "corrected_velocity": lambda s: corrected_velocity(s, cfg).replace(
             pos=s.pos * mut),
         "intermediate_velocity": lambda s: s.replace(
@@ -82,7 +85,7 @@ def profile_phases(state: ParticleState, cfg: SimConfig, cell_capacity: int,
         "cell_model": lambda s: fhn_cell_model(s, cfg).replace(
             vm=s.vm * 0.9999),
         "compute_force": lambda s: s.replace(
-            vm=sph.force_and_diffusion(s, nbr, cfg).acc[:, 0] * 1e-9
+            vm=sph.force_and_diffusion(s, nbr, cfg).acc[:, 0] * 1e-6
             + s.vm * 0.99),
         "update_properties": lambda s: update_properties(s, cfg),
     }
@@ -91,6 +94,90 @@ def profile_phases(state: ParticleState, cfg: SimConfig, cell_capacity: int,
         init = state.pos if name == "find_neighbors" else state
         out[name] = _scan_time(body, init, length=length)
     return out
+
+
+def profile_phases_fused(scene, length: int = 50) -> dict:
+    """Scan-amortized per-phase seconds for the PRODUCTION fused path.
+
+    The v3 step has only four separable stages (bookkeeping, shape
+    matching, sweep A, sweep B — the pointwise phases live inside the
+    sweep epilogues, see ops/fused_step.py), so the 7 reference columns
+    are attributed by an INCREMENTAL pipeline ablation: each stage's cost
+    is the timing difference between running the pipeline up to and
+    including it vs stopping before it. By construction the columns sum to
+    the full fused step time:
+
+      find_neighbors        <- sort + window bookkeeping
+      corrected_velocity    <- shape matching
+      density_pressure      <- sorted gather + sweep A (XSPH + density +
+                               EOS + FHN epilogue)
+      compute_force         <- feature stack + sweep B (forces + Vm
+                               Laplacian + integration epilogue) + unsort
+      intermediate_velocity, cell_model, update_properties -> 0 (fused
+      into the sweep epilogues; the README documents this attribution)
+    """
+    import jax.numpy as jnp
+    from ..models.monodomain import step_fused
+    from ..ops.fused_step import sweep_a3
+    from ..ops.pallas_sweeps import sweep_bookkeeping2
+    from ..ops.shape_matching import sm_invariants
+
+    state, cfg = scene.state, scene.cfg
+    qb, wc = scene.q_block, scene.block_window
+    sub_q = scene.sub_block or 64
+    sm_inv = jax.block_until_ready(
+        jax.jit(lambda s: sm_invariants(s, cfg))(state))
+    n = state.capacity
+
+    def book(s):
+        return sweep_bookkeeping2(s.pos, s.active, cfg, sub_q)
+
+    def stage1(s):  # bookkeeping
+        order, inv, blk_lo, blk_hi, chash = book(s)
+        return s.replace(pos=s.pos + 1e-9 * (order[0] % 2).astype(s.pos.dtype))
+
+    def stage2(s):  # + shape matching
+        order, inv, blk_lo, blk_hi, chash = book(s)
+        s = corrected_velocity(s, cfg, sm_inv=sm_inv)
+        return s.replace(pos=s.pos + 1e-9 * s.corrected_vel
+                         + 1e-9 * (order[0] % 2).astype(s.pos.dtype))
+
+    def stage3(s):  # + sorted gather + sweep A
+        order, inv, blk_lo, blk_hi, chash = book(s)
+        s = corrected_velocity(s, cfg, sm_inv=sm_inv)
+        fields = jnp.concatenate(
+            [s.pos, s.corrected_vel, s.mass[:, None], s.dens[:, None],
+             s.vm[:, None], s.stim[:, None], s.iion[:, None], s.w[:, None],
+             chash[:, None], jnp.zeros((n, 3), jnp.float32)], axis=1)
+        fs = fields[order]
+        z = jnp.zeros((n,), jnp.float32)
+        vol_prev = jnp.where(fs[:, 7] > 0.0, fs[:, 6] / fs[:, 7], 0.0)
+        feats_a = jnp.stack(
+            [fs[:, 0], fs[:, 1], fs[:, 2], fs[:, 3], fs[:, 4], fs[:, 5],
+             vol_prev, fs[:, 6], z, z, z, z, fs[:, 12], z, z, z], axis=0)
+        out_a = sweep_a3(fs, feats_a, blk_lo, blk_hi, qb, wc, cfg,
+                         sub_q=sub_q)
+        return s.replace(dens=out_a[:, 8][inv],
+                         pos=s.pos + 1e-12 * s.corrected_vel)
+
+    def stage4(s):  # full fused step
+        out, _ = step_fused(s, cfg, qb, wc, sub_q, sm_inv=sm_inv)
+        return out
+
+    t1 = _scan_time(stage1, state, length=length)
+    t2 = _scan_time(stage2, state, length=length)
+    t3 = _scan_time(stage3, state, length=length)
+    t4 = _scan_time(stage4, state, length=length)
+    return {
+        "find_neighbors": t1,
+        "corrected_velocity": max(t2 - t1, 0.0),
+        "intermediate_velocity": 0.0,
+        "density_pressure": max(t3 - t2, 0.0),
+        "cell_model": 0.0,
+        "compute_force": max(t4 - t3, 0.0),
+        "update_properties": 0.0,
+        "total_step": t4,
+    }
 
 
 def report_row(cfg: SimConfig, total_steps: int, avg_step_s: float,

@@ -1,0 +1,90 @@
+"""ppermute halo-exchange path vs single-chip fused step.
+
+The halo step keeps a device-sorted row layout (rows migrate between
+devices), so states are compared by matching particles through their
+orig_pos, which is unique per particle and travels with it.
+"""
+
+import numpy as np
+import jax
+import pytest
+
+from sph_sm_monodomain_tpu import SimConfig, init_fluid
+from sph_sm_monodomain_tpu.models.monodomain import step_fused
+from sph_sm_monodomain_tpu.ops.electrophysiology import turn_on_stim_mesh
+from sph_sm_monodomain_tpu.parallel.sharded_step import make_mesh
+from sph_sm_monodomain_tpu.parallel import halo_step as H
+
+CFG = SimConfig()
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= 8
+    return make_mesh(jax.devices()[:8])
+
+
+def _sorted_by_identity(state, fields):
+    act = np.asarray(state.active)
+    op = np.asarray(state.orig_pos)[act]
+    key = np.lexsort((op[:, 2], op[:, 1], op[:, 0]))
+    return {f: np.asarray(getattr(state, f))[act][key] for f in fields}, \
+        int(act.sum())
+
+
+def test_halo_matches_single_chip(rng, mesh):
+    n = 900
+    pts = rng.uniform(0.06, 1.44, size=(n, 3)).astype(np.float32)
+    st = init_fluid(pts, CFG)
+    st = turn_on_stim_mesh(st, pts, CFG)
+
+    halo, s_cap, mig_cap, halo_cap = H.shard_state_halo(st, mesh, CFG)
+    assert s_cap % 128 == 0
+    step_fn = H.make_halo_step(mesh, CFG, mig_cap, halo_cap, q_block=128,
+                               w_chunk=128, sub_q=64)
+
+    ref = st
+    steps = 4
+    ovf = None
+    for _ in range(steps):
+        ref, _ = step_fused(ref, CFG, 128, 128, 64, impl="v3")
+        halo, ovf = step_fn(halo)
+    assert int(ovf) == 0
+
+    fields = ("pos", "vel", "vm", "dens", "iion", "w")
+    r, n_r = _sorted_by_identity(ref, fields)
+    h, n_h = _sorted_by_identity(halo, fields)
+    assert n_r == n_h == n, "particles lost or duplicated by migration"
+    tol = {"pos": 2e-5, "vel": 5e-3, "vm": 1e-3, "dens": 1.0,
+           "iion": 1e-6, "w": 1e-7}
+    for f in fields:
+        np.testing.assert_allclose(h[f], r[f], atol=tol[f],
+                                   err_msg=f"{f} diverged halo vs single")
+
+
+def test_halo_migration_moves_particles(rng, mesh):
+    """Particles given z-velocity must cross slab boundaries without loss."""
+    n = 600
+    pts = rng.uniform(0.06, 1.3, size=(n, 3)).astype(np.float32)
+    vel = np.zeros_like(pts)
+    vel[:, 2] = 2.5  # ~0.6 cells over 8 steps: crossings guaranteed
+    st = init_fluid(pts, CFG, velocities=vel)
+
+    halo, s_cap, mig_cap, halo_cap = H.shard_state_halo(st, mesh, CFG)
+    sim = H.make_halo_simulate(mesh, CFG, mig_cap, halo_cap, num_steps=8,
+                               q_block=128, w_chunk=128, sub_q=64)
+    out, ovf = sim(halo)
+    assert int(ovf) == 0
+    act = np.asarray(out.active)
+    assert int(act.sum()) == n
+    pos = np.asarray(out.pos)[act]
+    assert np.isfinite(pos).all()
+    # ownership invariant: every active particle sits inside its device's
+    # z-slab (one step of drift at most, which the next sort migrates)
+    zb = H.z_slab_bounds(CFG, 8)
+    rows = np.nonzero(act)[0]
+    dev = rows // s_cap
+    zcell = (pos[:, 2] / CFG.cell_size).astype(np.int64)
+    lo, hi = zb[dev], zb[dev + 1]
+    drift = np.maximum(lo - 1 - zcell, zcell - hi)  # allow 1-step lag
+    assert (drift <= 0).mean() > 0.99

@@ -107,6 +107,86 @@ def main():
             return out[0]
         run(name, full3, (st,))
 
+    # ---- v3 kernels in isolation (hoisted bookkeeping) ----
+    if not only or {"swpa3", "swpb3", "glue3"} & only:
+        from sph_sm_monodomain_tpu.ops.pallas_sweeps import (
+            sweep_bookkeeping2)
+        from sph_sm_monodomain_tpu.ops.fused_step import (
+            feats_from_out_a, sweep_a3, sweep_b3)
+        sub3, wc3 = 64, 256
+        order2, inv2, blo2, bhi2, chash2 = jax.block_until_ready(
+            jax.jit(lambda p, a: sweep_bookkeeping2(p, a, cfg, sub3))(
+                st.pos, st.active))
+        n = st.capacity
+        z = jnp.zeros((n,), jnp.float32)
+        fields0 = jnp.concatenate(
+            [st.pos, st.vel, st.mass[:, None], st.dens[:, None],
+             st.vm[:, None], st.stim[:, None], st.iion[:, None],
+             st.w[:, None], chash2[:, None],
+             jnp.zeros((n, 3), jnp.float32)], axis=1)
+        fs0 = jax.block_until_ready(fields0[order2])
+
+        @jax.jit
+        def f_swpa3(fs):
+            feats_a = jnp.stack(
+                [fs0[:, 0], fs0[:, 1], fs0[:, 2], fs0[:, 3], fs0[:, 4],
+                 fs0[:, 5], fs0[:, 6] / fs0[:, 7], fs0[:, 6], z, z, z, z,
+                 fs0[:, 12], z, z, z], axis=0)
+            def body(f, _):
+                out_a = sweep_a3(f, feats_a, blo2, bhi2, 128, wc3, cfg,
+                                 sub_q=sub3)
+                return f * (1.0 - 1e-12) + 1e-12 * out_a, ()
+            f, _ = jax.lax.scan(body, fs, None, length=STEPS)
+            return f
+        run("swpa3", f_swpa3, (fs0,))
+
+        out_a0 = jax.block_until_ready(
+            jax.jit(lambda f: sweep_a3(
+                f, jnp.stack([f[:, 0], f[:, 1], f[:, 2], f[:, 3], f[:, 4],
+                              f[:, 5], f[:, 6] / f[:, 7], f[:, 6], z, z, z,
+                              z, f[:, 12], z, z, z], axis=0),
+                blo2, bhi2, 128, wc3, cfg, sub_q=sub3))(fs0))
+
+        @jax.jit
+        def f_swpb3(qm):
+            vol = jnp.where(out_a0[:, 8] > 0, out_a0[:, 10] / out_a0[:, 8],
+                            0.0)
+            feats_b = feats_from_out_a(out_a0, vol)
+            def body(q, _):
+                out_b = sweep_b3(q, feats_b, blo2, bhi2, 128, wc3, cfg,
+                                 sub_q=sub3)
+                return q * (1.0 - 1e-12) + 1e-12 * out_b, ()
+            q, _ = jax.lax.scan(body, qm, None, length=STEPS)
+            return q
+        run("swpb3", f_swpb3, (out_a0,))
+
+        # glue only: fields concat + sorted gather + 2 feature stacks +
+        # unsort gather, no pallas calls
+        @jax.jit
+        def f_glue3(state):
+            def body(s, _):
+                fields = jnp.concatenate(
+                    [s.pos, s.corrected_vel, s.mass[:, None],
+                     s.dens[:, None], s.vm[:, None], s.stim[:, None],
+                     s.iion[:, None], s.w[:, None], chash2[:, None],
+                     jnp.zeros((n, 3), jnp.float32)], axis=1)
+                fs = fields[order2]
+                vol_prev = jnp.where(fs[:, 7] > 0, fs[:, 6] / fs[:, 7], 0.)
+                feats_a = jnp.stack(
+                    [fs[:, 0], fs[:, 1], fs[:, 2], fs[:, 3], fs[:, 4],
+                     fs[:, 5], vol_prev, fs[:, 6], z, z, z, z, fs[:, 12],
+                     z, z, z], axis=0)
+                feats_b = feats_from_out_a(fs, vol_prev)
+                ou = jnp.concatenate([fs, fs[:, 3:6] + feats_b[0, :, None]],
+                                     axis=1)[inv2]
+                s = s.replace(dens=ou[:, 7], pres=ou[:, 8],
+                              vm=ou[:, 6] * (1 - 1e-12) + 1e-12 * s.vm,
+                              pos=s.pos + 1e-15 * ou[:, 0:3])
+                return s, ()
+            s, _ = jax.lax.scan(body, state, None, length=STEPS)
+            return s
+        run("glue3", f_glue3, (st,))
+
     # ---- v2 bookkeeping only ----
     if not only or "book2" in only:
         from sph_sm_monodomain_tpu.ops.pallas_sweeps import sweep_bookkeeping2
