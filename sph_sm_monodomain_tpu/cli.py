@@ -68,6 +68,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "trajectory file (native async writer)")
     p.add_argument("--devices", type=int, default=1,
                    help=">1: shard particles over a device mesh")
+    p.add_argument("--parallel", default="auto",
+                   choices=["auto", "gather", "fused", "halo"],
+                   help="multi-chip strategy with --devices>1: 'gather' = "
+                        "all_gather + XLA windows, 'fused' = all_gather + "
+                        "fused Pallas slabs, 'halo' = z-slab ppermute halo "
+                        "exchange; 'auto' picks fused on TPU, gather "
+                        "elsewhere")
     return p
 
 
@@ -126,6 +133,10 @@ def main(argv=None) -> int:
                             stim=False)
         lcm = (PAD_MULTIPLE * args.devices) // math.gcd(PAD_MULTIPLE,
                                                         args.devices)
+        if args.parallel in ("auto", "fused"):
+            # fused slabs: every device must own a whole number of query
+            # blocks (capacity divisible by devices * q_block)
+            lcm = max(lcm, args.devices * probe.q_block)
         pad_to = -(-probe.state.capacity // lcm) * lcm
     scene = build_scene(args.scene, cfg, replicate=args.replicate,
                         stim=args.mode in ("coupled", "monodomain"),
@@ -228,23 +239,59 @@ def main(argv=None) -> int:
             if render_every:
                 frames.append((done, state))
     elif args.devices > 1:
-        from .parallel.sharded_step import (make_mesh, make_sharded_simulate,
-                                            shard_state)
+        from .parallel import sharded_step as SS
+        from .parallel import halo_step as HS
         devices = jax.devices()[:args.devices]
         if len(devices) < args.devices:
             sys.exit(f"need {args.devices} devices, have {len(devices)}")
-        mesh = make_mesh(devices)
-        sharded = shard_state(state, mesh)
+        impl = args.parallel
+        if impl == "auto":
+            # fused Pallas slabs on TPU; XLA gather path elsewhere
+            impl = "fused" if jax.default_backend() == "tpu" else "gather"
+        if impl == "halo" and (args.traj or render_every
+                               or args.save_checkpoint):
+            sys.exit("--parallel halo re-layouts particles into z-slabs; "
+                     "--traj/--render-every/--save-checkpoint assume the "
+                     "original row order — use --parallel fused/gather")
+        mesh = SS.make_mesh(devices)
+        if impl == "halo":
+            sharded, _s_cap, mig_cap, halo_cap = HS.shard_state_halo(
+                state, mesh, cfg)
+        else:
+            sharded = SS.shard_state(state, mesh)
+
+        sims = {}  # (chunk_len, stim_off) -> compiled scan; reused across
+                   # chunks so only the stim-off chunk compiles separately
+
+        def get_sim(n_chunk, off):
+            key = (n_chunk, off)
+            if key not in sims:
+                if impl == "halo":
+                    sims[key] = HS.make_halo_simulate(
+                        mesh, cfg, mig_cap, halo_cap, num_steps=n_chunk,
+                        stim_off_step=off, q_block=scene.q_block,
+                        w_chunk=scene.block_window,
+                        sub_q=scene.sub_block or 64)
+                elif impl == "fused":
+                    sims[key] = SS.make_sharded_simulate_fused(
+                        mesh, cfg, num_steps=n_chunk, stim_off_step=off,
+                        q_block=scene.q_block, w_chunk=scene.block_window,
+                        sub_q=scene.sub_block or 64)
+                else:
+                    sims[key] = SS.make_sharded_simulate(
+                        mesh, cfg, scene.cell_capacity,
+                        scene.neighbor_capacity, num_steps=n_chunk,
+                        stim_off_step=off)
+            return sims[key]
+
+        print(f"parallel impl: {impl} over {args.devices} devices")
         overflow = 0
         done = 0
         while done < args.steps:
             n_chunk = min(args.chunk, args.steps - done)
             off = (stim_off - done
                    if done <= stim_off < done + n_chunk else -1)
-            sim = make_sharded_simulate(mesh, cfg, scene.cell_capacity,
-                                        scene.neighbor_capacity,
-                                        num_steps=n_chunk, stim_off_step=off)
-            sharded, ovf = sim(sharded)
+            sharded, ovf = get_sim(n_chunk, off)(sharded)
             overflow = max(overflow, int(ovf))
             done += n_chunk
             stream_frame(done, sharded)
@@ -274,8 +321,14 @@ def main(argv=None) -> int:
               file=sys.stderr)
 
     n = scene.num_particles
-    disp = np.asarray(state.displacement())[:n]
-    vm = np.asarray(state.vm)[:n]
+    if args.devices > 1 and args.parallel == "halo":
+        # halo states are z-slab re-layouts: select by mask, not row range
+        act = np.asarray(state.active)
+        disp = np.asarray(state.displacement())[act]
+        vm = np.asarray(state.vm)[act]
+    else:
+        disp = np.asarray(state.displacement())[:n]
+        vm = np.asarray(state.vm)[:n]
     print(f"displacement mean={disp.mean():.4f} max={disp.max():.4f} | "
           f"Vm [{vm.min():.2f}, {vm.max():.2f}]")
 

@@ -243,6 +243,37 @@ def _sharded_fused_body(state: ParticleState, cfg: SimConfig, q_block: int,
     return state, jnp.zeros((), jnp.int32)
 
 
+def make_sharded_simulate_fused(mesh: Mesh, cfg: SimConfig, num_steps: int,
+                                stim_off_step: int = -1, q_block: int = 128,
+                                w_chunk: int = 128, sub_q: int = 64,
+                                axis: str = AXIS):
+    """Jitted multi-chip N-step scan over the fused-Pallas step with the
+    reference stim-off protocol (main.cpp:329-334). Same slab strategy as
+    make_sharded_step_fused; this is the production path `--devices N`
+    dispatches on TPU (BASELINE config 5)."""
+    spec = state_pspec(axis)
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh, in_specs=(spec,),
+             out_specs=(spec, P()), check_vma=False)
+    def sharded_simulate(state):
+        def body(st, i):
+            if stim_off_step >= 0:
+                st = jax.lax.cond(i == stim_off_step,
+                                  lambda s: turn_off_stim(s, cfg),
+                                  lambda s: s, st)
+            st, _ = _sharded_fused_body(st, cfg, q_block, w_chunk, sub_q,
+                                        axis)
+            return st, None
+
+        state, _ = jax.lax.scan(body, state, jnp.arange(num_steps))
+        # the fused path's chunked windows cover every candidate: overflow
+        # is structurally zero (see models/monodomain.py step_fused)
+        return state, jnp.zeros((), jnp.int32)
+
+    return sharded_simulate
+
+
 def make_sharded_step_fused(mesh: Mesh, cfg: SimConfig, q_block: int = 128,
                             w_chunk: int = 128, sub_q: int = 64,
                             axis: str = AXIS):

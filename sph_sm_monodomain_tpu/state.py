@@ -151,9 +151,32 @@ def save_checkpoint(path: str, state: ParticleState, step: int = 0) -> None:
 
 def load_checkpoint(path: str) -> tuple[ParticleState, int]:
     data = np.load(path)
+    if "__step__" not in data:
+        raise ValueError(f"{path}: not a sph_sm_monodomain_tpu checkpoint "
+                         "(missing __step__ field)")
     step = int(data["__step__"])
     template = jax.tree_util.tree_structure(
         ParticleState(*([jnp.zeros(())] * 19)))
     n = template.num_leaves
+    have = sum(k.startswith("leaf_") for k in data.files)
+    if have != n:
+        raise ValueError(
+            f"{path}: checkpoint schema mismatch — expected {n} state "
+            f"leaves, file has {have} (written by an incompatible version)")
     leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(n)]
-    return jax.tree_util.tree_unflatten(template, leaves), step
+    state = jax.tree_util.tree_unflatten(template, leaves)
+    # shape sanity: every per-particle leaf shares the capacity axis, and
+    # the capacity is lane-aligned the way init_fluid/pad_to guarantee
+    cap = state.pos.shape[0]
+    bad = [i for i, leaf in enumerate(leaves)
+           if leaf.ndim >= 1 and leaf.shape[0] != cap]
+    if state.pos.ndim != 2 or state.pos.shape[1] != 3 or bad:
+        raise ValueError(
+            f"{path}: inconsistent leaf shapes (capacity axis {cap}, "
+            f"pos {state.pos.shape}, mismatched leaves {bad})")
+    if cap % PAD_MULTIPLE:
+        raise ValueError(
+            f"{path}: capacity {cap} is not a multiple of {PAD_MULTIPLE} "
+            "(lane alignment) — was this checkpoint written by this "
+            "framework?")
+    return state, step

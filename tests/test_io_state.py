@@ -73,6 +73,35 @@ def test_checkpoint_roundtrip(tmp_path):
                                   np.asarray(st2.active))
 
 
+def test_checkpoint_load_rejects_bad_files(tmp_path):
+    """load_checkpoint validates schema + shapes instead of crashing later
+    (VERDICT r1 §9)."""
+    import pytest
+
+    not_ckpt = str(tmp_path / "not_ckpt.npz")
+    np.savez(not_ckpt, foo=np.zeros(3))
+    with pytest.raises(ValueError, match="missing __step__"):
+        load_checkpoint(not_ckpt)
+
+    few = str(tmp_path / "few.npz")
+    np.savez(few, __step__=np.asarray(0),
+             **{f"leaf_{i}": np.zeros((128,), np.float32) for i in range(4)})
+    with pytest.raises(ValueError, match="schema mismatch"):
+        load_checkpoint(few)
+
+    # capacity axis mismatch between leaves
+    pts = np.random.default_rng(2).random((40, 3)).astype(np.float32)
+    st = init_fluid(pts, CFG)
+    good = str(tmp_path / "good.npz")
+    save_checkpoint(good, st, step=1)
+    data = dict(np.load(good))
+    data["leaf_0"] = data["leaf_0"][:64]
+    bad = str(tmp_path / "bad.npz")
+    np.savez(bad, **data)
+    with pytest.raises(ValueError):
+        load_checkpoint(bad)
+
+
 def test_displacement():
     pts = np.zeros((4, 3), np.float32) + 0.5
     st = init_fluid(pts, CFG)
