@@ -40,7 +40,8 @@ def main():
                            sc.neighbor_capacity, num_steps=n,
                            fused=fused, q_block=sc.q_block,
                            w_window=sc.block_window,
-                           sub_q=(sc.sub_block or None))
+                           sub_q=(sc.sub_block or None),
+                           impl=sc.fused_impl)
         fetch(out[0])
         return out
 
@@ -56,7 +57,8 @@ def main():
                            sc.neighbor_capacity, num_steps=steps,
                            fused=fused, q_block=sc.q_block,
                            w_window=sc.block_window,
-                           sub_q=(sc.sub_block or None))
+                           sub_q=(sc.sub_block or None),
+                           impl=sc.fused_impl)
         state = out[0]
         fetch(state)   # force real completion every rep
     dt = (time.time() - t0) / reps

@@ -87,9 +87,61 @@ def _gather_loop(blk_lo_ref, blk_hi_ref, feats_ref, scratch, w_chunk,
     return accs
 
 
+def _gather_loop4(blk_lo_ref, blk_hi_ref, feats_ref, scratch, w_chunk,
+                  qcx, qcyz, base, pair_fn, accs, cfg: SimConfig,
+                  hbm_feats: bool):
+    """v4 candidate enumeration: THREE merged z-plane windows per sub-block
+    (one per dz offset), each covering the full 3x3 (dx, dy) footprint of
+    the sub-block's hash interval in that plane.
+
+    The 9 (dy, dz) runs of `_gather_loop` live at hash offsets dy*Gx +
+    dz*Gx*Gy; the three dy-runs of one dz are only ~Gx cells apart, so for
+    typical blocks their windows nearly abut — merging them trades a few
+    gap lanes for 3x fewer window setups and fewer ragged-chunk roundups
+    (measured net win on v5e, see DEVELOPMENT.md).
+
+    The mask is the exact per-axis cell test |cx_q - cx_c| <= 1 and
+    |cyz_q + Gy*dz - cyz_c| <= 1 on two f32 features (cx = x cell coord,
+    cyz = y + Gy*z combined coord; both < 2^17, exact in f32). It accepts
+    exactly the reference's 27-cell stencil pairs plus y/z-boundary wrap
+    pairs (y_q=0 with y_c=Gy-1 one z-plane lower, etc.) that are >= one
+    world edge minus two cells apart — far outside every kernel support,
+    so their contribution is exactly 0. Out-of-grid / inactive lanes carry
+    a sentinel cx. Rows outside the nominal windows can never pass (their
+    cyz differs by >= 2 for every dz), and a pair passes under at most one
+    dz window, so overlapping windows cannot double-count."""
+    gy = cfg.grid_size[1]
+    for r in range(3):
+        qd = qcyz + jnp.float32((r - 1) * gy)
+        w_lo = blk_lo_ref[base * 4 + r]
+        w_hi = blk_hi_ref[base * 4 + r]
+        start = pl.multiple_of((w_lo // 128) * 128, 128)
+        trips = pl.cdiv(w_hi - start, w_chunk)
+
+        def chunk(c, carry, start=start, qd=qd):
+            off = pl.multiple_of(start + c * w_chunk, 128)
+            if hbm_feats:
+                buf, sem = scratch
+                cp = pltpu.make_async_copy(
+                    feats_ref.at[:, pl.ds(off, w_chunk)], buf, sem)
+                cp.start()
+                cp.wait()
+                cand = buf[:, :]
+            else:
+                cand = feats_ref[:, pl.ds(off, w_chunk)]
+            stencil = (jnp.abs(qcx - cand[12:13, :]) <= 1.0) \
+                & (jnp.abs(qd - cand[13:14, :]) <= 1.0)
+            return pair_fn(cand, stencil, carry)
+
+        accs = chunk(0, accs)
+        accs = jax.lax.fori_loop(1, trips, chunk, accs)
+    return accs
+
+
 def _kernel_a3(blk_lo_ref, blk_hi_ref, qm_ref, feats_ref, out_ref,
                *scratch, cfg: SimConfig, w_chunk: int, sub_q: int,
-               with_ep: bool, hbm_feats: bool = False):
+               with_ep: bool, stencil: str = "hash9",
+               hbm_feats: bool = False):
     """XSPH + density gather, then EOS + FHN epilogue. Writes OUT_A."""
     bid = pl.program_id(0)
     nsub = qm_ref.shape[0] // sub_q
@@ -109,6 +161,7 @@ def _kernel_a3(blk_lo_ref, blk_hi_ref, qm_ref, feats_ref, out_ref,
         vm = qm_ref[sl, 8:9]
         stim = qm_ref[sl, 9:10]
         qh = qm_ref[sl, 12:13]
+        qcyz = qm_ref[sl, 13:14]
 
         # per-pair difference form (the reference's own accumulation shape,
         # cpp:688-695): 4 accumulators keep the chunk loop register-resident
@@ -127,9 +180,14 @@ def _kernel_a3(blk_lo_ref, blk_hi_ref, qm_ref, feats_ref, out_ref,
                     a_z + wv * (cand[5:6, :] - qcv[:, 2:3]))
 
         zeros = jnp.zeros((sub_q, w_chunk), jnp.float32)
-        a_d, a_x, a_y, a_z = _gather_loop(
-            blk_lo_ref, blk_hi_ref, feats_ref, scratch, w_chunk,
-            qh, base, pair, (zeros,) * 4, cfg, hbm_feats)
+        if stencil == "xyz3":
+            a_d, a_x, a_y, a_z = _gather_loop4(
+                blk_lo_ref, blk_hi_ref, feats_ref, scratch, w_chunk,
+                qh, qcyz, base, pair, (zeros,) * 4, cfg, hbm_feats)
+        else:
+            a_d, a_x, a_y, a_z = _gather_loop(
+                blk_lo_ref, blk_hi_ref, feats_ref, scratch, w_chunk,
+                qh, base, pair, (zeros,) * 4, cfg, hbm_feats)
 
         red = lambda a: jnp.sum(a, axis=1, keepdims=True)
         dens = red(a_d)
@@ -186,7 +244,8 @@ def _kernel_a3(blk_lo_ref, blk_hi_ref, qm_ref, feats_ref, out_ref,
 
 def _kernel_b3(blk_lo_ref, blk_hi_ref, qm_ref, feats_ref, out_ref,
                *scratch, cfg: SimConfig, w_chunk: int, sub_q: int,
-               with_ep: bool, hbm_feats: bool = False):
+               with_ep: bool, stencil: str = "hash9",
+               hbm_feats: bool = False):
     """Force + Vm Laplacian gather, then full integration epilogue
     (Update_Properties, cpp:596-651). Reads OUT_A as QM, writes OUT_B."""
     bid = pl.program_id(0)
@@ -213,6 +272,7 @@ def _kernel_b3(blk_lo_ref, blk_hi_ref, qm_ref, feats_ref, out_ref,
         react = qm_ref[sl, 9:10]
         mass = qm_ref[sl, 10:11]
         qh = qm_ref[sl, 12:13]
+        qcyz = qm_ref[sl, 13:14]
 
         # per-pair difference form, exactly the reference's accumulation
         # shape (cpp:550-563): acc -= f_p*(pos_i - pos_j), acc +=
@@ -250,9 +310,14 @@ def _kernel_b3(blk_lo_ref, blk_hi_ref, qm_ref, feats_ref, out_ref,
             return (a_ax, a_ay, a_az, a_lap)
 
         zeros = jnp.zeros((sub_q, w_chunk), jnp.float32)
-        a_ax, a_ay, a_az, a_lap = _gather_loop(
-            blk_lo_ref, blk_hi_ref, feats_ref, scratch, w_chunk,
-            qh, base, pair, (zeros,) * 4, cfg, hbm_feats)
+        if stencil == "xyz3":
+            a_ax, a_ay, a_az, a_lap = _gather_loop4(
+                blk_lo_ref, blk_hi_ref, feats_ref, scratch, w_chunk,
+                qh, qcyz, base, pair, (zeros,) * 4, cfg, hbm_feats)
+        else:
+            a_ax, a_ay, a_az, a_lap = _gather_loop(
+                blk_lo_ref, blk_hi_ref, feats_ref, scratch, w_chunk,
+                qh, base, pair, (zeros,) * 4, cfg, hbm_feats)
 
         red = lambda a: jnp.sum(a, axis=1, keepdims=True)
         dens_g = jnp.where(dens > 0.0, dens, 1.0)
@@ -301,8 +366,10 @@ def _kernel_b3(blk_lo_ref, blk_hi_ref, qm_ref, feats_ref, out_ref,
 
 
 def _call_kernel3(kernel, feats_t, qmat, blk_lo, blk_hi, q_block, w_chunk,
-                  sub_q, cfg, with_ep, interpret, q_slice=None):
-    if (qmat.shape[0] // sub_q) * 128 > 900_000:
+                  sub_q, cfg, with_ep, interpret, q_slice=None,
+                  stencil: str = "hash9"):
+    stride = 4 if stencil == "xyz3" else 16  # windows per sub-block (flat)
+    if (qmat.shape[0] // sub_q) * stride * 8 > 900_000:
         raise ValueError(
             f"sub_q={sub_q} yields {qmat.shape[0] // sub_q} window blocks; "
             "their SMEM-prefetched bounds would exceed the 1 MB scalar "
@@ -310,11 +377,14 @@ def _call_kernel3(kernel, feats_t, qmat, blk_lo, blk_hi, q_block, w_chunk,
     if q_slice is not None:
         off, cnt = q_slice
         qmat = _slice_rows(qmat, off, cnt)
-        blk_lo = jax.lax.dynamic_slice(blk_lo, (off // sub_q * 16,),
-                                       (cnt // sub_q * 16,))
-        blk_hi = jax.lax.dynamic_slice(blk_hi, (off // sub_q * 16,),
-                                       (cnt // sub_q * 16,))
+        blk_lo = jax.lax.dynamic_slice(blk_lo, (off // sub_q * stride,),
+                                       (cnt // sub_q * stride,))
+        blk_hi = jax.lax.dynamic_slice(blk_hi, (off // sub_q * stride,),
+                                       (cnt // sub_q * stride,))
     n = qmat.shape[0]
+    if n % q_block:
+        raise ValueError(f"query rows {n} not divisible by q_block="
+                         f"{q_block}; pad the state capacity")
     b = n // q_block
     feats_t = jnp.pad(feats_t, ((0, 0), (0, w_chunk)))
     hbm_feats = feats_t.size * 4 > VMEM_FEATS_LIMIT_BYTES
@@ -334,7 +404,8 @@ def _call_kernel3(kernel, feats_t, qmat, blk_lo, blk_hi, q_block, w_chunk,
     )
     return pl.pallas_call(
         functools.partial(kernel, cfg=cfg, w_chunk=w_chunk, sub_q=sub_q,
-                          with_ep=with_ep, hbm_feats=hbm_feats),
+                          with_ep=with_ep, stencil=stencil,
+                          hbm_feats=hbm_feats),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, 16), jnp.float32),
         interpret=interpret,
@@ -344,24 +415,29 @@ def _call_kernel3(kernel, feats_t, qmat, blk_lo, blk_hi, q_block, w_chunk,
 def sweep_a3(fs, feats_a, blk_lo, blk_hi, q_block: int, w_chunk: int,
              cfg: SimConfig, with_ep: bool = True,
              interpret: bool | None = None, q_slice=None,
-             sub_q: int = 64):
-    """QM_A (N,16) + feature matrix -> OUT_A (N,16), sorted order."""
+             sub_q: int = 64, stencil: str = "hash9"):
+    """QM_A (N,16) + feature matrix -> OUT_A (N,16), sorted order.
+
+    stencil="hash9": 9 (dy,dz) run windows + linear-hash mask (bookkeeping
+    from sweep_bookkeeping2); "xyz3": 3 merged z-plane windows + per-axis
+    (cx, cyz) mask (sweep_bookkeeping3)."""
     if interpret is None:
         interpret = _interpret_default()
     return _call_kernel3(_kernel_a3, feats_a, fs, blk_lo, blk_hi, q_block,
-                         w_chunk, sub_q, cfg, with_ep, interpret, q_slice)
+                         w_chunk, sub_q, cfg, with_ep, interpret, q_slice,
+                         stencil=stencil)
 
 
 def sweep_b3(out_a, feats_b, blk_lo, blk_hi, q_block: int, w_chunk: int,
              cfg: SimConfig, with_ep: bool = True,
              interpret: bool | None = None, q_slice=None,
-             sub_q: int = 64):
+             sub_q: int = 64, stencil: str = "hash9"):
     """OUT_A (N,16) + feature matrix -> OUT_B (N,16), sorted order."""
     if interpret is None:
         interpret = _interpret_default()
     return _call_kernel3(_kernel_b3, feats_b, out_a, blk_lo, blk_hi,
                          q_block, w_chunk, sub_q, cfg, with_ep, interpret,
-                         q_slice)
+                         q_slice, stencil=stencil)
 
 
 def feats_from_out_a(out_a, vol):
@@ -371,4 +447,4 @@ def feats_from_out_a(out_a, vol):
     return jnp.stack([out_a[:, 0], out_a[:, 1], out_a[:, 2],
                       out_a[:, 3], out_a[:, 4], out_a[:, 5],
                       vol, out_a[:, 6], out_a[:, 7], z, z, z,
-                      out_a[:, 12], z, z, z], axis=0)
+                      out_a[:, 12], out_a[:, 13], z, z], axis=0)

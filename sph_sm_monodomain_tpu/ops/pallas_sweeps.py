@@ -530,6 +530,62 @@ def sweep_bookkeeping2(pos: jax.Array, active: jax.Array, cfg: SimConfig,
     return order, inv, flat16(lo), flat16(hi), chash
 
 
+def sweep_bookkeeping3(pos: jax.Array, active: jax.Array, cfg: SimConfig,
+                       win_block: int):
+    """Sort + merged z-plane window bookkeeping for the v4 sweeps
+    (fused_step._gather_loop4).
+
+    Like sweep_bookkeeping2, but each sub-block gets THREE windows (one per
+    dz offset) covering the full 3x3 (dx, dy) footprint of its hash
+    interval in that z-plane, and the stencil features are the exact cell
+    coordinates instead of the linear hash:
+
+    Returns (order, inv, blk_lo (B*4,), blk_hi (B*4,), cx (N,), cyz (N,)):
+      blk_lo/hi     window rows per sub-block, 3 used of each 4 (flat SMEM
+                    layout, see sweep_bookkeeping2)
+      cx (N,)       f32 x cell coordinate, ORIGINAL order; sentinel on
+                    out-of-grid / inactive lanes
+      cyz (N,)      f32 combined y + Gy*z cell coordinate (< Gy*Gz < 2^17,
+                    exact in f32), ORIGINAL order
+    """
+    n = pos.shape[0]
+    gx, gy, gz = cfg.grid_size
+    num_cells = cfg.num_cells
+
+    coords = (pos / cfg.cell_size).astype(jnp.int32)
+    x, y, z = coords[..., 0], coords[..., 1], coords[..., 2]
+    inside = ((x >= 0) & (x < gx) & (y >= 0) & (y < gy)
+              & (z >= 0) & (z < gz))
+    valid = inside & active
+    ids = jnp.where(valid, x + gx * (y + gy * z), num_cells)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    if n <= 32768 and num_cells < 65536:
+        comb = jnp.sort(ids * 32768 + iota)
+        order = comb & 32767
+        sorted_ids = comb >> 15
+    else:
+        order = jnp.argsort(ids, stable=True).astype(jnp.int32)
+        sorted_ids = ids[order]
+    inv = jnp.zeros((n,), jnp.int32).at[order].set(iota,
+                                                   unique_indices=True)
+
+    b = n // win_block
+    h_lo = sorted_ids[::win_block][:b]
+    h_hi = sorted_ids[win_block - 1::win_block][:b]
+    # merged window per dz: [h_lo + dz*GxGy - Gx - 1, h_hi + dz*GxGy + Gx + 2)
+    d = jnp.asarray(np.array([-1, 0, 1], np.int32) * (gx * gy))
+    blo = jnp.clip(h_lo[:, None] + d[None, :] - (gx + 1), 0, num_cells)
+    bhi = jnp.clip(h_hi[:, None] + d[None, :] + (gx + 2), 0, num_cells)
+    lo = jnp.searchsorted(sorted_ids, blo).astype(jnp.int32)
+    hi = jnp.searchsorted(sorted_ids, bhi).astype(jnp.int32)
+
+    cx = jnp.where(valid, x.astype(jnp.float32),
+                   jnp.float32(_COORD_SENTINEL))
+    cyz = jnp.where(valid, (y + gy * z).astype(jnp.float32), 0.0)
+    flat4 = lambda a: jnp.pad(a, ((0, 0), (0, 1))).reshape(-1)
+    return order, inv, flat4(lo), flat4(hi), cx, cyz
+
+
 def _sweep_a2_kernel(blk_lo_ref, blk_hi_ref, qm_ref, feats_ref, out_ref,
                      *scratch, cfg: SimConfig, w_chunk: int, sub_q: int,
                      hbm_feats: bool = False):
@@ -839,6 +895,46 @@ def auto_sweep2_params(positions: np.ndarray, cfg: SimConfig,
         # flagship scene with the straight-lined first chunk (Wc=128
         # measured fastest at both sub_q=64 and 128)
         cost = (trips * wc).sum() + trips.sum() * 40
+        if best is None or cost < best[0]:
+            best = (cost, wc)
+    return sub_q, best[1]
+
+
+def auto_sweep4_params(positions: np.ndarray, cfg: SimConfig,
+                       sub_q: int = 128) -> tuple[int, int]:
+    """(sub_q, w_chunk) for the v4 sweeps (3 merged z-plane windows per
+    sub-block, fused_step._gather_loop4): minimize enumerated candidate
+    lanes + a per-chunk overhead term over Wc in {128, 256, 384}.
+    Host-side, once per scene."""
+    gx, gy, gz = cfg.grid_size
+    num_cells = cfg.num_cells
+    coords = (np.asarray(positions) / cfg.cell_size).astype(np.int64)
+    inside = ((coords >= 0).all(1) & (coords[:, 0] < gx)
+              & (coords[:, 1] < gy) & (coords[:, 2] < gz))
+    ids = np.where(inside, coords[:, 0] + gx * (coords[:, 1]
+                                                + gy * coords[:, 2]),
+                   num_cells)
+    s = np.sort(ids)
+    n = len(s)
+    b = max(n // sub_q, 1)
+    h_lo = s[::sub_q][:b]
+    h_hi = s[sub_q - 1::sub_q][:b]
+    d = (np.array([-1, 0, 1], np.int64) * (gx * gy))[None, :]
+    lo = np.searchsorted(s, np.clip(h_lo[:, None] + d - (gx + 1),
+                                    0, num_cells))
+    hi = np.searchsorted(s, np.clip(h_hi[:, None] + d + (gx + 2),
+                                    0, num_cells))
+    start = (lo // 128) * 128
+    best = None
+    for wc in (128, 256, 384):
+        trips = np.maximum(0, -(-(hi - start) // wc))
+        # chunk-lane count dominates: the kernels' accumulators are
+        # (sub_q, Wc) tiles, so every padded lane costs full pair-op ALU
+        # work, while per-chunk loop overhead is small (straight-lined
+        # first chunk). 8 slot-equivalents/chunk refit from v5e A/B at
+        # sub_q=128 (Wc=128: 2.55 ms vs Wc=256: 3.07 ms on biceps_full —
+        # the old 40 constant mispicked 256 for the wider merged windows).
+        cost = (trips * wc).sum() + trips.sum() * 8
         if best is None or cost < best[0]:
             best = (cost, wc)
     return sub_q, best[1]

@@ -182,15 +182,15 @@ def _sharded_fused_body(state: ParticleState, cfg: SimConfig, q_block: int,
 
     Strategy: all_gather the per-particle fields once per phase group,
     compute global sort/window bookkeeping redundantly on every device
-    (cheap), and run the v3 fused kernels (ops/fused_step.py) over THIS
-    device's contiguous slab of sorted query rows — compute scales 1/D
-    while candidates come from the full gathered arrays. Slab outputs are
-    all_gathered (sorted order) and mapped back to each device's
-    original-order shard.
+    (cheap), and run the v4 fused kernels (ops/fused_step.py, merged
+    z-plane windows) over THIS device's contiguous slab of sorted query
+    rows — compute scales 1/D while candidates come from the full gathered
+    arrays. Slab outputs are all_gathered (sorted order) and mapped back
+    to each device's original-order shard.
     """
     import jax.numpy as jnp
     from ..ops.fused_step import feats_from_out_a, sweep_a3, sweep_b3
-    from ..ops.pallas_sweeps import sweep_bookkeeping2
+    from ..ops.pallas_sweeps import sweep_bookkeeping3
 
     def ag(x):
         return jax.lax.all_gather(x, axis, tiled=True)
@@ -200,7 +200,7 @@ def _sharded_fused_body(state: ParticleState, cfg: SimConfig, q_block: int,
     lo = d * n_loc  # this device's sorted-row slab
 
     g_pos, g_active = ag(state.pos), ag(state.active)
-    order, inv, blk_lo, blk_hi, chash = sweep_bookkeeping2(
+    order, inv, blk_lo, blk_hi, cx, cyz = sweep_bookkeeping3(
         g_pos, g_active, cfg, sub_q)
     my_inv = jax.lax.dynamic_slice(inv, (lo,), (n_loc,))
 
@@ -212,23 +212,25 @@ def _sharded_fused_body(state: ParticleState, cfg: SimConfig, q_block: int,
         g_pos, ag(state.corrected_vel), ag(state.mass)[:, None],
         ag(state.dens)[:, None], ag(state.vm)[:, None],
         ag(state.stim)[:, None], ag(state.iion)[:, None],
-        ag(state.w)[:, None], chash[:, None],
-        jnp.zeros((n, 3), jnp.float32)], axis=1)            # QM_A layout
+        ag(state.w)[:, None], cx[:, None], cyz[:, None],
+        jnp.zeros((n, 2), jnp.float32)], axis=1)            # QM_A layout
     fs = fields[order]
 
     z = jnp.zeros((n,), jnp.float32)
     vol_prev = jnp.where(fs[:, 7] > 0.0, fs[:, 6] / fs[:, 7], 0.0)
     feats_a = jnp.stack([fs[:, 0], fs[:, 1], fs[:, 2], fs[:, 3], fs[:, 4],
                          fs[:, 5], vol_prev, fs[:, 6], z, z, z, z,
-                         fs[:, 12], z, z, z], axis=0)
+                         fs[:, 12], fs[:, 13], z, z], axis=0)
     out_a_slab = sweep_a3(fs, feats_a, blk_lo, blk_hi, q_block, w_chunk,
-                          cfg, q_slice=(lo, n_loc), sub_q=sub_q)
+                          cfg, q_slice=(lo, n_loc), sub_q=sub_q,
+                          stencil="xyz3")
     out_a = ag(out_a_slab)                                  # global, sorted
 
     vol_now = jnp.where(out_a[:, 8] > 0.0, out_a[:, 10] / out_a[:, 8], 0.0)
     feats_b = feats_from_out_a(out_a, vol_now)
     out_b_slab = sweep_b3(out_a, feats_b, blk_lo, blk_hi, q_block, w_chunk,
-                          cfg, q_slice=(lo, n_loc), sub_q=sub_q)
+                          cfg, q_slice=(lo, n_loc), sub_q=sub_q,
+                          stencil="xyz3")
     out_b = ag(out_b_slab)
 
     ou = jnp.concatenate([out_b, out_a[:, 3:6]], axis=1)[my_inv]

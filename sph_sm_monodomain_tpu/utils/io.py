@@ -17,7 +17,7 @@ import numpy as np
 from ..config import SimConfig
 from ..state import ParticleState, init_fluid
 from ..ops.grid import auto_cell_capacity, auto_window_capacity
-from ..ops.pallas_sweeps import auto_sweep2_params
+from ..ops.pallas_sweeps import auto_sweep4_params
 from ..ops import electrophysiology as ep
 
 _REPO_ROOT = Path(__file__).resolve().parents[2]
@@ -102,7 +102,8 @@ class Scene(NamedTuple):
     name: str
     q_block: int = 128       # fused-sweep query block size (static)
     block_window: int = 128  # fused-sweep candidate chunk width (static)
-    sub_block: int = 128     # window-bound granularity (v3 sub_q)
+    sub_block: int = 128     # window-bound granularity (fused sub_q)
+    fused_impl: str = "v4"   # production fused-step kernel generation
 
 
 _SCENE_FILES = {
@@ -173,11 +174,11 @@ def build_scene(name: str, cfg: SimConfig | None = None, replicate: int = 1,
                                                      else None))
     cap = cfg.cell_capacity or auto_cell_capacity(pts, cfg)
     k_nbr = auto_window_capacity(pts, cfg)
-    # v3 fused-sweep tuning, measured on v5e (DEVELOPMENT.md): sub_q=128
+    # v4 fused-sweep tuning, measured on v5e (DEVELOPMENT.md): sub_q=128
     # window granularity with 128-wide candidate chunks is the optimum for
     # the biceps-density clouds; the auto-tuner only widens chunks for
     # much denser scenes
-    sub_q, w_chunk = auto_sweep2_params(pts, cfg, sub_q=128)
+    sub_q, w_chunk = auto_sweep4_params(pts, cfg, sub_q=128)
     return Scene(state=state, cfg=cfg, cell_capacity=cap,
                  neighbor_capacity=k_nbr,
                  num_particles=int(pts.shape[0]), name=name,

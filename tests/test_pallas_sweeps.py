@@ -112,6 +112,49 @@ def test_step_fused_matches_step(rng):
                                np.asarray(b.dens)[:200], rtol=1e-5)
 
 
+def test_step_fused_v4_matches_step(rng):
+    """The production v4 path (merged z-plane windows, per-axis cell mask)
+    against the bucketed XLA step."""
+    st, pts = _state(rng, 200)
+    a = st
+    b = st
+    for i in range(3):
+        a, _ = step(a, CFG, 64, 9 * 64)
+        b, aux_b = step_fused(b, CFG, 64, 128, 64, impl="v4")
+        assert int(aux_b.overflow) == 0
+    for name, atol in (("pos", 5e-5), ("vel", 5e-3), ("vm", 5e-3),
+                       ("iion", 1e-5), ("w", 1e-6)):
+        np.testing.assert_allclose(
+            np.asarray(getattr(a, name))[:200],
+            np.asarray(getattr(b, name))[:200], atol=atol,
+            err_msg=f"{name} diverged v4-fused vs unfused")
+    np.testing.assert_allclose(np.asarray(a.dens)[:200],
+                               np.asarray(b.dens)[:200], rtol=1e-5)
+
+
+def test_step_fused_v4_world_boundary_cells(rng):
+    """Clouds hugging the world box exercise the v4 mask's wrap-pair
+    argument (y=0 / y=Gy-1 cells): wrap pairs are accepted by the cyz test
+    but must contribute exactly 0."""
+    n = 180
+    pts = rng.random((n, 3)).astype(np.float32)
+    pts[:, 1] = np.where(pts[:, 1] < 0.5, pts[:, 1] * 0.05,
+                         1.5 - 0.05 * (1.0 - pts[:, 1]) - 1e-4)
+    pts[:, 0] = 0.02 + pts[:, 0] * 0.1
+    pts[:, 2] = 0.02 + pts[:, 2] * 0.1
+    st = init_fluid(np.clip(pts, 0.0, 1.5 - 1e-4), CFG)
+    st = set_stim(st, (0.07, 0.02, 0.07), 0.5, CFG.stim_strength, CFG)
+    a, b = st, st
+    for _ in range(2):
+        a, _ = step(a, CFG, 64, 9 * 64)
+        b, _ = step_fused(b, CFG, 64, 128, 64, impl="v4")
+    np.testing.assert_allclose(np.asarray(a.pos)[:n],
+                               np.asarray(b.pos)[:n], atol=5e-5,
+                               err_msg="v4 boundary cells diverged")
+    np.testing.assert_allclose(np.asarray(a.dens)[:n],
+                               np.asarray(b.dens)[:n], rtol=1e-5)
+
+
 def test_fused_padded_lanes_inert(rng):
     st, pts = _state(rng, 150)  # capacity 256, 106 padded lanes
     w_win = auto_block_window(pts, CFG, QB)

@@ -51,6 +51,10 @@ def main():
     scene_name = sys.argv[1] if len(sys.argv) > 1 else "biceps_full"
     only = set(sys.argv[2:])
     sc = smt.build_scene(scene_name)
+    if any(c.startswith(("v3q_", "v4_")) for c in only):
+        # q_block scan needs capacity divisible by the largest q_block
+        cap = -(-sc.state.capacity // 1024) * 1024
+        sc = smt.build_scene(scene_name, pad_to=cap)
     st, cfg = sc.state, sc.cfg
     qb, wc = sc.q_block, sc.block_window
     print(f"scene={scene_name} n={sc.num_particles} cap={st.capacity} "
@@ -106,6 +110,70 @@ def main():
                                w_window=wc3, sub_q=sub_q)
             return out[0]
         run(name, full3, (st,))
+
+    # ---- full fused step, v4 kernels (merged z-plane windows) ----
+    for qb4, sub_q, wc4 in [(128, 64, 128), (128, 128, 128), (512, 128, 128),
+                            (128, 64, 256), (128, 128, 256), (512, 128, 256),
+                            (512, 256, 256), (512, 256, 384),
+                            (1024, 256, 128), (512, 128, 384)]:
+        name = f"v4_{qb4}_{sub_q}_{wc4}"
+        if only and name not in only:
+            continue
+        def full4(state, qb4=qb4, sub_q=sub_q, wc4=wc4):
+            out = smt.simulate(state, cfg, sc.cell_capacity,
+                               sc.neighbor_capacity, num_steps=STEPS,
+                               fused=True, q_block=qb4,
+                               w_window=wc4, sub_q=sub_q, impl="v4")
+            return out[0]
+        run(name, full4, (st,))
+
+    # ---- v4 step with SM / bookkeeping knocked out (timing-only ablation,
+    # physics wrong; isolates each component's marginal cost in situ) ----
+    for knock in ("nosm", "nobook", "nosm_nobook"):
+        name = f"v4x_{knock}"
+        if only and name not in only:
+            continue
+        from sph_sm_monodomain_tpu.models import monodomain as M
+        from sph_sm_monodomain_tpu.ops import pallas_sweeps as PS
+        orig_cv = M.corrected_velocity
+        orig_bk = PS.sweep_bookkeeping3
+        if "nosm" in knock:
+            M.corrected_velocity = \
+                lambda s, c, axis_name=None, sm_inv=None: s.replace(
+                    corrected_vel=s.vel)
+        if "nobook" in knock:
+            consts = jax.block_until_ready(
+                jax.jit(lambda p, a: orig_bk(p, a, cfg, 128))(
+                    st.pos, st.active))
+            PS.sweep_bookkeeping3 = lambda p, a, c, w: consts
+        try:
+            def full4x(state):
+                def body(s, _):
+                    # bypass the step_fused jit wrapper: its trace cache
+                    # keys on statics only and would ignore the monkeypatch
+                    s, _aux = M._step_fused_v4(s, cfg, 128, 128, 128)
+                    return s, ()
+                s, _ = jax.lax.scan(body, state, None, length=STEPS)
+                return s
+            run(name, jax.jit(full4x), (st,))
+        finally:
+            M.corrected_velocity = orig_cv
+            PS.sweep_bookkeeping3 = orig_bk
+
+    # ---- full fused step, v3 kernels with explicit q_block ----
+    for qb3, sub_q, wc3 in [(256, 64, 128), (512, 64, 128), (256, 32, 128),
+                            (512, 128, 128), (1024, 64, 128),
+                            (256, 64, 256), (512, 32, 128)]:
+        name = f"v3q_{qb3}_{sub_q}_{wc3}"
+        if only and name not in only:
+            continue
+        def full3q(state, qb3=qb3, sub_q=sub_q, wc3=wc3):
+            out = smt.simulate(state, cfg, sc.cell_capacity,
+                               sc.neighbor_capacity, num_steps=STEPS,
+                               fused=True, q_block=qb3,
+                               w_window=wc3, sub_q=sub_q)
+            return out[0]
+        run(name, full3q, (st,))
 
     # ---- v3 kernels in isolation (hoisted bookkeeping) ----
     if not only or {"swpa3", "swpb3", "glue3"} & only:
