@@ -19,7 +19,13 @@ import time
 
 
 def main():
-    steps = int(os.environ.get("BENCH_STEPS", "100"))
+    # 500 steps per dispatch (the full reference protocol length): one
+    # dispatch through the axon tunnel costs ~33 ms WALL regardless of the
+    # program (measured: a trivial 50-step scan and a 4000-step scan both
+    # take ~33 ms), so short scans overstate ms/step by 33/steps. 500
+    # amortizes the floor to ~0.07 ms/step while staying far below the
+    # ~1-2 min single-execution kill limit (~1.2 s device time).
+    steps = int(os.environ.get("BENCH_STEPS", "500"))
     scene_name = os.environ.get("BENCH_SCENE", "biceps_full")
     import jax
     import sph_sm_monodomain_tpu as smt
