@@ -68,6 +68,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "trajectory file (native async writer)")
     p.add_argument("--devices", type=int, default=1,
                    help=">1: shard particles over a device mesh")
+    p.add_argument("--control", default=None, metavar="PATH",
+                   help="runtime control file, polled between chunks — the "
+                        "headless equivalent of the reference's keyboard "
+                        "handler (main.cpp:393-408). Write one command per "
+                        "line: pause | resume | stim-off | save <ckpt.npz> "
+                        "| stop. The file is consumed (truncated) after "
+                        "each poll; while paused the file is re-polled "
+                        "until 'resume' or 'stop' arrives. Use --chunk to "
+                        "set the control granularity in steps.")
+    p.add_argument("--pause-at", type=int, action="append", default=[],
+                   metavar="STEP", help="pause when reaching this global "
+                        "step (repeatable); resume via the --control file")
     p.add_argument("--parallel", default="auto",
                    choices=["auto", "gather", "fused", "halo"],
                    help="multi-chip strategy with --devices>1: 'gather' = "
@@ -76,6 +88,74 @@ def build_parser() -> argparse.ArgumentParser:
                         "exchange; 'auto' picks fused on TPU, gather "
                         "elsewhere")
     return p
+
+
+class RunController:
+    """Headless runtime control (component C15/C16 interactive parity).
+
+    The reference handles SPACE (pause), 'q' (turnOffStim) and ESC (exit)
+    in its GLUT keyboard callback (main.cpp:393-408). The TPU-first
+    replacement polls a command file between device chunks: `pause`,
+    `resume`, `stim-off`, `save <path.npz>`, `stop` — one per line; the
+    file is consumed after each poll. Returns the command dict consumed by
+    run_protocol's callback contract."""
+
+    def __init__(self, path: str | None, pause_steps=(), save_fn=None,
+                 poll_s: float = 0.3):
+        self.path = path
+        self.pause_steps = sorted(set(pause_steps))
+        self.save_fn = save_fn
+        self.poll_s = poll_s
+        self.paused = False
+        self.stopped = False
+
+    def _drain(self, state):
+        """Read + truncate the control file; apply local commands."""
+        import os
+        cmd = {}
+        if not self.path or not os.path.exists(self.path):
+            return cmd
+        try:
+            with open(self.path, "r+") as f:
+                lines = [ln.strip() for ln in f.read().splitlines()]
+                f.seek(0)
+                f.truncate()
+        except OSError:
+            return cmd
+        for ln in lines:
+            if not ln:
+                continue
+            if ln == "pause":
+                self.paused = True
+            elif ln == "resume":
+                self.paused = False
+            elif ln == "stim-off":
+                cmd["stim_off"] = True
+            elif ln == "stop":
+                self.stopped = True
+                self.paused = False
+            elif ln.startswith("save ") and self.save_fn is not None:
+                self.save_fn(ln[5:].strip(), state)
+            else:
+                print(f"control: ignoring unknown command {ln!r}",
+                      file=sys.stderr)
+        return cmd
+
+    def __call__(self, done, state):
+        while self.pause_steps and done >= self.pause_steps[0]:
+            self.pause_steps.pop(0)
+            self.paused = True
+        cmd = self._drain(state)
+        if self.paused:
+            print(f"paused at step {done} (write 'resume' or 'stop' to "
+                  f"{self.path})", flush=True)
+        while self.paused and not self.stopped:
+            time.sleep(self.poll_s)
+            cmd.update(self._drain(state))
+        if self.stopped:
+            cmd["stop"] = True
+            print(f"control: stop at step {done}", flush=True)
+        return cmd
 
 
 def _apply_overrides(cfg, pairs):
@@ -188,6 +268,17 @@ def main(argv=None) -> int:
                  np.asarray(st.vm)[:n_act, None]], axis=1)
             traj_writer.append(i, payload)
 
+    controller = None
+    if args.control or args.pause_at:
+        if args.pause_at and not args.control:
+            sys.exit("--pause-at needs --control (there is no other way "
+                     "to resume a headless run)")
+        def _save(path, st):
+            save_checkpoint(path, st)
+            print(f"control: checkpoint -> {path}", flush=True)
+        controller = RunController(args.control, args.pause_at,
+                                   save_fn=_save)
+
     t0 = time.time()
     # all variant modes run scan drivers dispatched in chunks (never a
     # per-step host loop); when rendering, the chunk size shrinks to the
@@ -216,6 +307,8 @@ def main(argv=None) -> int:
             stream_frame(done, state)
             if render_every:
                 frames.append((done, state))
+            if controller is not None and controller(done, state).get("stop"):
+                break
         overflow = 0
     elif args.mode in ("sph", "sm"):
         fused = args.mode == "sph" and jax.default_backend() == "tpu"
@@ -238,6 +331,8 @@ def main(argv=None) -> int:
             stream_frame(done, state)
             if render_every:
                 frames.append((done, state))
+            if controller is not None and controller(done, state).get("stop"):
+                break
     elif args.devices > 1:
         from .parallel import sharded_step as SS
         from .parallel import halo_step as HS
@@ -297,6 +392,14 @@ def main(argv=None) -> int:
             stream_frame(done, sharded)
             if render_every:
                 frames.append((done, sharded))
+            if controller is not None:
+                cmd = controller(done, sharded)
+                if cmd.get("stim_off"):
+                    from .ops.electrophysiology import turn_off_stim
+                    sharded = turn_off_stim(sharded, cfg)
+                    stim_off = -1
+                if cmd.get("stop"):
+                    break
         state = sharded
     else:
         scene = scene._replace(state=state)
@@ -304,6 +407,8 @@ def main(argv=None) -> int:
             if render_every:
                 frames.append((done, st))
             stream_frame(done, st)
+            if controller is not None:
+                return controller(done, st)
         state, aux, _ = models.run_protocol(
             scene, num_steps=args.steps, stim_off_step=stim_off,
             chunk=(min(args.chunk, max(render_every, 1)) if render_every
@@ -362,7 +467,10 @@ def main(argv=None) -> int:
                 phases = profile_phases(scene.state, cfg,
                                         scene.cell_capacity,
                                         scene.neighbor_capacity)
-        row = report_row(cfg, args.steps, avg_step, phases)
+        # prefer the scan-amortized profiled step time over the wall
+        # average (which includes compile time and per-dispatch latency)
+        row = report_row(cfg, args.steps,
+                         phases.get("total_step", avg_step), phases)
         import os
         write_header = not os.path.exists(args.report)
         with open(args.report, "a") as f:

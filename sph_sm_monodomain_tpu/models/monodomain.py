@@ -440,6 +440,12 @@ def run_protocol(scene, num_steps: int = 500, stim_off_step: int | None = None,
     jitted scans so a single device call stays bounded (tunnel/runtime
     execution limits) and `callback(step_idx, state)` can observe progress.
 
+    Runtime control (the headless equivalent of the reference's SPACE /
+    'q' / ESC keys, main.cpp:393-408): `callback` may return a dict of
+    commands applied between chunks — {"stim_off": True} fires turnOffStim
+    immediately (key 'q'), {"stop": True} ends the run early (ESC);
+    pausing (SPACE) is the callback simply blocking before it returns.
+
     Returns (state, StepAux, traj|None).
     """
     state, cfg = scene.state, scene.cfg
@@ -488,7 +494,12 @@ def run_protocol(scene, num_steps: int = 500, stim_off_step: int | None = None,
         max_overflow = max(max_overflow, step_overflow)
         done += n
         if callback is not None:
-            callback(done, state)
+            cmd = callback(done, state) or {}
+            if cmd.get("stim_off"):
+                state = turn_off_stim(state, cfg)
+                stim_off_step = -1  # already fired; don't re-fire later
+            if cmd.get("stop"):
+                break
     aux = StepAux(overflow=jnp.asarray(max_overflow, jnp.int32))
     if record_every:
         traj = {k: jnp.concatenate([t[k] for t in trajs]) for k in trajs[0]}

@@ -96,10 +96,10 @@ def profile_phases(state: ParticleState, cfg: SimConfig, cell_capacity: int,
     return out
 
 
-def profile_phases_fused(scene, length: int = 50) -> dict:
+def profile_phases_fused(scene, length: int = 250) -> dict:
     """Scan-amortized per-phase seconds for the PRODUCTION fused path.
 
-    The v3 step has only four separable stages (bookkeeping, shape
+    The v4 step has only four separable stages (bookkeeping, shape
     matching, sweep A, sweep B — the pointwise phases live inside the
     sweep epilogues, see ops/fused_step.py), so the 7 reference columns
     are attributed by an INCREMENTAL pipeline ablation: each stage's cost
@@ -115,53 +115,62 @@ def profile_phases_fused(scene, length: int = 50) -> dict:
                                Laplacian + integration epilogue) + unsort
       intermediate_velocity, cell_model, update_properties -> 0 (fused
       into the sweep epilogues; the README documents this attribution)
+
+    `length` defaults high because each dispatch costs ~33 ms wall through
+    the tunnel regardless of the program (DEVELOPMENT.md): at 250
+    iterations the fixed floor adds only ~0.13 ms to each stage and
+    cancels in the stage DIFFERENCES.
     """
     import jax.numpy as jnp
     from ..models.monodomain import step_fused
     from ..ops.fused_step import sweep_a3
-    from ..ops.pallas_sweeps import sweep_bookkeeping2
+    from ..ops.pallas_sweeps import sweep_bookkeeping3
     from ..ops.shape_matching import sm_invariants
 
     state, cfg = scene.state, scene.cfg
     qb, wc = scene.q_block, scene.block_window
-    sub_q = scene.sub_block or 64
+    sub_q = scene.sub_block or 128
+    impl = getattr(scene, "fused_impl", "v4")
     sm_inv = jax.block_until_ready(
         jax.jit(lambda s: sm_invariants(s, cfg))(state))
     n = state.capacity
 
     def book(s):
-        return sweep_bookkeeping2(s.pos, s.active, cfg, sub_q)
+        return sweep_bookkeeping3(s.pos, s.active, cfg, sub_q)
 
     def stage1(s):  # bookkeeping
-        order, inv, blk_lo, blk_hi, chash = book(s)
+        order, inv, blk_lo, blk_hi, cx, cyz = book(s)
         return s.replace(pos=s.pos + 1e-9 * (order[0] % 2).astype(s.pos.dtype))
 
     def stage2(s):  # + shape matching
-        order, inv, blk_lo, blk_hi, chash = book(s)
+        order, inv, blk_lo, blk_hi, cx, cyz = book(s)
         s = corrected_velocity(s, cfg, sm_inv=sm_inv)
         return s.replace(pos=s.pos + 1e-9 * s.corrected_vel
                          + 1e-9 * (order[0] % 2).astype(s.pos.dtype))
 
     def stage3(s):  # + sorted gather + sweep A
-        order, inv, blk_lo, blk_hi, chash = book(s)
+        order, inv, blk_lo, blk_hi, cx, cyz = book(s)
         s = corrected_velocity(s, cfg, sm_inv=sm_inv)
         fields = jnp.concatenate(
             [s.pos, s.corrected_vel, s.mass[:, None], s.dens[:, None],
              s.vm[:, None], s.stim[:, None], s.iion[:, None], s.w[:, None],
-             chash[:, None], jnp.zeros((n, 3), jnp.float32)], axis=1)
+             cx[:, None], cyz[:, None],
+             jnp.zeros((n, 2), jnp.float32)], axis=1)
         fs = fields[order]
         z = jnp.zeros((n,), jnp.float32)
         vol_prev = jnp.where(fs[:, 7] > 0.0, fs[:, 6] / fs[:, 7], 0.0)
         feats_a = jnp.stack(
             [fs[:, 0], fs[:, 1], fs[:, 2], fs[:, 3], fs[:, 4], fs[:, 5],
-             vol_prev, fs[:, 6], z, z, z, z, fs[:, 12], z, z, z], axis=0)
+             vol_prev, fs[:, 6], z, z, z, z, fs[:, 12], fs[:, 13], z, z],
+            axis=0)
         out_a = sweep_a3(fs, feats_a, blk_lo, blk_hi, qb, wc, cfg,
-                         sub_q=sub_q)
+                         sub_q=sub_q, stencil="xyz3")
         return s.replace(dens=out_a[:, 8][inv],
                          pos=s.pos + 1e-12 * s.corrected_vel)
 
     def stage4(s):  # full fused step
-        out, _ = step_fused(s, cfg, qb, wc, sub_q, sm_inv=sm_inv)
+        out, _ = step_fused(s, cfg, qb, wc, sub_q, impl=impl,
+                            sm_inv=sm_inv)
         return out
 
     t1 = _scan_time(stage1, state, length=length)

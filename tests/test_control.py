@@ -1,0 +1,68 @@
+"""Runtime-control tests (C15/C16 interactive parity).
+
+The reference's GLUT keyboard handler (main.cpp:393-408) pauses (SPACE),
+fires turnOffStim ('q') and exits (ESC) mid-run. The headless equivalents
+are run_protocol's callback-command contract and the CLI's RunController
+control file.
+"""
+
+import numpy as np
+
+from sph_sm_monodomain_tpu import build_scene, run_protocol
+from sph_sm_monodomain_tpu.cli import RunController
+
+
+def test_run_protocol_callback_commands():
+    scene = build_scene("susane")
+    calls = []
+
+    def cb(done, st):
+        calls.append(done)
+        if done == 2:
+            return {"stim_off": True}   # the 'q' key
+        if done == 4:
+            return {"stop": True}       # ESC
+        return None
+
+    state, aux, _ = run_protocol(scene, num_steps=10, stim_off_step=8,
+                                 chunk=2, callback=cb)
+    # stopped early: callbacks at 2, 4 only (not 6, 8, 10)
+    assert calls == [2, 4]
+    # stim-off fired via control, not via the (never-reached) protocol step
+    n = scene.num_particles
+    np.testing.assert_array_equal(np.asarray(state.stim)[:n], -10000.0)
+    assert np.isfinite(np.asarray(state.pos)[:n]).all()
+
+
+def test_run_controller_file_commands(tmp_path):
+    ctl = tmp_path / "ctl"
+    saved = {}
+    ctl.write_text("stim-off\nsave out.npz\nbogus\n")
+    c = RunController(str(ctl), save_fn=lambda p, st: saved.update(p=p,
+                                                                   st=st))
+    cmd = c(2, "STATE")
+    assert cmd.get("stim_off") is True
+    assert saved == {"p": "out.npz", "st": "STATE"}
+    assert ctl.read_text() == ""            # consumed
+    assert not c(4, "STATE")                 # empty file -> no commands
+
+    ctl.write_text("stop\n")
+    assert c(6, "STATE").get("stop") is True
+
+
+def test_run_controller_pause_resume(tmp_path):
+    ctl = tmp_path / "ctl"
+    ctl.write_text("")
+    c = RunController(str(ctl), pause_steps=[3], poll_s=0.01)
+
+    import threading
+
+    def release():
+        ctl.write_text("resume\n")
+
+    t = threading.Timer(0.2, release)
+    t.start()
+    cmd = c(3, None)   # blocks until the timer writes 'resume'
+    t.join()
+    assert not cmd.get("stop")
+    assert c.paused is False
