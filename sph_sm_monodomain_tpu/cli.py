@@ -289,7 +289,8 @@ def main(argv=None) -> int:
         fused = jax.default_backend() == "tpu"
         if fused:
             ftab = variants.monodomain_prepare_fused(
-                state, cfg, scene.q_block, scene.block_window)
+                state, cfg, scene.q_block, scene.block_window,
+                sub_q=scene.sub_block or 128)
         else:
             tables = variants.monodomain_prepare(
                 state, cfg, scene.cell_capacity, scene.neighbor_capacity)
@@ -299,7 +300,8 @@ def main(argv=None) -> int:
             if fused:
                 state = variants.simulate_monodomain_only_fused(
                     state, ftab, cfg, num_steps=n_chunk,
-                    q_block=scene.q_block, w_chunk=scene.block_window)
+                    q_block=scene.q_block, w_chunk=scene.block_window,
+                    sub_q=scene.sub_block or 128)
             else:
                 state = variants.simulate_monodomain_only(
                     state, tables, cfg, num_steps=n_chunk)
@@ -322,7 +324,7 @@ def main(argv=None) -> int:
                     scene.neighbor_capacity, num_steps=n_chunk,
                     fused=fused, q_block=scene.q_block,
                     w_window=scene.block_window,
-                    sub_q=(scene.sub_block or 32))
+                    sub_q=(scene.sub_block or 128))
             else:
                 state, aux = variants.simulate_sm_only(state, cfg,
                                                        num_steps=n_chunk)
@@ -366,12 +368,12 @@ def main(argv=None) -> int:
                         mesh, cfg, mig_cap, halo_cap, num_steps=n_chunk,
                         stim_off_step=off, q_block=scene.q_block,
                         w_chunk=scene.block_window,
-                        sub_q=scene.sub_block or 64)
+                        sub_q=scene.sub_block or 128)
                 elif impl == "fused":
                     sims[key] = SS.make_sharded_simulate_fused(
                         mesh, cfg, num_steps=n_chunk, stim_off_step=off,
                         q_block=scene.q_block, w_chunk=scene.block_window,
-                        sub_q=scene.sub_block or 64)
+                        sub_q=scene.sub_block or 128)
                 else:
                     sims[key] = SS.make_sharded_simulate(
                         mesh, cfg, scene.cell_capacity,

@@ -62,61 +62,50 @@ def step_sph_only(state: ParticleState, cfg: SimConfig, cell_capacity: int,
 @partial(jax.jit, static_argnames=("cfg", "q_block", "w_window", "sub_q"))
 def step_sph_only_fused(state: ParticleState, cfg: SimConfig,
                         q_block: int = 128, w_window: int = 128,
-                        sub_q: int = 32) -> tuple[ParticleState, StepAux]:
-    """Fused-Pallas pure SPH step (the v2 sweeps of ops/pallas_sweeps.py):
-    gravity -> XSPH + density -> pressure/viscosity forces -> integrate.
-    Physics-equivalent to `step_sph_only`."""
-    from ..ops.pallas_sweeps import sweep_a2, sweep_b2, sweep_bookkeeping2
+                        sub_q: int = 128) -> tuple[ParticleState, StepAux]:
+    """Fused-Pallas pure SPH step (the v4 sweeps of ops/fused_step.py with
+    with_ep=False — the EP terms of both epilogues drop out, leaving
+    gravity -> XSPH + density + EOS -> pressure/viscosity forces ->
+    integrate). Physics-equivalent to `step_sph_only`."""
+    from ..ops.pallas_sweeps import sweep_bookkeeping3
+    from ..ops.fused_step import feats_from_out_a, sweep_a3, sweep_b3
 
-    order, inv, blk_lo, blk_hi, chash = sweep_bookkeeping2(
+    order, inv, blk_lo, blk_hi, cx, cyz = sweep_bookkeeping3(
         state.pos, state.active, cfg, sub_q)
     state = apply_external_forces(state, cfg)
     state = state.replace(corrected_vel=state.predicted_vel)
 
-    zeros1 = jnp.zeros_like(state.mass)
-    fields = jnp.stack([
-        state.pos[:, 0], state.pos[:, 1], state.pos[:, 2],
-        state.corrected_vel[:, 0], state.corrected_vel[:, 1],
-        state.corrected_vel[:, 2], state.mass, state.dens, state.stim,
-        chash, zeros1, zeros1, zeros1,
-        zeros1, zeros1, zeros1], axis=1)
+    n = state.capacity
+    fields = jnp.concatenate([
+        state.pos, state.corrected_vel, state.mass[:, None],
+        state.dens[:, None], jnp.zeros((n, 1), jnp.float32),  # vm = 0
+        state.stim[:, None], jnp.zeros((n, 2), jnp.float32),  # iion, w
+        cx[:, None], cyz[:, None],
+        jnp.zeros((n, 2), jnp.float32)], axis=1)            # QM_A layout
     fs = fields[order]
-    pos_s, cvel_s = fs[:, 0:3], fs[:, 3:6]
-    mass_s, dens_prev_s, stim_s = fs[:, 6], fs[:, 7], fs[:, 8]
-    hash_s = fs[:, 9]
 
-    vol_prev = jnp.where(dens_prev_s > 0.0, mass_s / dens_prev_s, 0.0)
-    dens_s, xsph_s = sweep_a2(pos_s, cvel_s, vol_prev, mass_s, hash_s,
-                              blk_lo, blk_hi, q_block, w_window, cfg,
-                              sub_q=sub_q)
-    inter_vel_s = cvel_s + xsph_s * cfg.velocity_mixing     # cpp:699
-    if cfg.quirk_double_self_density:                       # cpp:483
-        from ..ops import kernels as K
-        dens_s = dens_s + mass_s * K.poly6(jnp.zeros_like(dens_s), cfg)
-    pres_s = cfg.k_stiffness * (dens_s - cfg.stand_density)  # cpp:486 (Vm=0)
-    clamped = jnp.clip(pres_s, -cfg.max_pressure, cfg.max_pressure)
-    if cfg.quirk_pressure_stim_gate:                        # cpp:493-503
-        pres_s = jnp.where(stim_s > 0.0, clamped,
-                           jnp.asarray(-0.0, pres_s.dtype))
-    else:
-        pres_s = clamped
+    z = jnp.zeros((n,), jnp.float32)
+    vol_prev = jnp.where(fs[:, 7] > 0.0, fs[:, 6] / fs[:, 7], 0.0)
+    feats_a = jnp.stack([fs[:, 0], fs[:, 1], fs[:, 2], fs[:, 3], fs[:, 4],
+                         fs[:, 5], vol_prev, fs[:, 6], z, z, z, z,
+                         fs[:, 12], fs[:, 13], z, z], axis=0)
+    out_a = sweep_a3(fs, feats_a, blk_lo, blk_hi, q_block, w_window, cfg,
+                     with_ep=False, sub_q=sub_q, stencil="xyz3")
 
-    dens_guard = jnp.where(dens_s > 0.0, dens_s, 1.0)
-    acc_raw_s, _lap = sweep_b2(pos_s, inter_vel_s, mass_s / dens_guard,
-                               pres_s, jnp.zeros_like(dens_s), hash_s,
-                               blk_lo, blk_hi, q_block, w_window, cfg,
-                               sub_q=sub_q)
-    acc_s = acc_raw_s / dens_guard[:, None]                 # cpp:568
+    vol_now = jnp.where(out_a[:, 8] > 0.0, out_a[:, 10] / out_a[:, 8], 0.0)
+    feats_b = feats_from_out_a(out_a, vol_now)
+    out_b = sweep_b3(out_a, feats_b, blk_lo, blk_hi, q_block, w_window,
+                     cfg, with_ep=False, sub_q=sub_q, stencil="xyz3")
 
-    outs = jnp.stack([dens_s, pres_s, inter_vel_s[:, 0], inter_vel_s[:, 1],
-                      inter_vel_s[:, 2], acc_s[:, 0], acc_s[:, 1],
-                      acc_s[:, 2], dens_s, dens_s, dens_s, dens_s, dens_s,
-                      dens_s, dens_s, dens_s], axis=1)
-    ou = outs[inv]
-    state = state.replace(dens=ou[:, 0], pres=ou[:, 1],
-                          inter_vel=ou[:, 2:5], acc=ou[:, 5:8],
-                          inter_vm=jnp.zeros_like(state.inter_vm))
-    state = update_properties(state, cfg)
+    ou = jnp.concatenate([out_b, out_a[:, 3:6]], axis=1)[inv]
+    act = state.active
+    upd = act & ~state.fixed
+    state = state.replace(
+        pos=jnp.where(upd[:, None], ou[:, 0:3], state.pos),
+        vel=jnp.where(upd[:, None], ou[:, 3:6], state.vel),
+        dens=ou[:, 7], pres=ou[:, 8], acc=ou[:, 12:15],
+        inter_vel=ou[:, 16:19],
+        inter_vm=jnp.zeros_like(state.inter_vm))
     return state, StepAux(overflow=jnp.zeros((), jnp.int32))
 
 
@@ -128,7 +117,7 @@ def simulate_sph_only(state: ParticleState, cfg: SimConfig,
                       cell_capacity: int, neighbor_capacity: int,
                       num_steps: int, record_every: int = 0,
                       fused: bool = False, q_block: int = 128,
-                      w_window: int = 128, sub_q: int = 32):
+                      w_window: int = 128, sub_q: int = 128):
     """Scan driver for pure-SPH runs (BASELINE config 2): `num_steps` steps
     in ONE compiled program, optionally recording (pos, vm-free) frames
     every `record_every` steps inside the scan."""
@@ -253,51 +242,54 @@ def simulate_monodomain_only(state: ParticleState, tables: MonodomainTables,
 class MonodomainFusedTables(NamedTuple):
     """Static geometry for the fused frozen-cloud EP stepper: the cloud
     never moves, so the sort, window bookkeeping, densities and neighbor
-    volumes are computed ONCE."""
+    volumes are computed ONCE. Windows/features are the v2 lean layout
+    (sweep_bookkeeping2)."""
     order: jax.Array
     inv: jax.Array
-    qstart: jax.Array
-    qend: jax.Array
-    blk_start: jax.Array
-    blk_len: jax.Array
+    blk_lo: jax.Array
+    blk_hi: jax.Array
+    hash_s: jax.Array     # sorted f32 cell hash (stencil feature)
     pos_s: jax.Array      # sorted positions
     vol_s: jax.Array      # sorted m/rho (current densities)
     mass: jax.Array       # original-order mass
     dens: jax.Array       # original-order densities
 
 
-@partial(jax.jit, static_argnames=("cfg", "q_block", "w_chunk"))
+@partial(jax.jit, static_argnames=("cfg", "q_block", "w_chunk", "sub_q"))
 def monodomain_prepare_fused(state: ParticleState, cfg: SimConfig,
-                             q_block: int = 128,
-                             w_chunk: int = 384) -> MonodomainFusedTables:
-    from ..ops.pallas_sweeps import sweep_a, sweep_bookkeeping
-    order, inv, qs, qe, bs, bl = sweep_bookkeeping(state.pos, state.active,
-                                                   cfg, q_block)
+                             q_block: int = 128, w_chunk: int = 128,
+                             sub_q: int = 128) -> MonodomainFusedTables:
+    from ..ops.pallas_sweeps import sweep_a2, sweep_bookkeeping2
+    order, inv, blk_lo, blk_hi, chash = sweep_bookkeeping2(
+        state.pos, state.active, cfg, sub_q)
     pos_s = state.pos[order]
     mass_s = state.mass[order]
+    hash_s = chash[order]
     zeros3 = jnp.zeros_like(pos_s)
-    vol_prev = mass_s / state.dens[order]
-    dens_s, _ = sweep_a(pos_s, zeros3, vol_prev, mass_s, qs, qe, bs, bl,
-                        q_block, w_chunk, cfg)
+    dens_prev_s = state.dens[order]
+    vol_prev = jnp.where(dens_prev_s > 0.0, mass_s / dens_prev_s, 0.0)
+    dens_s, _ = sweep_a2(pos_s, zeros3, vol_prev, mass_s, hash_s,
+                         blk_lo, blk_hi, q_block, w_chunk, cfg, sub_q=sub_q)
     if cfg.quirk_double_self_density:
         from ..ops import kernels as K
         dens_s = dens_s + mass_s * K.poly6(jnp.zeros_like(dens_s), cfg)
-    return MonodomainFusedTables(order=order, inv=inv, qstart=qs, qend=qe,
-                                 blk_start=bs, blk_len=bl, pos_s=pos_s,
-                                 vol_s=mass_s / dens_s, mass=state.mass,
+    dens_guard = jnp.where(dens_s > 0.0, dens_s, 1.0)
+    return MonodomainFusedTables(order=order, inv=inv, blk_lo=blk_lo,
+                                 blk_hi=blk_hi, hash_s=hash_s, pos_s=pos_s,
+                                 vol_s=mass_s / dens_guard, mass=state.mass,
                                  dens=dens_s[inv])
 
 
 @partial(jax.jit, static_argnames=("cfg", "num_steps", "q_block", "w_chunk",
-                                   "record_every"))
+                                   "record_every", "sub_q"))
 def simulate_monodomain_only_fused(state: ParticleState,
                                    tables: MonodomainFusedTables,
                                    cfg: SimConfig, num_steps: int,
-                                   q_block: int = 128, w_chunk: int = 384,
-                                   record_every: int = 0):
+                                   q_block: int = 128, w_chunk: int = 128,
+                                   record_every: int = 0, sub_q: int = 128):
     """Fused frozen-cloud FHN wave: per step only the reaction ODEs and one
     Laplacian sweep run — all geometry is static (BASELINE config 3)."""
-    from ..ops.pallas_sweeps import sweep_b
+    from ..ops.pallas_sweeps import sweep_b2
 
     zeros3 = jnp.zeros_like(tables.pos_s)
     zeros1 = jnp.zeros_like(tables.vol_s)
@@ -305,9 +297,10 @@ def simulate_monodomain_only_fused(state: ParticleState,
     def body(st, _):
         st = fhn_cell_model(st, cfg)
         vm_s = st.vm[tables.order]
-        _, lap_s = sweep_b(tables.pos_s, zeros3, tables.vol_s, zeros1, vm_s,
-                           tables.qstart, tables.qend, tables.blk_start,
-                           tables.blk_len, q_block, w_chunk, cfg)
+        _, lap_s = sweep_b2(tables.pos_s, zeros3, tables.vol_s, zeros1,
+                            vm_s, tables.hash_s, tables.blk_lo,
+                            tables.blk_hi, q_block, w_chunk, cfg,
+                            sub_q=sub_q)
         lap = lap_s[tables.inv]
         scale = cfg.sigma / (cfg.beta_sv_ratio * cfg.cm_capacitance)
         inter_vm = lap + scale * lap - (st.iion - st.stim * cfg.time_delta

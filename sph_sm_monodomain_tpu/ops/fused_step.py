@@ -369,6 +369,8 @@ def _call_kernel3(kernel, feats_t, qmat, blk_lo, blk_hi, q_block, w_chunk,
                   sub_q, cfg, with_ep, interpret, q_slice=None,
                   stencil: str = "hash9"):
     stride = 4 if stencil == "xyz3" else 16  # windows per sub-block (flat)
+    if sub_q > q_block or q_block % sub_q:
+        raise ValueError(f"sub_q={sub_q} must divide q_block={q_block}")
     if (qmat.shape[0] // sub_q) * stride * 8 > 900_000:
         raise ValueError(
             f"sub_q={sub_q} yields {qmat.shape[0] // sub_q} window blocks; "

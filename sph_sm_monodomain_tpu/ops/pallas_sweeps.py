@@ -774,6 +774,8 @@ def _sweep_b2_kernel(blk_lo_ref, blk_hi_ref, qm_ref, feats_ref, out_ref,
 def _call_sweep2(kernel, feats_t, qmat, blk_lo, blk_hi, q_block, w_chunk,
                  sub_q, cfg, interpret, q_slice=None):
     """Run one v2 sweep kernel (see _call_sweep for q_slice semantics)."""
+    if sub_q > q_block or q_block % sub_q:
+        raise ValueError(f"sub_q={sub_q} must divide q_block={q_block}")
     if (qmat.shape[0] // sub_q) * 128 > 900_000:
         raise ValueError(
             f"sub_q={sub_q} yields {qmat.shape[0] // sub_q} window blocks; "

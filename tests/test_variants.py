@@ -133,9 +133,10 @@ def test_monodomain_fused_matches_unfused(rng):
     tab = monodomain_prepare(st, CFG, 32, 9 * 64)
     ref = simulate_monodomain_only(st, tab, CFG, num_steps=30)
 
-    ftab = monodomain_prepare_fused(st, CFG, q_block=64, w_chunk=256)
+    ftab = monodomain_prepare_fused(st, CFG, q_block=64, w_chunk=256,
+                                    sub_q=64)
     out = simulate_monodomain_only_fused(st, ftab, CFG, num_steps=30,
-                                         q_block=64, w_chunk=256)
+                                         q_block=64, w_chunk=256, sub_q=64)
     np.testing.assert_allclose(np.asarray(out.vm)[:200],
                                np.asarray(ref.vm)[:200], atol=1e-3,
                                err_msg="fused monodomain diverged")
