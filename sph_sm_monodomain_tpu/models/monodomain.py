@@ -484,6 +484,9 @@ def run_protocol(scene, num_steps: int = 500, stim_off_step: int | None = None,
             # window table truncated candidates (the cloud densified past
             # the static capacity). Regrow the table 1.5x and REDO this
             # chunk from its input state (recompiles once per growth).
+            # The fused path needs no regrow: its chunked candidate windows
+            # have dynamic trip counts, so coverage is exact for ANY
+            # density and its overflow is structurally zero (step_fused).
             regrow += 1
             new_k = ((int(scene.neighbor_capacity * 1.5) + 8) // 9) * 9
             scene = scene._replace(neighbor_capacity=new_k)

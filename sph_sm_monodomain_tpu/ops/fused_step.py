@@ -101,18 +101,21 @@ def _gather_loop4(blk_lo_ref, blk_hi_ref, feats_ref, scratch, w_chunk,
     (measured net win on v5e, see DEVELOPMENT.md).
 
     The mask is the exact per-axis cell test |cx_q - cx_c| <= 1 and
-    |cyz_q + Gy*dz - cyz_c| <= 1 on two f32 features (cx = x cell coord,
-    cyz = y + Gy*z combined coord; both < 2^17, exact in f32). It accepts
-    exactly the reference's 27-cell stencil pairs plus y/z-boundary wrap
-    pairs (y_q=0 with y_c=Gy-1 one z-plane lower, etc.) that are >= one
-    world edge minus two cells apart — far outside every kernel support,
-    so their contribution is exactly 0. Out-of-grid / inactive lanes carry
-    a sentinel cx. Rows outside the nominal windows can never pass (their
-    cyz differs by >= 2 for every dz), and a pair passes under at most one
-    dz window, so overlapping windows cannot double-count."""
-    gy = cfg.grid_size[1]
+    |cyz_q + Gm*ds - cyz_c| <= 1 on two f32 features (cx = fast-axis cell
+    coord, cyz = mid + Gm*slow combined coord; both < 2^21, exact in f32;
+    axis roles from pallas_sweeps.hash_axis_perm — x-major on the standard
+    cubic world). It accepts exactly the reference's 27-cell stencil pairs
+    plus boundary wrap pairs (mid_q=0 with mid_c=Gm-1 one slow-plane
+    lower, etc.) that are >= one world edge minus two cells apart — far
+    outside every kernel support, so their contribution is exactly 0.
+    Out-of-grid / inactive lanes carry a sentinel cx. Rows outside the
+    nominal windows can never pass (their cyz differs by >= 2 for every
+    ds), and a pair passes under at most one slow-offset window, so
+    overlapping windows cannot double-count."""
+    from .pallas_sweeps import hash_axis_perm
+    gm = cfg.grid_size[hash_axis_perm(cfg)[1]]
     for r in range(3):
-        qd = qcyz + jnp.float32((r - 1) * gy)
+        qd = qcyz + jnp.float32((r - 1) * gm)
         w_lo = blk_lo_ref[base * 4 + r]
         w_hi = blk_hi_ref[base * 4 + r]
         start = pl.multiple_of((w_lo // 128) * 128, 128)

@@ -530,34 +530,49 @@ def sweep_bookkeeping2(pos: jax.Array, active: jax.Array, cfg: SimConfig,
     return order, inv, flat16(lo), flat16(hi), chash
 
 
+def hash_axis_perm(cfg: SimConfig) -> tuple[int, int, int]:
+    """(fast, mid, slow) axis indices for the v4 sort hash.
+
+    The merged windows of fused_step._gather_loop4 span ~2*G_fast gap
+    cells per sub-block, so the FAST axis must be the one with the
+    smallest grid extent. Stable ascending sort keeps the reference's
+    x-major order (cpp:142) for the standard cubic world and re-orders
+    only stretched worlds (e.g. the x-replicated multi-muscle scenes,
+    where x-major would put the 7*38-cell axis in the gap term)."""
+    g = cfg.grid_size
+    return tuple(sorted(range(3), key=lambda a: (g[a], a)))
+
+
 def sweep_bookkeeping3(pos: jax.Array, active: jax.Array, cfg: SimConfig,
                        win_block: int):
-    """Sort + merged z-plane window bookkeeping for the v4 sweeps
+    """Sort + merged slow-plane window bookkeeping for the v4 sweeps
     (fused_step._gather_loop4).
 
     Like sweep_bookkeeping2, but each sub-block gets THREE windows (one per
-    dz offset) covering the full 3x3 (dx, dy) footprint of its hash
-    interval in that z-plane, and the stencil features are the exact cell
-    coordinates instead of the linear hash:
+    slow-axis offset) covering the full 3x3 (fast, mid) footprint of its
+    hash interval in that plane, and the stencil features are the exact
+    cell coordinates instead of the linear hash. Axes are permuted so the
+    smallest grid extent is the fast hash axis (hash_axis_perm).
 
     Returns (order, inv, blk_lo (B*4,), blk_hi (B*4,), cx (N,), cyz (N,)):
       blk_lo/hi     window rows per sub-block, 3 used of each 4 (flat SMEM
                     layout, see sweep_bookkeeping2)
-      cx (N,)       f32 x cell coordinate, ORIGINAL order; sentinel on
-                    out-of-grid / inactive lanes
-      cyz (N,)      f32 combined y + Gy*z cell coordinate (< Gy*Gz < 2^17,
-                    exact in f32), ORIGINAL order
+      cx (N,)       f32 fast-axis cell coordinate, ORIGINAL order; sentinel
+                    on out-of-grid / inactive lanes
+      cyz (N,)      f32 combined mid + G_mid*slow cell coordinate (< the
+                    cell count < 2^21, exact in f32), ORIGINAL order
     """
     n = pos.shape[0]
-    gx, gy, gz = cfg.grid_size
     num_cells = cfg.num_cells
+    fa, ma, sa = hash_axis_perm(cfg)
+    gf, gm = cfg.grid_size[fa], cfg.grid_size[ma]
 
     coords = (pos / cfg.cell_size).astype(jnp.int32)
-    x, y, z = coords[..., 0], coords[..., 1], coords[..., 2]
-    inside = ((x >= 0) & (x < gx) & (y >= 0) & (y < gy)
-              & (z >= 0) & (z < gz))
+    gxyz = jnp.asarray(cfg.grid_size)
+    inside = jnp.all((coords >= 0) & (coords < gxyz[None, :]), axis=-1)
     valid = inside & active
-    ids = jnp.where(valid, x + gx * (y + gy * z), num_cells)
+    cf, cm, cs = coords[..., fa], coords[..., ma], coords[..., sa]
+    ids = jnp.where(valid, cf + gf * (cm + gm * cs), num_cells)
     iota = jnp.arange(n, dtype=jnp.int32)
     if n <= 32768 and num_cells < 65536:
         comb = jnp.sort(ids * 32768 + iota)
@@ -572,16 +587,17 @@ def sweep_bookkeeping3(pos: jax.Array, active: jax.Array, cfg: SimConfig,
     b = n // win_block
     h_lo = sorted_ids[::win_block][:b]
     h_hi = sorted_ids[win_block - 1::win_block][:b]
-    # merged window per dz: [h_lo + dz*GxGy - Gx - 1, h_hi + dz*GxGy + Gx + 2)
-    d = jnp.asarray(np.array([-1, 0, 1], np.int32) * (gx * gy))
-    blo = jnp.clip(h_lo[:, None] + d[None, :] - (gx + 1), 0, num_cells)
-    bhi = jnp.clip(h_hi[:, None] + d[None, :] + (gx + 2), 0, num_cells)
+    # merged window per slow offset ds:
+    #   [h_lo + ds*GfGm - Gf - 1, h_hi + ds*GfGm + Gf + 2)
+    d = jnp.asarray(np.array([-1, 0, 1], np.int32) * (gf * gm))
+    blo = jnp.clip(h_lo[:, None] + d[None, :] - (gf + 1), 0, num_cells)
+    bhi = jnp.clip(h_hi[:, None] + d[None, :] + (gf + 2), 0, num_cells)
     lo = jnp.searchsorted(sorted_ids, blo).astype(jnp.int32)
     hi = jnp.searchsorted(sorted_ids, bhi).astype(jnp.int32)
 
-    cx = jnp.where(valid, x.astype(jnp.float32),
+    cx = jnp.where(valid, cf.astype(jnp.float32),
                    jnp.float32(_COORD_SENTINEL))
-    cyz = jnp.where(valid, (y + gy * z).astype(jnp.float32), 0.0)
+    cyz = jnp.where(valid, (cm + gm * cs).astype(jnp.float32), 0.0)
     flat4 = lambda a: jnp.pad(a, ((0, 0), (0, 1))).reshape(-1)
     return order, inv, flat4(lo), flat4(hi), cx, cyz
 
@@ -904,27 +920,28 @@ def auto_sweep2_params(positions: np.ndarray, cfg: SimConfig,
 
 def auto_sweep4_params(positions: np.ndarray, cfg: SimConfig,
                        sub_q: int = 128) -> tuple[int, int]:
-    """(sub_q, w_chunk) for the v4 sweeps (3 merged z-plane windows per
+    """(sub_q, w_chunk) for the v4 sweeps (3 merged slow-plane windows per
     sub-block, fused_step._gather_loop4): minimize enumerated candidate
     lanes + a per-chunk overhead term over Wc in {128, 256, 384}.
     Host-side, once per scene."""
-    gx, gy, gz = cfg.grid_size
     num_cells = cfg.num_cells
+    fa, ma, sa = hash_axis_perm(cfg)
+    gf, gm = cfg.grid_size[fa], cfg.grid_size[ma]
     coords = (np.asarray(positions) / cfg.cell_size).astype(np.int64)
-    inside = ((coords >= 0).all(1) & (coords[:, 0] < gx)
-              & (coords[:, 1] < gy) & (coords[:, 2] < gz))
-    ids = np.where(inside, coords[:, 0] + gx * (coords[:, 1]
-                                                + gy * coords[:, 2]),
+    g = np.asarray(cfg.grid_size)
+    inside = ((coords >= 0) & (coords < g[None, :])).all(1)
+    ids = np.where(inside, coords[:, fa] + gf * (coords[:, ma]
+                                                 + gm * coords[:, sa]),
                    num_cells)
     s = np.sort(ids)
     n = len(s)
     b = max(n // sub_q, 1)
     h_lo = s[::sub_q][:b]
     h_hi = s[sub_q - 1::sub_q][:b]
-    d = (np.array([-1, 0, 1], np.int64) * (gx * gy))[None, :]
-    lo = np.searchsorted(s, np.clip(h_lo[:, None] + d - (gx + 1),
+    d = (np.array([-1, 0, 1], np.int64) * (gf * gm))[None, :]
+    lo = np.searchsorted(s, np.clip(h_lo[:, None] + d - (gf + 1),
                                     0, num_cells))
-    hi = np.searchsorted(s, np.clip(h_hi[:, None] + d + (gx + 2),
+    hi = np.searchsorted(s, np.clip(h_hi[:, None] + d + (gf + 2),
                                     0, num_cells))
     start = (lo // 128) * 128
     best = None

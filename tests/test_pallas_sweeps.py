@@ -155,6 +155,31 @@ def test_step_fused_v4_world_boundary_cells(rng):
                                np.asarray(b.dens)[:n], rtol=1e-5)
 
 
+def test_step_fused_v4_wide_world_axis_perm(rng):
+    """Stretched worlds (multi-muscle replicate scenes) permute the v4
+    hash axes so the smallest extent is fast — physics must match the
+    bucketed step regardless."""
+    from sph_sm_monodomain_tpu.ops.pallas_sweeps import hash_axis_perm
+    cfg = CFG.replace(world_size=(4.5, 1.5, 1.5))
+    assert hash_axis_perm(cfg)[0] != 0  # x (widest) must not be fast
+    n = 220
+    pts = rng.random((n, 3)).astype(np.float32) * [4.3, 0.4, 0.4] \
+        + [0.1, 0.5, 0.5]
+    st = init_fluid(pts.astype(np.float32), cfg)
+    st = set_stim(st, tuple(pts[0]), 0.5, cfg.stim_strength, cfg)
+    a, b = st, st
+    for _ in range(2):
+        a, _ = step(a, cfg, 64, 9 * 64)
+        b, _ = step_fused(b, cfg, 64, 128, 64, impl="v4")
+    np.testing.assert_allclose(np.asarray(a.pos)[:n],
+                               np.asarray(b.pos)[:n], atol=5e-5,
+                               err_msg="v4 axis-permuted hash diverged")
+    np.testing.assert_allclose(np.asarray(a.dens)[:n],
+                               np.asarray(b.dens)[:n], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.vm)[:n],
+                               np.asarray(b.vm)[:n], atol=5e-3)
+
+
 def test_fused_padded_lanes_inert(rng):
     st, pts = _state(rng, 150)  # capacity 256, 106 padded lanes
     w_win = auto_block_window(pts, CFG, QB)
