@@ -49,6 +49,22 @@ class SimConfig:
     volume_conservation: bool = True            # cpp:68
     allow_flip: bool = False                    # cpp:69
     fixed_mass_scale: float = 100.0             # fixed particles weigh x100 in cm (cpp:247)
+    # Number of independent shape-matching clusters, one per equal x-tile of
+    # the world (multi-muscle scenes: each replicated muscle matches against
+    # its OWN rest shape). 1 = the reference's single global cluster
+    # (cpp:234-446). A particle's cluster is floor(orig_x / (world_x / K)),
+    # fixed for the whole run. No reference analog — the reference caps at
+    # one muscle; one global affine fit over a long disconnected tile array
+    # is both wrong physics (muscles couple mechanically) and fp32-hostile
+    # (x moments dwarf y/z, summation noise pollutes the rotation fit).
+    sm_clusters: int = 1
+    # Rows per cluster when the particle rows are tile-contiguous in state
+    # order (replicate scenes: tile k owns rows [k*R, (k+1)*R), padding
+    # after). Enables the reshape/batched-einsum segment path instead of
+    # one-hot matmuls (measured ~12% of the 129k step). 0 = unknown layout,
+    # use one-hot; permuted/migrated row paths (axis_name) always use
+    # one-hot.
+    sm_tile_rows: int = 0
     jacobi_iterations: int = 20                 # m3Matrix.h JACOBI_ITERATIONS
 
     # --- Monodomain / FHN (cpp:15,23-27, h:72-80) ---

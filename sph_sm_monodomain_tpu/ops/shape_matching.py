@@ -32,6 +32,11 @@ from ..config import SimConfig
 from ..state import ParticleState
 from .linalg import det3, invert3, polar_decomposition, pseudo_inverse
 
+# widest blocked-q column count that still fits one lane tile: below this
+# the clustered segment reductions use the blocked matmul form (tests
+# monkeypatch it to 0 to exercise the contig / one-hot forms at small K)
+_BLOCKED_MAX_LANES = 128
+
 # anti-flip sign pattern: negate (0,1), (1,1), (2,2) (cpp:296-298)
 import numpy as _np
 _FLIP_SIGNS = _np.array([[1.0, -1.0, 1.0],
@@ -73,9 +78,31 @@ class SMInvariants(NamedTuple):
     a9qq_pinv: jax.Array | None  # (9,9) pseudo-inverse (cpp:383-388)
 
 
+def cluster_ids(orig_pos: jax.Array, cfg: SimConfig) -> jax.Array:
+    """(N,) int32 shape-matching cluster of each particle: its rest-shape
+    x-tile index (multi-muscle scenes tile muscles along x at equal width,
+    utils/io.scene_positions). Constant for the whole run — it follows
+    orig_pos through any permutation or migration."""
+    k = cfg.sm_clusters
+    tile_w = cfg.world_size[0] / k
+    cid = jnp.floor(orig_pos[:, 0] / jnp.asarray(tile_w, orig_pos.dtype))
+    return jnp.clip(cid.astype(jnp.int32), 0, k - 1)
+
+
+def _cluster_onehot(cid: jax.Array, k: int, dtype) -> jax.Array:
+    """(N, K) one-hot cluster matrix: per-cluster sums become (K,N)@(N,F)
+    MXU contractions — the scatter-free TPU form of segment_sum."""
+    return (cid[:, None] == jnp.arange(k, dtype=cid.dtype)[None, :]) \
+        .astype(dtype)
+
+
 def sm_invariants(state: ParticleState, cfg: SimConfig,
                   axis_name: str | None = None) -> SMInvariants:
-    """Precompute the rest-shape moments of `project_positions`."""
+    """Precompute the rest-shape moments of `project_positions`.
+
+    With cfg.sm_clusters == K > 1 every scalar/moment field carries a
+    leading (K,) batch axis (one independent match per cluster); q / q9
+    stay per-row, centered on the OWNING cluster's rest center."""
     def allsum(x):
         return jax.lax.psum(x, axis_name) if axis_name else x
 
@@ -83,6 +110,35 @@ def sm_invariants(state: ParticleState, cfg: SimConfig,
     act = state.active.astype(dtype)
     m = state.mass * act
     m_cm = m * jnp.where(state.fixed, cfg.fixed_mass_scale, 1.0)
+    k = cfg.sm_clusters
+    if k > 1:
+        cid = cluster_ids(state.orig_pos, cfg)
+        oh = _cluster_onehot(cid, k, dtype)
+        # guard: an all-inactive cluster (possible only for degenerate
+        # scenes) divides by 1 instead of 0 so no NaN can leak out
+        mass_cm_sum = jnp.maximum(
+            allsum(jnp.matmul(m_cm, oh, precision=_HI)), 1e-30)     # (K,)
+        ocm = allsum(jnp.matmul(oh.T, m_cm[:, None] * state.orig_pos,
+                                precision=_HI)) / mass_cm_sum[:, None]
+        q = state.orig_pos - ocm[cid]
+        mq = allsum(jnp.matmul(oh.T, m[:, None] * q, precision=_HI))
+        if not cfg.quadratic_match:
+            outer = (q * m[:, None])[:, :, None] * q[:, None, :]
+            aqq = allsum(jnp.matmul(oh.T, outer.reshape(-1, 9),
+                                    precision=_HI)).reshape(k, 3, 3)
+            return SMInvariants(mass_cm_sum, ocm, q, mq,
+                                jax.vmap(invert3)(aqq), None, None, None)
+        x, y, z = q[:, 0], q[:, 1], q[:, 2]
+        q9 = jnp.stack([x, y, z, x * x, y * y, z * z, x * y, y * z, z * x],
+                       axis=1)
+        mq9 = allsum(jnp.matmul(oh.T, m[:, None] * q9, precision=_HI))
+        outer9 = (q9 * m[:, None])[:, :, None] * q9[:, None, :]
+        a9qq = allsum(jnp.matmul(oh.T, outer9.reshape(-1, 81),
+                                 precision=_HI)).reshape(k, 9, 9)
+        pinv = jax.vmap(lambda a: pseudo_inverse(a, cfg.jacobi_iterations))(
+            a9qq)
+        return SMInvariants(mass_cm_sum, ocm, q, mq, None, q9, mq9, pinv)
+
     mass_cm_sum = allsum(jnp.sum(m_cm))
     ocm = allsum(jnp.matmul(m_cm, state.orig_pos, precision=_HI)) \
         / mass_cm_sum
@@ -101,13 +157,17 @@ def sm_invariants(state: ParticleState, cfg: SimConfig,
                         pseudo_inverse(a9qq, cfg.jacobi_iterations))
 
 
-def sm_rebind_rows(sm_inv: SMInvariants,
-                   state: ParticleState) -> SMInvariants:
+def sm_rebind_rows(sm_inv: SMInvariants, state: ParticleState,
+                   cfg: SimConfig | None = None) -> SMInvariants:
     """Recompute the PER-ROW members of hoisted SM invariants after a
     permutation or migration of the particle rows (the scalar moments are
     permutation-invariant; q / q9 are row-aligned and must follow the
-    rows)."""
-    q = state.orig_pos - sm_inv.ocm
+    rows). `cfg` is required for clustered invariants (sm_clusters > 1)."""
+    if sm_inv.ocm.ndim == 2:
+        cid = cluster_ids(state.orig_pos, cfg)
+        q = state.orig_pos - sm_inv.ocm[cid]
+    else:
+        q = state.orig_pos - sm_inv.ocm
     if sm_inv.q9 is None:
         return sm_inv._replace(q=q)
     x, y, z = q[:, 0], q[:, 1], q[:, 2]
@@ -122,6 +182,39 @@ def _volume_scale(det, dtype):
     s = 1.0 / jnp.sqrt(jnp.abs(jnp.where(nz, det, 1.0)))
     s = jnp.minimum(s, 2.0)
     return jnp.where(nz, s, jnp.asarray(1.0, dtype))
+
+
+def _linear_transform(Apq, aqq_inv, cfg: SimConfig, dtype):
+    """Apq -> blended goal transform T (cpp:294-322); vmap-able over a
+    leading cluster axis."""
+    if not cfg.allow_flip:
+        flip = det3(Apq) < 0.0
+        Apq = jnp.where(flip, Apq * _FLIP_SIGNS, Apq)
+    R, _ = polar_decomposition(Apq, cfg.jacobi_iterations)
+    A = jnp.matmul(Apq, aqq_inv, precision=_HI)            # cpp:307-309
+    if cfg.volume_conservation:
+        A = A * _volume_scale(det3(A), dtype)              # cpp:311-320
+    return R * (1.0 - cfg.sm_beta) + A * cfg.sm_beta       # cpp:322
+
+
+def _quadratic_transform(Apq, A9pq, a9qq_pinv, cfg: SimConfig, dtype):
+    """(Apq, A9pq) -> quadratic goal transform A9 (3,9) (cpp:294-302,
+    331-427); vmap-able over a leading cluster axis."""
+    if not cfg.allow_flip:
+        flip = det3(Apq) < 0.0
+        Apq = jnp.where(flip, Apq * _FLIP_SIGNS, Apq)
+    R, _ = polar_decomposition(Apq, cfg.jacobi_iterations)
+    A9 = jnp.matmul(A9pq, a9qq_pinv, precision=_HI) * cfg.sm_beta
+    A9 = A9.at[:, :3].add((1.0 - cfg.sm_beta) * R)         # cpp:390-403
+    det = det3(A9[:, :3])                                  # cpp:405-408
+    if not cfg.allow_flip:                                 # cpp:410-414
+        flip = det < 0.0
+        signs9 = jnp.ones((3, 9), dtype).at[0, 1].set(-1.0) \
+                    .at[1, 1].set(-1.0).at[2, 2].set(-1.0)
+        A9 = jnp.where(flip, A9 * signs9, A9)
+    if cfg.volume_conservation:                            # cpp:416-427
+        A9 = A9 * _volume_scale(det, dtype)
+    return A9
 
 
 def project_positions(state: ParticleState, cfg: SimConfig,
@@ -153,49 +246,101 @@ def project_positions(state: ParticleState, cfg: SimConfig,
     act = state.active.astype(dtype)
     m = state.mass * act                                   # plain mass (cpp:267)
     m_cm = m * jnp.where(state.fixed, cfg.fixed_mass_scale, 1.0)  # cpp:247
+    q = sm_inv.q
+    posm = state.pos * m[:, None]
+
+    if sm_inv.ocm.ndim == 2:
+        # Clustered multi-muscle match (cfg.sm_clusters > 1), one
+        # independent transform per cluster. Segment-reduction forms, by
+        # preference:
+        #   blocked  (f*K <= 128 lanes, f = 3 linear / 9 quadratic): fold
+        #            the cluster axis into matmul COLUMNS via a per-row
+        #            block-sparse q (zero outside the owning cluster's
+        #            column block) — the per-step cost is the same three
+        #            thin MXU matmuls as the global path, for any row
+        #            order, sharded or not.
+        #   contig   (cfg.sm_tile_rows, rows tile-contiguous): reshape +
+        #            batched einsums — for large K where blocked columns
+        #            exceed one lane tile.
+        #   one-hot  general fallback (permuted rows, large K).
+        k = sm_inv.ocm.shape[0]
+        n = state.pos.shape[0]
+        q9 = sm_inv.q9
+        f = 3 if q9 is None else 9
+        qf = q if q9 is None else q9
+        mqf = sm_inv.mq if q9 is None else sm_inv.mq9
+        tile_r = cfg.sm_tile_rows
+        blocked = f * k <= _BLOCKED_MAX_LANES
+        contig = (not blocked and tile_r > 0 and axis_name is None
+                  and k * tile_r <= n)
+        if blocked:
+            cid = cluster_ids(state.orig_pos, cfg)
+            oh = _cluster_onehot(cid, k, dtype)
+            w_cm = m_cm[:, None] * oh                      # (N, K)
+            cm = allsum(jnp.matmul(w_cm.T, state.pos, precision=_HI)) \
+                / sm_inv.mass_cm_sum[:, None]              # (K, 3)
+            qb = (oh[:, :, None] * qf[:, None, :]).reshape(n, k * f)
+            Afpq = allsum(jnp.matmul(posm.T, qb, precision=_HI)) \
+                .reshape(3, k, f).transpose(1, 0, 2) \
+                - cm[:, :, None] * mqf[:, None, :]         # (K, 3, f)
+        elif contig:
+            nk = k * tile_r
+            r3 = lambda v: v[:nk].reshape(k, tile_r, -1)
+            cm = jnp.sum(r3(m_cm[:, None] * state.pos), axis=1) \
+                / sm_inv.mass_cm_sum[:, None]              # (K, 3)
+            qf_r = r3(qf)
+            Afpq = jnp.einsum("ktc,ktd->kcd", r3(posm), qf_r,
+                              precision=_HI) \
+                - cm[:, :, None] * mqf[:, None, :]
+        else:
+            cid = cluster_ids(state.orig_pos, cfg)
+            oh = _cluster_onehot(cid, k, dtype)
+            cm = allsum(jnp.matmul(oh.T, m_cm[:, None] * state.pos,
+                                   precision=_HI)) \
+                / sm_inv.mass_cm_sum[:, None]              # (K, 3)
+            outer = posm[:, :, None] * qf[:, None, :]      # (N, 3, f)
+            Afpq = allsum(jnp.matmul(oh.T, outer.reshape(n, 3 * f),
+                                     precision=_HI)).reshape(k, 3, f) \
+                - cm[:, :, None] * mqf[:, None, :]
+
+        if q9 is None:
+            # the linear path's Apq IS the (K,3,3) moment
+            T = jax.vmap(lambda a, ai: _linear_transform(a, ai, cfg,
+                                                         dtype))(
+                Afpq, sm_inv.aqq_inv)                      # (K, 3, 3)
+        else:
+            # quadratic: Apq (for the polar R) is the first 3 columns of
+            # the 9-D moment (q9[:, :3] == q, cpp:348-350)
+            T = jax.vmap(lambda a, a9, p: _quadratic_transform(
+                a, a9, p, cfg, dtype))(Afpq[:, :, :3], Afpq,
+                                       sm_inv.a9qq_pinv)   # (K, 3, 9)
+
+        if blocked:
+            goal = jnp.matmul(qb, T.transpose(0, 2, 1).reshape(k * f, 3),
+                              precision=_HI) + cm[cid]
+        elif contig:
+            goal_nk = jnp.einsum("ktd,kcd->ktc", qf_r, T) + cm[:, None, :]
+            goal = jnp.concatenate([goal_nk.reshape(nk, 3),
+                                    state.goal_pos[nk:]], axis=0)
+        else:
+            goal = jnp.einsum("nd,ncd->nc", qf, T[cid]) + cm[cid]
+        return jnp.where(state.fixed[:, None], state.goal_pos, goal)
 
     cm = allsum(jnp.matmul(m_cm, state.pos, precision=_HI)) \
         / sm_inv.mass_cm_sum                               # cpp:244-253
-    q = sm_inv.q
-    posm = state.pos * m[:, None]
     Apq = allsum(jnp.matmul(posm.T, q, precision=_HI)) \
         - cm[:, None] * sm_inv.mq[None, :]                 # cpp:269-279
 
     if not cfg.quadratic_match:
         # anti-flip BEFORE polar decomposition in the linear path (cpp:294-302)
-        if not cfg.allow_flip:
-            flip = det3(Apq) < 0.0
-            Apq = jnp.where(flip, Apq * _FLIP_SIGNS, Apq)
-        R, _ = polar_decomposition(Apq, cfg.jacobi_iterations)
-
-        A = jnp.matmul(Apq, sm_inv.aqq_inv, precision=_HI)  # cpp:307-309
-        if cfg.volume_conservation:
-            A = A * _volume_scale(det3(A), dtype)          # cpp:311-320
-        T = R * (1.0 - cfg.sm_beta) + A * cfg.sm_beta      # cpp:322
-        goal = jnp.matmul(q, T.T, precision=_HI) + cm                                # cpp:324-329
+        T = _linear_transform(Apq, sm_inv.aqq_inv, cfg, dtype)
+        goal = jnp.matmul(q, T.T, precision=_HI) + cm      # cpp:324-329
     else:
-        # polar R of the (possibly flipped) Apq — the reference computes the
-        # flip + polar before branching (cpp:294-302)
-        if not cfg.allow_flip:
-            flip = det3(Apq) < 0.0
-            Apq = jnp.where(flip, Apq * _FLIP_SIGNS, Apq)
-        R, _ = polar_decomposition(Apq, cfg.jacobi_iterations)
-
         q9 = sm_inv.q9                                     # cpp:348-350
         A9pq = allsum(jnp.matmul(posm.T, q9, precision=_HI)) \
             - cm[:, None] * sm_inv.mq9[None, :]            # (3,9), cpp:352-381
-        A9 = jnp.matmul(A9pq, sm_inv.a9qq_pinv,
-                        precision=_HI) * cfg.sm_beta       # cpp:383-388
-        A9 = A9.at[:, :3].add((1.0 - cfg.sm_beta) * R)     # cpp:390-403
-        det = det3(A9[:, :3])                              # cpp:405-408
-        if not cfg.allow_flip:                             # cpp:410-414
-            flip = det < 0.0
-            signs9 = jnp.ones((3, 9), dtype).at[0, 1].set(-1.0) \
-                        .at[1, 1].set(-1.0).at[2, 2].set(-1.0)
-            A9 = jnp.where(flip, A9 * signs9, A9)
-        if cfg.volume_conservation:                        # cpp:416-427
-            A9 = A9 * _volume_scale(det, dtype)
-        goal = jnp.matmul(q9, A9.T, precision=_HI) + cm                              # cpp:429-443
+        A9 = _quadratic_transform(Apq, A9pq, sm_inv.a9qq_pinv, cfg, dtype)
+        goal = jnp.matmul(q9, A9.T, precision=_HI) + cm    # cpp:429-443
 
     return jnp.where(state.fixed[:, None], state.goal_pos, goal)
 

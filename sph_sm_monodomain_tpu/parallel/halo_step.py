@@ -253,7 +253,7 @@ def _halo_body(state: ParticleState, cfg: SimConfig, q_block: int,
 
     # ---- 3. shape matching (global psums) ---------------------------------
     # the hoisted invariants' per-row members must follow the migrated rows
-    sm_inv = sm_rebind_rows(sm_inv, state)
+    sm_inv = sm_rebind_rows(sm_inv, state, cfg)
     state = corrected_velocity(state, cfg, axis_name=axis, sm_inv=sm_inv)
 
     # ---- 4. sweep A with one boundary-plane halo exchange -----------------

@@ -158,10 +158,20 @@ def build_scene(name: str, cfg: SimConfig | None = None, replicate: int = 1,
     cfg = cfg or SimConfig()
     tile_w = cfg.world_size[0]
     if replicate > 1:
-        # expand the world along x so tiles keep the original density
+        # expand the world along x so tiles keep the original density, and
+        # give every muscle its OWN shape-matching cluster: one global
+        # affine fit over a long disconnected tile array is wrong physics
+        # (muscles couple mechanically through SM) and fp32-hostile (the
+        # x moments dwarf y/z; at 56 tiles the summation noise in the small
+        # cross moments corrupts the rotation fit and particles fly)
         cfg = cfg.replace(world_size=(cfg.world_size[0] * replicate,
-                                      cfg.world_size[1], cfg.world_size[2]))
+                                      cfg.world_size[1], cfg.world_size[2]),
+                          sm_clusters=replicate)
     pts = scene_positions(name, cfg, replicate)
+    if replicate > 1:
+        # tiles are built contiguously (tile k owns rows [k*R, (k+1)*R)),
+        # so single-chip paths can use the reshape segment-reduction form
+        cfg = cfg.replace(sm_tile_rows=pts.shape[0] // replicate)
     if pts.shape[0] > cfg.max_particles:
         cfg = cfg.replace(max_particles=int(pts.shape[0]))
     state = init_fluid(pts, cfg, pad_to=pad_to)
