@@ -82,3 +82,31 @@ def test_sharded_output_sharding_preserved(rng, mesh):
     # output stays particle-sharded over the mesh (no silent replication)
     shd = out.pos.sharding
     assert shd.spec[0] == "p", f"expected particle-sharded output, got {shd}"
+
+
+def test_sharded_clustered_sm_matches_single_chip(rng, mesh):
+    """Multi-muscle (sm_clusters=2) under particle sharding: the blocked
+    segment reductions psum per-cluster moments across the mesh and must
+    match the clustered single-chip step (BASELINE config 5)."""
+    cfg = CFG.replace(world_size=(3.0, 1.5, 1.5), sm_clusters=2)
+    n = 144
+    pts = rng.normal(size=(n, 3)).astype(np.float32) * 0.06 + 0.6
+    pts = np.clip(pts, 0.05, 1.2)
+    both = np.concatenate([pts, pts + [1.5, 0, 0]], axis=0).astype(
+        np.float32)
+    st = init_fluid(both, cfg, pad_to=512)   # 512 = 8 devices * 64 rows
+    st = set_stim(st, (0.6, 0.6, 0.6), 0.5, cfg.stim_strength, cfg)
+    st = set_stim(st, (2.1, 0.6, 0.6), 0.5, cfg.stim_strength, cfg)
+
+    sharded = shard_state(st, mesh)
+    step_fn = make_sharded_step(mesh, cfg, 32, 9 * 64)
+    ref = st
+    for _ in range(3):
+        ref, _ = step(ref, cfg, 32, 9 * 64)
+        sharded, ovf = step_fn(sharded)
+        assert int(ovf) == 0
+    np.testing.assert_allclose(np.asarray(ref.pos)[:2 * n],
+                               np.asarray(sharded.pos)[:2 * n], atol=5e-5)
+    np.testing.assert_allclose(np.asarray(ref.goal_pos)[:2 * n],
+                               np.asarray(sharded.goal_pos)[:2 * n],
+                               atol=5e-5)
