@@ -44,6 +44,11 @@ from ..config import SimConfig
 from .pallas_sweeps import (_RUN_OFFSETS, VMEM_FEATS_LIMIT_BYTES,
                             _interpret_default, _PAIR_EPS, _slice_rows)
 
+# candidate arrays above this double-buffer their per-chunk DMA in the v4
+# gather loop; below it the blocking copy is already latency-hidden and the
+# dynamic buffer-slot indexing only adds overhead (measured, DEVELOPMENT.md)
+DB_FEATS_MIN_BYTES = 32 * 2 ** 20
+
 
 def _gather_loop(blk_lo_ref, blk_hi_ref, feats_ref, scratch, w_chunk,
                  qh, base, pair_fn, accs, cfg: SimConfig,
@@ -89,7 +94,7 @@ def _gather_loop(blk_lo_ref, blk_hi_ref, feats_ref, scratch, w_chunk,
 
 def _gather_loop4(blk_lo_ref, blk_hi_ref, feats_ref, scratch, w_chunk,
                   qcx, qcyz, base, pair_fn, accs, cfg: SimConfig,
-                  hbm_feats: bool):
+                  hbm_feats: bool, db_feats: bool = False):
     """v4 candidate enumeration: THREE merged z-plane windows per sub-block
     (one per dz offset), each covering the full 3x3 (dx, dy) footprint of
     the sub-block's hash interval in that plane.
@@ -114,6 +119,9 @@ def _gather_loop4(blk_lo_ref, blk_hi_ref, feats_ref, scratch, w_chunk,
     overlapping windows cannot double-count."""
     from .pallas_sweeps import hash_axis_perm
     gm = cfg.grid_size[hash_axis_perm(cfg)[1]]
+    # last lane-aligned column of the zero-padded tail: a always-valid DMA
+    # target for the one-past-the-end prefetch (inert lanes, mass/vol = 0)
+    pad_off = feats_ref.shape[1] - w_chunk
     for r in range(3):
         qd = qcyz + jnp.float32((r - 1) * gm)
         w_lo = blk_lo_ref[base * 4 + r]
@@ -121,30 +129,69 @@ def _gather_loop4(blk_lo_ref, blk_hi_ref, feats_ref, scratch, w_chunk,
         start = pl.multiple_of((w_lo // 128) * 128, 128)
         trips = pl.cdiv(w_hi - start, w_chunk)
 
-        def chunk(c, carry, start=start, qd=qd):
-            off = pl.multiple_of(start + c * w_chunk, 128)
-            if hbm_feats:
-                buf, sem = scratch
-                cp = pltpu.make_async_copy(
-                    feats_ref.at[:, pl.ds(off, w_chunk)], buf, sem)
-                cp.start()
-                cp.wait()
-                cand = buf[:, :]
-            else:
-                cand = feats_ref[:, pl.ds(off, w_chunk)]
+        def mask_pairs(cand, carry, qd=qd):
             stencil = (jnp.abs(qcx - cand[12:13, :]) <= 1.0) \
                 & (jnp.abs(qd - cand[13:14, :]) <= 1.0)
             return pair_fn(cand, stencil, carry)
 
-        accs = chunk(0, accs)
-        accs = jax.lax.fori_loop(1, trips, chunk, accs)
+        if hbm_feats and db_feats:
+            # double-buffered DMA: chunk c+1 streams into the other buffer
+            # while chunk c computes. Engaged only for very large candidate
+            # arrays (>= DB_FEATS_MIN_BYTES): at 1.03M particles the 66 MB
+            # array spans enough DRAM rows that the blocking copy costs
+            # ~0.4 us latency per chunk (272 -> 240 ms/step with this);
+            # at 129k the latency is already hidden and the dynamic
+            # buffer-slot indexing measured 33% SLOWER (23.7 -> 31.4).
+            buf, sems = scratch
+
+            def copy(c, slot, start=start):
+                off = pl.multiple_of(
+                    jnp.minimum(start + c * w_chunk, pad_off), 128)
+                return pltpu.make_async_copy(
+                    feats_ref.at[:, pl.ds(off, w_chunk)],
+                    buf.at[slot], sems.at[slot])
+
+            copy(0, 0).start()
+
+            def chunk_db(c, carry):
+                cur = jax.lax.rem(c, 2)
+                copy(c, cur).wait()
+                copy(c + 1, 1 - cur).start()
+                return mask_pairs(buf[cur], carry)
+
+            accs = jax.lax.fori_loop(0, trips, chunk_db, accs)
+            # exactly one prefetch is still in flight (the prologue's for
+            # an empty window): retire it so the semaphores stay balanced
+            # for the next window
+            tail = jnp.maximum(trips, 0)
+            copy(tail, jax.lax.rem(tail, 2)).wait()
+        elif hbm_feats:
+            buf, sem = scratch
+
+            def chunk_dma(c, carry, start=start):
+                off = pl.multiple_of(start + c * w_chunk, 128)
+                cp = pltpu.make_async_copy(
+                    feats_ref.at[:, pl.ds(off, w_chunk)], buf, sem)
+                cp.start()
+                cp.wait()
+                return mask_pairs(buf[:, :], carry)
+
+            accs = chunk_dma(0, accs)
+            accs = jax.lax.fori_loop(1, trips, chunk_dma, accs)
+        else:
+            def chunk(c, carry, start=start):
+                off = pl.multiple_of(start + c * w_chunk, 128)
+                return mask_pairs(feats_ref[:, pl.ds(off, w_chunk)], carry)
+
+            accs = chunk(0, accs)
+            accs = jax.lax.fori_loop(1, trips, chunk, accs)
     return accs
 
 
 def _kernel_a3(blk_lo_ref, blk_hi_ref, qm_ref, feats_ref, out_ref,
                *scratch, cfg: SimConfig, w_chunk: int, sub_q: int,
                with_ep: bool, stencil: str = "hash9",
-               hbm_feats: bool = False):
+               hbm_feats: bool = False, db_feats: bool = False):
     """XSPH + density gather, then EOS + FHN epilogue. Writes OUT_A."""
     bid = pl.program_id(0)
     nsub = qm_ref.shape[0] // sub_q
@@ -186,7 +233,8 @@ def _kernel_a3(blk_lo_ref, blk_hi_ref, qm_ref, feats_ref, out_ref,
         if stencil == "xyz3":
             a_d, a_x, a_y, a_z = _gather_loop4(
                 blk_lo_ref, blk_hi_ref, feats_ref, scratch, w_chunk,
-                qh, qcyz, base, pair, (zeros,) * 4, cfg, hbm_feats)
+                qh, qcyz, base, pair, (zeros,) * 4, cfg, hbm_feats,
+                db_feats)
         else:
             a_d, a_x, a_y, a_z = _gather_loop(
                 blk_lo_ref, blk_hi_ref, feats_ref, scratch, w_chunk,
@@ -248,7 +296,7 @@ def _kernel_a3(blk_lo_ref, blk_hi_ref, qm_ref, feats_ref, out_ref,
 def _kernel_b3(blk_lo_ref, blk_hi_ref, qm_ref, feats_ref, out_ref,
                *scratch, cfg: SimConfig, w_chunk: int, sub_q: int,
                with_ep: bool, stencil: str = "hash9",
-               hbm_feats: bool = False):
+               hbm_feats: bool = False, db_feats: bool = False):
     """Force + Vm Laplacian gather, then full integration epilogue
     (Update_Properties, cpp:596-651). Reads OUT_A as QM, writes OUT_B."""
     bid = pl.program_id(0)
@@ -316,7 +364,8 @@ def _kernel_b3(blk_lo_ref, blk_hi_ref, qm_ref, feats_ref, out_ref,
         if stencil == "xyz3":
             a_ax, a_ay, a_az, a_lap = _gather_loop4(
                 blk_lo_ref, blk_hi_ref, feats_ref, scratch, w_chunk,
-                qh, qcyz, base, pair, (zeros,) * 4, cfg, hbm_feats)
+                qh, qcyz, base, pair, (zeros,) * 4, cfg, hbm_feats,
+                db_feats)
         else:
             a_ax, a_ay, a_az, a_lap = _gather_loop(
                 blk_lo_ref, blk_hi_ref, feats_ref, scratch, w_chunk,
@@ -393,6 +442,7 @@ def _call_kernel3(kernel, feats_t, qmat, blk_lo, blk_hi, q_block, w_chunk,
     b = n // q_block
     feats_t = jnp.pad(feats_t, ((0, 0), (0, w_chunk)))
     hbm_feats = feats_t.size * 4 > VMEM_FEATS_LIMIT_BYTES
+    db_feats = feats_t.size * 4 > DB_FEATS_MIN_BYTES
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b,),
@@ -404,13 +454,20 @@ def _call_kernel3(kernel, feats_t, qmat, blk_lo, blk_hi, q_block, w_chunk,
         ],
         out_specs=pl.BlockSpec((q_block, 16), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=([pltpu.VMEM((16, w_chunk), jnp.float32),
-                         pltpu.SemaphoreType.DMA(())] if hbm_feats else []),
+        # very large xyz3 candidate arrays double-buffer the DMA (two
+        # buffers + two sems, _gather_loop4); otherwise one blocking buffer
+        scratch_shapes=(
+            [] if not hbm_feats
+            else [pltpu.VMEM((2, 16, w_chunk), jnp.float32),
+                  pltpu.SemaphoreType.DMA((2,))]
+            if (stencil == "xyz3" and db_feats)
+            else [pltpu.VMEM((16, w_chunk), jnp.float32),
+                  pltpu.SemaphoreType.DMA(())]),
     )
     return pl.pallas_call(
         functools.partial(kernel, cfg=cfg, w_chunk=w_chunk, sub_q=sub_q,
                           with_ep=with_ep, stencil=stencil,
-                          hbm_feats=hbm_feats),
+                          hbm_feats=hbm_feats, db_feats=db_feats),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, 16), jnp.float32),
         interpret=interpret,

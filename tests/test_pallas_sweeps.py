@@ -189,9 +189,12 @@ def test_fused_padded_lanes_inert(rng):
 
 
 def test_step_fused_hbm_candidate_path(rng, monkeypatch):
-    # force the large-N path (candidates in HBM, per-chunk DMA)
+    # force the large-N path (candidates in HBM, per-chunk DMA); patch the
+    # threshold in BOTH modules that bind it (fused_step imports the value)
+    from sph_sm_monodomain_tpu.ops import fused_step as fsm
     from sph_sm_monodomain_tpu.ops import pallas_sweeps as ps
     monkeypatch.setattr(ps, "VMEM_FEATS_LIMIT_BYTES", 1)
+    monkeypatch.setattr(fsm, "VMEM_FEATS_LIMIT_BYTES", 1)
     st, pts = _state(rng, 200)
     # q_block=64 differs from every other test so jit can't reuse a cached
     # trace made with the normal (VMEM) threshold
@@ -203,6 +206,44 @@ def test_step_fused_hbm_candidate_path(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(a.pos)[:200],
                                np.asarray(b.pos)[:200], atol=5e-5,
                                err_msg="HBM candidate path diverged")
+
+
+def test_step_fused_v4_hbm_double_buffer(rng, monkeypatch):
+    # the v4 large-array HBM path double-buffers the candidate DMA
+    # (_gather_loop4); physics must match the bucketed step exactly as in
+    # the VMEM path
+    from sph_sm_monodomain_tpu.ops import fused_step as fsm
+    from sph_sm_monodomain_tpu.ops import pallas_sweeps as ps
+    monkeypatch.setattr(ps, "VMEM_FEATS_LIMIT_BYTES", 1)
+    monkeypatch.setattr(fsm, "VMEM_FEATS_LIMIT_BYTES", 1)
+    monkeypatch.setattr(fsm, "DB_FEATS_MIN_BYTES", 1)
+    st, pts = _state(rng, 210)
+    a, b = st, st
+    for _ in range(2):
+        a, _ = step(a, CFG, 32, 9 * 64)
+        b, _ = step_fused(b, CFG, 32, 128, 32, impl="v4")
+    np.testing.assert_allclose(np.asarray(a.pos)[:210],
+                               np.asarray(b.pos)[:210], atol=5e-5,
+                               err_msg="v4 double-buffered HBM path "
+                                       "diverged")
+    np.testing.assert_allclose(np.asarray(a.dens)[:210],
+                               np.asarray(b.dens)[:210], rtol=1e-5)
+
+
+def test_step_fused_v4_hbm_blocking(rng, monkeypatch):
+    # v4 mid-size HBM path (blocking single-buffer DMA, db off)
+    from sph_sm_monodomain_tpu.ops import fused_step as fsm
+    from sph_sm_monodomain_tpu.ops import pallas_sweeps as ps
+    monkeypatch.setattr(ps, "VMEM_FEATS_LIMIT_BYTES", 1)
+    monkeypatch.setattr(fsm, "VMEM_FEATS_LIMIT_BYTES", 1)
+    st, pts = _state(rng, 230)
+    a, b = st, st
+    for _ in range(2):
+        a, _ = step(a, CFG, 32, 9 * 64)
+        b, _ = step_fused(b, CFG, 32, 256, 32, impl="v4")
+    np.testing.assert_allclose(np.asarray(a.pos)[:230],
+                               np.asarray(b.pos)[:230], atol=5e-5,
+                               err_msg="v4 blocking HBM path diverged")
 
 
 def test_step_fused_sub_blocks_match(rng):
