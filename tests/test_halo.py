@@ -88,3 +88,32 @@ def test_halo_migration_moves_particles(rng, mesh):
     lo, hi = zb[dev], zb[dev + 1]
     drift = np.maximum(lo - 1 - zcell, zcell - hi)  # allow 1-step lag
     assert (drift <= 0).mean() > 0.99
+
+
+def test_halo_clustered_sm_matches_single_chip(rng, mesh):
+    """Multi-muscle clusters under the halo path: rows migrate between
+    devices, so the clustered moments must use the one-hot form keyed on
+    orig_pos (sm_rebind_rows re-centers q after every migration)."""
+    cfg = CFG.replace(world_size=(3.0, 1.5, 1.5), sm_clusters=2)
+    n = 260
+    pts = rng.uniform(0.06, 1.44, size=(n, 3)).astype(np.float32)
+    both = np.concatenate([pts, pts + [1.5, 0, 0]], axis=0).astype(
+        np.float32)
+    st = init_fluid(both, cfg)
+    st = turn_on_stim_mesh(st, both, cfg, tile_width=1.5)
+
+    halo, s_cap, mig_cap, halo_cap = H.shard_state_halo(st, mesh, cfg)
+    step_fn = H.make_halo_step(mesh, cfg, mig_cap, halo_cap, q_block=128,
+                               w_chunk=128, sub_q=64)
+    ref = st
+    for _ in range(3):
+        ref, _ = step_fused(ref, cfg, 128, 128, 64, impl="v3")
+        halo, ovf = step_fn(halo)
+    assert int(ovf) == 0
+
+    fields = ("pos", "vel", "vm")
+    r, n_r = _sorted_by_identity(ref, fields)
+    h, n_h = _sorted_by_identity(halo, fields)
+    assert n_r == n_h == 2 * n
+    np.testing.assert_allclose(r["pos"], h["pos"], atol=2e-5)
+    np.testing.assert_allclose(r["vm"], h["vm"], atol=1e-3)
