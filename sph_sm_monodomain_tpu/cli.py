@@ -227,6 +227,22 @@ def main(argv=None) -> int:
     if args.load_checkpoint:
         state, start_step = load_checkpoint(args.load_checkpoint)
         print(f"resumed from {args.load_checkpoint} at step {start_step}")
+        if cfg.sm_tile_rows > 0:
+            # the contig segment form assumes tile k owns rows
+            # [k*R, (k+1)*R); a checkpoint saved from a row-migrating run
+            # (halo path) breaks that — verify on the host and fall back
+            # to the order-insensitive forms if the layout doesn't hold
+            import numpy as _np
+            k, r_rows = cfg.sm_clusters, cfg.sm_tile_rows
+            tile_w = cfg.world_size[0] / k
+            got = _np.floor(_np.asarray(state.orig_pos[:k * r_rows, 0])
+                            / tile_w).clip(0, k - 1).astype(int)
+            want = _np.repeat(_np.arange(k), r_rows)
+            if got.shape != want.shape or (got != want).any():
+                print("checkpoint rows are not tile-contiguous; using the "
+                      "order-insensitive clustered-SM forms")
+                cfg = cfg.replace(sm_tile_rows=0)
+                scene = scene._replace(cfg=cfg)
 
     stim_off = (args.steps // 2 if args.stim_off_step is None
                 else args.stim_off_step)

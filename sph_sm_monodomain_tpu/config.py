@@ -60,10 +60,11 @@ class SimConfig:
     sm_clusters: int = 1
     # Rows per cluster when the particle rows are tile-contiguous in state
     # order (replicate scenes: tile k owns rows [k*R, (k+1)*R), padding
-    # after). Enables the reshape/batched-einsum segment path instead of
-    # one-hot matmuls (measured ~12% of the 129k step). 0 = unknown layout,
-    # use one-hot; permuted/migrated row paths (axis_name) always use
-    # one-hot.
+    # after). Enables the reshape/batched-einsum segment path for LARGE
+    # cluster counts (small f*K <= 128 always uses the order-insensitive
+    # blocked matmul form; permuted/sharded rows fall back from contig to
+    # one-hot). 0 = unknown layout. The CLI resume path clears this when a
+    # loaded checkpoint's rows are not tile-contiguous.
     sm_tile_rows: int = 0
     jacobi_iterations: int = 20                 # m3Matrix.h JACOBI_ITERATIONS
 

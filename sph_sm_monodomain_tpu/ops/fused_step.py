@@ -42,7 +42,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import SimConfig
 from .pallas_sweeps import (_RUN_OFFSETS, VMEM_FEATS_LIMIT_BYTES,
-                            _interpret_default, _PAIR_EPS, _slice_rows)
+                            _interpret_default, _PAIR_EPS, _slice_rows,
+                            hash_axis_perm)
 
 # candidate arrays above this double-buffer their per-chunk DMA in the v4
 # gather loop; below it the blocking copy is already latency-hidden and the
@@ -117,7 +118,6 @@ def _gather_loop4(blk_lo_ref, blk_hi_ref, feats_ref, scratch, w_chunk,
     nominal windows can never pass (their cyz differs by >= 2 for every
     ds), and a pair passes under at most one slow-offset window, so
     overlapping windows cannot double-count."""
-    from .pallas_sweeps import hash_axis_perm
     gm = cfg.grid_size[hash_axis_perm(cfg)[1]]
     # last lane-aligned column of the zero-padded tail: a always-valid DMA
     # target for the one-past-the-end prefetch (inert lanes, mass/vol = 0)
@@ -145,8 +145,12 @@ def _gather_loop4(blk_lo_ref, blk_hi_ref, feats_ref, scratch, w_chunk,
             buf, sems = scratch
 
             def copy(c, slot, start=start):
+                # floor-align the pad clamp so the 128-multiple promise
+                # holds for ANY capacity; an under-aligned clamp may read a
+                # few real rows into the dead prefetch, which is harmless
                 off = pl.multiple_of(
-                    jnp.minimum(start + c * w_chunk, pad_off), 128)
+                    jnp.minimum(start + c * w_chunk,
+                                (pad_off // 128) * 128), 128)
                 return pltpu.make_async_copy(
                     feats_ref.at[:, pl.ds(off, w_chunk)],
                     buf.at[slot], sems.at[slot])

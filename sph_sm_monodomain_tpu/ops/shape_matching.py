@@ -76,6 +76,11 @@ class SMInvariants(NamedTuple):
     q9: jax.Array | None         # (N,9) quadratic basis (cpp:348-350)
     mq9: jax.Array | None        # (9,) sum of m*q9
     a9qq_pinv: jax.Array | None  # (9,9) pseudo-inverse (cpp:383-388)
+    # clustered blocked-form hoists (sm_clusters > 1 and f*K <= 128; also
+    # step-invariant between row migrations — sm_rebind_rows refreshes):
+    cid: jax.Array | None = None   # (N,) owning cluster
+    w_cm: jax.Array | None = None  # (N,K) cm-weighted one-hot
+    qb: jax.Array | None = None    # (N,K*f) block-sparse rest basis
 
 
 def cluster_ids(orig_pos: jax.Array, cfg: SimConfig) -> jax.Array:
@@ -126,8 +131,9 @@ def sm_invariants(state: ParticleState, cfg: SimConfig,
             outer = (q * m[:, None])[:, :, None] * q[:, None, :]
             aqq = allsum(jnp.matmul(oh.T, outer.reshape(-1, 9),
                                     precision=_HI)).reshape(k, 3, 3)
-            return SMInvariants(mass_cm_sum, ocm, q, mq,
-                                jax.vmap(invert3)(aqq), None, None, None)
+            inv = SMInvariants(mass_cm_sum, ocm, q, mq,
+                               jax.vmap(invert3)(aqq), None, None, None)
+            return _hoist_blocked(inv, cid, oh, m_cm, k)
         x, y, z = q[:, 0], q[:, 1], q[:, 2]
         q9 = jnp.stack([x, y, z, x * x, y * y, z * z, x * y, y * z, z * x],
                        axis=1)
@@ -137,7 +143,8 @@ def sm_invariants(state: ParticleState, cfg: SimConfig,
                                  precision=_HI)).reshape(k, 9, 9)
         pinv = jax.vmap(lambda a: pseudo_inverse(a, cfg.jacobi_iterations))(
             a9qq)
-        return SMInvariants(mass_cm_sum, ocm, q, mq, None, q9, mq9, pinv)
+        inv = SMInvariants(mass_cm_sum, ocm, q, mq, None, q9, mq9, pinv)
+        return _hoist_blocked(inv, cid, oh, m_cm, k)
 
     mass_cm_sum = allsum(jnp.sum(m_cm))
     ocm = allsum(jnp.matmul(m_cm, state.orig_pos, precision=_HI)) \
@@ -157,23 +164,49 @@ def sm_invariants(state: ParticleState, cfg: SimConfig,
                         pseudo_inverse(a9qq, cfg.jacobi_iterations))
 
 
+def _hoist_blocked(sm_inv: SMInvariants, cid, oh, m_cm,
+                   k: int) -> SMInvariants:
+    """Attach the blocked-form per-row hoists (cid, w_cm, qb) when the
+    cluster axis fits one lane tile — these are step-invariant and save
+    rebuilding (N,K)/(N,K*f) arrays in every project_positions call."""
+    qf = sm_inv.q if sm_inv.q9 is None else sm_inv.q9
+    f = qf.shape[1]
+    if f * k > _BLOCKED_MAX_LANES:
+        return sm_inv
+    qb = (oh[:, :, None] * qf[:, None, :]).reshape(qf.shape[0], k * f)
+    return sm_inv._replace(cid=cid, w_cm=m_cm[:, None] * oh, qb=qb)
+
+
 def sm_rebind_rows(sm_inv: SMInvariants, state: ParticleState,
                    cfg: SimConfig | None = None) -> SMInvariants:
     """Recompute the PER-ROW members of hoisted SM invariants after a
     permutation or migration of the particle rows (the scalar moments are
-    permutation-invariant; q / q9 are row-aligned and must follow the
-    rows). `cfg` is required for clustered invariants (sm_clusters > 1)."""
+    permutation-invariant; q / q9 / the blocked-form hoists are row-aligned
+    and must follow the rows). `cfg` is required for clustered invariants
+    (sm_clusters > 1)."""
     if sm_inv.ocm.ndim == 2:
         cid = cluster_ids(state.orig_pos, cfg)
         q = state.orig_pos - sm_inv.ocm[cid]
     else:
         q = state.orig_pos - sm_inv.ocm
     if sm_inv.q9 is None:
-        return sm_inv._replace(q=q)
-    x, y, z = q[:, 0], q[:, 1], q[:, 2]
-    q9 = jnp.stack([x, y, z, x * x, y * y, z * z, x * y, y * z, z * x],
-                   axis=1)
-    return sm_inv._replace(q=q, q9=q9)
+        sm_inv = sm_inv._replace(q=q)
+    else:
+        x, y, z = q[:, 0], q[:, 1], q[:, 2]
+        q9 = jnp.stack([x, y, z, x * x, y * y, z * z, x * y, y * z, z * x],
+                       axis=1)
+        sm_inv = sm_inv._replace(q=q, q9=q9)
+    if sm_inv.qb is not None:
+        dtype = state.pos.dtype
+        act = state.active.astype(dtype)
+        m_cm = state.mass * act * jnp.where(state.fixed,
+                                            cfg.fixed_mass_scale, 1.0)
+        k = sm_inv.ocm.shape[0]
+        sm_inv = _hoist_blocked(sm_inv._replace(cid=None, w_cm=None,
+                                                qb=None),
+                                cid, _cluster_onehot(cid, k, dtype), m_cm,
+                                k)
+    return sm_inv
 
 
 def _volume_scale(det, dtype):
@@ -270,16 +303,15 @@ def project_positions(state: ParticleState, cfg: SimConfig,
         qf = q if q9 is None else q9
         mqf = sm_inv.mq if q9 is None else sm_inv.mq9
         tile_r = cfg.sm_tile_rows
-        blocked = f * k <= _BLOCKED_MAX_LANES
+        # the hoisted per-row arrays (cid / w_cm / qb) exist exactly when
+        # the blocked form applies (f*K <= one lane tile, sm_invariants)
+        blocked = sm_inv.qb is not None
         contig = (not blocked and tile_r > 0 and axis_name is None
                   and k * tile_r <= n)
         if blocked:
-            cid = cluster_ids(state.orig_pos, cfg)
-            oh = _cluster_onehot(cid, k, dtype)
-            w_cm = m_cm[:, None] * oh                      # (N, K)
+            cid, w_cm, qb = sm_inv.cid, sm_inv.w_cm, sm_inv.qb
             cm = allsum(jnp.matmul(w_cm.T, state.pos, precision=_HI)) \
                 / sm_inv.mass_cm_sum[:, None]              # (K, 3)
-            qb = (oh[:, :, None] * qf[:, None, :]).reshape(n, k * f)
             Afpq = allsum(jnp.matmul(posm.T, qb, precision=_HI)) \
                 .reshape(3, k, f).transpose(1, 0, 2) \
                 - cm[:, :, None] * mqf[:, None, :]         # (K, 3, f)

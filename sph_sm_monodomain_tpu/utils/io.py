@@ -129,13 +129,20 @@ def scene_positions(name: str, cfg: SimConfig,
     compressing tiles into the original world instead multiplies the SPH
     density by the tile count and blows the pressure up.
     """
+    # procedural / rescaled scenes must be built against ONE TILE's world
+    # (cfg arrives with the x-extent already expanded by `replicate`);
+    # seeding against the expanded box would push the cube past the y/z
+    # walls (out-of-grid particles then slam into the AABB clamp)
+    tile_cfg = cfg if replicate == 1 else cfg.replace(
+        world_size=(cfg.world_size[0] / replicate,
+                    cfg.world_size[1], cfg.world_size[2]))
     if name == "cube":
-        pts = cube_positions(cfg)
+        pts = cube_positions(tile_cfg)
     elif name in _SCENE_FILES:
         fname, freq = _SCENE_FILES[name]
         pts = read_cloud_csv(ASSETS_DIR / fname, subsample_freq=freq)
         if name in ("susane", "rectus_femoris"):
-            pts = rescale_into_world(pts, cfg)
+            pts = rescale_into_world(pts, tile_cfg)
     else:
         raise ValueError(f"unknown scene {name!r}; have "
                          f"{sorted(_SCENE_FILES) + ['cube']}")

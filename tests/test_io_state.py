@@ -109,3 +109,22 @@ def test_displacement():
     d = np.asarray(st.displacement())
     np.testing.assert_allclose(d[0], 0.3, rtol=1e-6)
     np.testing.assert_allclose(d[1:4], 0.0)
+
+
+def test_replicated_scenes_seed_inside_world():
+    """Procedural / rescaled scenes must be built against ONE tile's world
+    before tiling — seeding against the replicate-expanded box pushed the
+    cube past the y/z walls (regression: 4-step displacement exploded
+    ~350x from the AABB clamp snapping out-of-grid seeds)."""
+    import numpy as np
+    from sph_sm_monodomain_tpu.utils.io import build_scene
+    for name in ("cube", "susane"):
+        sc = build_scene(name, replicate=2, stim=False)
+        pts = np.asarray(sc.state.pos)[:sc.num_particles]
+        w = np.asarray(sc.cfg.world_size)
+        assert (pts >= 0).all() and (pts <= w).all(), \
+            f"{name} x2 seeds outside the world box"
+        half = sc.num_particles // 2
+        np.testing.assert_allclose(
+            pts[half:] - [sc.cfg.world_size[0] / 2, 0, 0], pts[:half],
+            atol=1e-5, err_msg=f"{name} tiles are not translates")
