@@ -73,10 +73,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "headless equivalent of the reference's keyboard "
                         "handler (main.cpp:393-408). Write one command per "
                         "line: pause | resume | stim-off | save <ckpt.npz> "
-                        "| stop. The file is consumed (truncated) after "
-                        "each poll; while paused the file is re-polled "
-                        "until 'resume' or 'stop' arrives. Use --chunk to "
-                        "set the control granularity in steps.")
+                        "| stop. The file is append-only and consumed by "
+                        "offset; while paused it is re-polled until "
+                        "'resume' or 'stop' arrives. Use --chunk to set "
+                        "the control granularity in steps.")
     p.add_argument("--pause-at", type=int, action="append", default=[],
                    metavar="STEP", help="pause when reaching this global "
                         "step (repeatable); resume via the --control file")
@@ -108,18 +108,27 @@ class RunController:
         self.poll_s = poll_s
         self.paused = False
         self.stopped = False
+        self._pos = 0            # bytes of the control file consumed so far
 
     def _drain(self, state):
-        """Read + truncate the control file; apply local commands."""
+        """Read NEW lines of the control file; apply local commands.
+
+        The file is treated as append-only and consumed by offset (no
+        truncation): truncating raced with a concurrent `echo cmd >> file`
+        and could silently discard the command. If the user recreates or
+        shrinks the file, consumption restarts from its beginning."""
         import os
         cmd = {}
         if not self.path or not os.path.exists(self.path):
             return cmd
         try:
-            with open(self.path, "r+") as f:
-                lines = [ln.strip() for ln in f.read().splitlines()]
-                f.seek(0)
-                f.truncate()
+            if os.path.getsize(self.path) < self._pos:
+                self._pos = 0
+            with open(self.path, "r") as f:
+                f.seek(self._pos)
+                data = f.read()
+                self._pos += len(data)
+            lines = [ln.strip() for ln in data.splitlines()]
         except OSError:
             return cmd
         for ln in lines:
@@ -289,13 +298,26 @@ def main(argv=None) -> int:
         if args.pause_at and not args.control:
             sys.exit("--pause-at needs --control (there is no other way "
                      "to resume a headless run)")
+        is_halo = args.devices > 1 and args.parallel == "halo"
+
         def _save(path, st):
+            if is_halo:
+                # same reason --save-checkpoint is refused for halo runs:
+                # halo states are z-slab re-layouts with interleaved
+                # inactive padding; a consumer reading rows [0, N) would
+                # get garbage
+                print("control: refusing 'save' — --parallel halo "
+                      "re-layouts particle rows (use --parallel "
+                      "fused/gather for checkpointable runs)",
+                      file=sys.stderr, flush=True)
+                return
             save_checkpoint(path, st)
             print(f"control: checkpoint -> {path}", flush=True)
         controller = RunController(args.control, args.pause_at,
                                    save_fn=_save)
 
     t0 = time.time()
+    executed = {"steps": 0}   # actual steps run (early stop may cut short)
     # all variant modes run scan drivers dispatched in chunks (never a
     # per-step host loop); when rendering, the chunk size shrinks to the
     # render interval so a frame is captured every render_every steps
@@ -322,6 +344,7 @@ def main(argv=None) -> int:
                 state = variants.simulate_monodomain_only(
                     state, tables, cfg, num_steps=n_chunk)
             done += n_chunk
+            executed["steps"] = done
             stream_frame(done, state)
             if render_every:
                 frames.append((done, state))
@@ -407,6 +430,7 @@ def main(argv=None) -> int:
             sharded, ovf = get_sim(n_chunk, off)(sharded)
             overflow = max(overflow, int(ovf))
             done += n_chunk
+            executed["steps"] = done
             stream_frame(done, sharded)
             if render_every:
                 frames.append((done, sharded))
@@ -422,6 +446,7 @@ def main(argv=None) -> int:
     else:
         scene = scene._replace(state=state)
         def cb(done, st):
+            executed["steps"] = done
             if render_every:
                 frames.append((done, st))
             stream_frame(done, st)
@@ -435,8 +460,9 @@ def main(argv=None) -> int:
         overflow = int(aux.overflow)
     jax.tree_util.tree_map(lambda x: x.block_until_ready(), state)
     wall = time.time() - t0
-    avg_step = wall / max(args.steps, 1)
-    print(f"{args.steps} steps in {wall:.2f}s ({avg_step*1e3:.2f} ms/step, "
+    steps_run = executed["steps"] or args.steps
+    avg_step = wall / max(steps_run, 1)
+    print(f"{steps_run} steps in {wall:.2f}s ({avg_step*1e3:.2f} ms/step, "
           f"incl. compile), overflow={overflow}")
     if overflow:
         print("WARNING: neighbor-table overflow detected — rebuild the "
@@ -460,9 +486,10 @@ def main(argv=None) -> int:
         print(f"trajectory ({written} frames) -> {args.traj}")
 
     if args.save_checkpoint:
-        # accumulated step count: resumed steps + steps executed this run
+        # accumulated step count: resumed steps + steps ACTUALLY executed
+        # this run (an early `stop` must not claim unexecuted steps)
         save_checkpoint(args.save_checkpoint, state,
-                        step=start_step + args.steps)
+                        step=start_step + steps_run)
         print(f"checkpoint -> {args.save_checkpoint}")
 
     if render_every:
@@ -487,7 +514,7 @@ def main(argv=None) -> int:
                                         scene.neighbor_capacity)
         # prefer the scan-amortized profiled step time over the wall
         # average (which includes compile time and per-dispatch latency)
-        row = report_row(cfg, args.steps,
+        row = report_row(cfg, steps_run,
                          phases.get("total_step", avg_step), phases)
         import os
         write_header = not os.path.exists(args.report)

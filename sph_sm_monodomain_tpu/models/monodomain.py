@@ -158,7 +158,8 @@ def _step_fused_v4(state: ParticleState, cfg: SimConfig, q_block: int,
     and ~20% fewer enumerated candidate lanes on the biceps clouds (see
     ops/fused_step._gather_loop4)."""
     from ..ops.pallas_sweeps import sweep_bookkeeping3
-    from ..ops.fused_step import feats_from_out_a, sweep_a3, sweep_b3
+    from ..ops.fused_step import (apply_out_fused, build_qm_feats,
+                                  feats_from_out_a, sweep_a3, sweep_b3)
 
     order, inv, blk_lo, blk_hi, cx, cyz = sweep_bookkeeping3(
         state.pos, state.active, cfg, sub_q)
@@ -166,19 +167,7 @@ def _step_fused_v4(state: ParticleState, cfg: SimConfig, q_block: int,
     # phase 2: shape matching (original order; MXU reductions)
     state = corrected_velocity(state, cfg, sm_inv=sm_inv)
 
-    n = state.capacity
-    fields = jnp.concatenate([
-        state.pos, state.corrected_vel, state.mass[:, None],
-        state.dens[:, None], state.vm[:, None], state.stim[:, None],
-        state.iion[:, None], state.w[:, None], cx[:, None], cyz[:, None],
-        jnp.zeros((n, 2), jnp.float32)], axis=1)            # QM_A layout
-    fs = fields[order]                                      # (N, 16)
-
-    z = jnp.zeros((n,), jnp.float32)
-    vol_prev = jnp.where(fs[:, 7] > 0.0, fs[:, 6] / fs[:, 7], 0.0)
-    feats_a = jnp.stack([fs[:, 0], fs[:, 1], fs[:, 2], fs[:, 3], fs[:, 4],
-                         fs[:, 5], vol_prev, fs[:, 6], z, z, z, z,
-                         fs[:, 12], fs[:, 13], z, z], axis=0)
+    fs, feats_a = build_qm_feats(state, cx, cyz, order)
     out_a = sweep_a3(fs, feats_a, blk_lo, blk_hi, q_block, w_window, cfg,
                      sub_q=sub_q, stencil="xyz3")
 
@@ -187,16 +176,7 @@ def _step_fused_v4(state: ParticleState, cfg: SimConfig, q_block: int,
     out_b = sweep_b3(out_a, feats_b, blk_lo, blk_hi, q_block, w_window,
                      cfg, sub_q=sub_q, stencil="xyz3")
 
-    # single unsorting gather; fixed/inactive keeps in original order
-    ou = jnp.concatenate([out_b, out_a[:, 3:6]], axis=1)[inv]
-    act = state.active
-    upd = act & ~state.fixed
-    state = state.replace(
-        pos=jnp.where(upd[:, None], ou[:, 0:3], state.pos),
-        vel=jnp.where(upd[:, None], ou[:, 3:6], state.vel),
-        vm=jnp.where(act, ou[:, 6], state.vm),
-        dens=ou[:, 7], pres=ou[:, 8], iion=ou[:, 9], w=ou[:, 10],
-        inter_vm=ou[:, 11], acc=ou[:, 12:15], inter_vel=ou[:, 16:19])
+    state = apply_out_fused(state, out_a, out_b, inv)
     return state, StepAux(overflow=jnp.zeros((), jnp.int32))
 
 
@@ -208,7 +188,8 @@ def _step_fused_v3(state: ParticleState, cfg: SimConfig, q_block: int,
     one sorted gather, one candidate-feature stack per sweep and one
     unsorting gather (see ops/fused_step.py)."""
     from ..ops.pallas_sweeps import sweep_bookkeeping2
-    from ..ops.fused_step import feats_from_out_a, sweep_a3, sweep_b3
+    from ..ops.fused_step import (apply_out_fused, build_qm_feats,
+                                  feats_from_out_a, sweep_a3, sweep_b3)
 
     order, inv, blk_lo, blk_hi, chash = sweep_bookkeeping2(
         state.pos, state.active, cfg, sub_q)
@@ -216,19 +197,8 @@ def _step_fused_v3(state: ParticleState, cfg: SimConfig, q_block: int,
     # phase 2: shape matching (original order; MXU reductions)
     state = corrected_velocity(state, cfg, sm_inv=sm_inv)
 
-    n = state.capacity
-    fields = jnp.concatenate([
-        state.pos, state.corrected_vel, state.mass[:, None],
-        state.dens[:, None], state.vm[:, None], state.stim[:, None],
-        state.iion[:, None], state.w[:, None], chash[:, None],
-        jnp.zeros((n, 3), jnp.float32)], axis=1)            # QM_A layout
-    fs = fields[order]                                      # (N, 16)
-
-    z = jnp.zeros((n,), jnp.float32)
-    vol_prev = jnp.where(fs[:, 7] > 0.0, fs[:, 6] / fs[:, 7], 0.0)
-    feats_a = jnp.stack([fs[:, 0], fs[:, 1], fs[:, 2], fs[:, 3], fs[:, 4],
-                         fs[:, 5], vol_prev, fs[:, 6], z, z, z, z,
-                         fs[:, 12], z, z, z], axis=0)
+    fs, feats_a = build_qm_feats(state, chash,
+                                 jnp.zeros_like(chash), order)
     out_a = sweep_a3(fs, feats_a, blk_lo, blk_hi, q_block, w_window, cfg,
                      sub_q=sub_q)
 
@@ -237,16 +207,7 @@ def _step_fused_v3(state: ParticleState, cfg: SimConfig, q_block: int,
     out_b = sweep_b3(out_a, feats_b, blk_lo, blk_hi, q_block, w_window,
                      cfg, sub_q=sub_q)
 
-    # single unsorting gather; fixed/inactive keeps in original order
-    ou = jnp.concatenate([out_b, out_a[:, 3:6]], axis=1)[inv]
-    act = state.active
-    upd = act & ~state.fixed
-    state = state.replace(
-        pos=jnp.where(upd[:, None], ou[:, 0:3], state.pos),
-        vel=jnp.where(upd[:, None], ou[:, 3:6], state.vel),
-        vm=jnp.where(act, ou[:, 6], state.vm),
-        dens=ou[:, 7], pres=ou[:, 8], iion=ou[:, 9], w=ou[:, 10],
-        inter_vm=ou[:, 11], acc=ou[:, 12:15], inter_vel=ou[:, 16:19])
+    state = apply_out_fused(state, out_a, out_b, inv)
     return state, StepAux(overflow=jnp.zeros((), jnp.int32))
 
 
@@ -505,6 +466,9 @@ def run_protocol(scene, num_steps: int = 500, stim_off_step: int | None = None,
                 break
     aux = StepAux(overflow=jnp.asarray(max_overflow, jnp.int32))
     if record_every:
-        traj = {k: jnp.concatenate([t[k] for t in trajs]) for k in trajs[0]}
+        # num_steps == 0 (e.g. a resume with no remaining steps) records
+        # no chunks: return an empty trajectory rather than crashing
+        traj = ({k: jnp.concatenate([t[k] for t in trajs])
+                 for k in trajs[0]} if trajs else {})
         return state, aux, traj
     return state, aux, None

@@ -75,6 +75,8 @@ def step_sph_only_fused(state: ParticleState, cfg: SimConfig,
     state = apply_external_forces(state, cfg)
     state = state.replace(corrected_vel=state.predicted_vel)
 
+    # QM_A column contract: ops/fused_step.build_qm_feats (this variant
+    # zeroes the EP columns instead of reading them — with_ep=False)
     n = state.capacity
     fields = jnp.concatenate([
         state.pos, state.corrected_vel, state.mass[:, None],

@@ -514,3 +514,40 @@ def feats_from_out_a(out_a, vol):
                       out_a[:, 3], out_a[:, 4], out_a[:, 5],
                       vol, out_a[:, 6], out_a[:, 7], z, z, z,
                       out_a[:, 12], out_a[:, 13], z, z], axis=0)
+
+
+def build_qm_feats(state, f1, f2, order):
+    """Sorted QM_A matrix + sweep-A candidate features (single source of
+    the implicit column contract — see the module docstring layouts).
+
+    f1/f2: the two stencil feature columns in ORIGINAL order (chash +
+    zeros for the hash9 stencil; cx + cyz for xyz3). Returns (fs (N,16),
+    feats_a (16,N)); requires state.corrected_vel to be current."""
+    n = state.pos.shape[0]
+    fields = jnp.concatenate([
+        state.pos, state.corrected_vel, state.mass[:, None],
+        state.dens[:, None], state.vm[:, None], state.stim[:, None],
+        state.iion[:, None], state.w[:, None], f1[:, None], f2[:, None],
+        jnp.zeros((n, 2), jnp.float32)], axis=1)
+    fs = fields[order]
+    z = jnp.zeros((n,), jnp.float32)
+    vol_prev = jnp.where(fs[:, 7] > 0.0, fs[:, 6] / fs[:, 7], 0.0)
+    feats_a = jnp.stack([fs[:, 0], fs[:, 1], fs[:, 2], fs[:, 3], fs[:, 4],
+                         fs[:, 5], vol_prev, fs[:, 6], z, z, z, z,
+                         fs[:, 12], fs[:, 13], z, z], axis=0)
+    return fs, feats_a
+
+
+def apply_out_fused(state, out_a, out_b, inv):
+    """Unsort OUT_A/OUT_B and write the step's results back into the state
+    (fixed/inactive keeps in original order) — the single writeback for
+    the fully-fused v3/v4 steps."""
+    ou = jnp.concatenate([out_b, out_a[:, 3:6]], axis=1)[inv]
+    act = state.active
+    upd = act & ~state.fixed
+    return state.replace(
+        pos=jnp.where(upd[:, None], ou[:, 0:3], state.pos),
+        vel=jnp.where(upd[:, None], ou[:, 3:6], state.vel),
+        vm=jnp.where(act, ou[:, 6], state.vm),
+        dens=ou[:, 7], pres=ou[:, 8], iion=ou[:, 9], w=ou[:, 10],
+        inter_vm=ou[:, 11], acc=ou[:, 12:15], inter_vel=ou[:, 16:19])

@@ -260,6 +260,8 @@ def _halo_body(state: ParticleState, cfg: SimConfig, q_block: int,
     act_end2 = jnp.searchsorted(ids2_s, num_cells).astype(jnp.int32)
     chash = jnp.where(ids2_s < num_cells, ids2_s.astype(jnp.float32),
                       jnp.float32(_SENTINEL))
+    # QM_A column contract: ops/fused_step.build_qm_feats (per-shard
+    # rows here, so the arrays are sliced differently)
     fields = jnp.concatenate([
         state.pos, state.corrected_vel, state.mass[:, None],
         state.dens[:, None], state.vm[:, None], state.stim[:, None],

@@ -208,6 +208,8 @@ def _sharded_fused_body(state: ParticleState, cfg: SimConfig, q_block: int,
     state = corrected_velocity(state, cfg, axis_name=axis)
 
     n = g_pos.shape[0]
+    # QM_A column contract: ops/fused_step.build_qm_feats (per-shard
+    # rows here, so the arrays are sliced differently)
     fields = jnp.concatenate([
         g_pos, ag(state.corrected_vel), ag(state.mass)[:, None],
         ag(state.dens)[:, None], ag(state.vm)[:, None],

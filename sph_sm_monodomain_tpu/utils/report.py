@@ -123,7 +123,7 @@ def profile_phases_fused(scene, length: int = 250) -> dict:
     """
     import jax.numpy as jnp
     from ..models.monodomain import step_fused
-    from ..ops.fused_step import sweep_a3
+    from ..ops.fused_step import build_qm_feats, sweep_a3
     from ..ops.pallas_sweeps import sweep_bookkeeping3
     from ..ops.shape_matching import sm_invariants
 
@@ -151,18 +151,7 @@ def profile_phases_fused(scene, length: int = 250) -> dict:
     def stage3(s):  # + sorted gather + sweep A
         order, inv, blk_lo, blk_hi, cx, cyz = book(s)
         s = corrected_velocity(s, cfg, sm_inv=sm_inv)
-        fields = jnp.concatenate(
-            [s.pos, s.corrected_vel, s.mass[:, None], s.dens[:, None],
-             s.vm[:, None], s.stim[:, None], s.iion[:, None], s.w[:, None],
-             cx[:, None], cyz[:, None],
-             jnp.zeros((n, 2), jnp.float32)], axis=1)
-        fs = fields[order]
-        z = jnp.zeros((n,), jnp.float32)
-        vol_prev = jnp.where(fs[:, 7] > 0.0, fs[:, 6] / fs[:, 7], 0.0)
-        feats_a = jnp.stack(
-            [fs[:, 0], fs[:, 1], fs[:, 2], fs[:, 3], fs[:, 4], fs[:, 5],
-             vol_prev, fs[:, 6], z, z, z, z, fs[:, 12], fs[:, 13], z, z],
-            axis=0)
+        fs, feats_a = build_qm_feats(s, cx, cyz, order)
         out_a = sweep_a3(fs, feats_a, blk_lo, blk_hi, qb, wc, cfg,
                          sub_q=sub_q, stencil="xyz3")
         return s.replace(dens=out_a[:, 8][inv],

@@ -43,10 +43,14 @@ def test_run_controller_file_commands(tmp_path):
     cmd = c(2, "STATE")
     assert cmd.get("stim_off") is True
     assert saved == {"p": "out.npz", "st": "STATE"}
-    assert ctl.read_text() == ""            # consumed
-    assert not c(4, "STATE")                 # empty file -> no commands
+    # consumed by OFFSET (the file is append-only; truncating raced with a
+    # concurrent `echo cmd >>`): a second poll re-reads nothing
+    saved.clear()
+    assert not c(4, "STATE")
+    assert saved == {}
 
-    ctl.write_text("stop\n")
+    with open(ctl, "a") as f:               # append like `echo stop >>`
+        f.write("stop\n")
     assert c(6, "STATE").get("stop") is True
 
 
