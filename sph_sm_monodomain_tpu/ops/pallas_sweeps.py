@@ -346,9 +346,16 @@ def _call_sweep(kernel, feats_t, qmat, qstart, qend, blk_start, blk_len,
     """
     if sub_q is None:
         sub_q = q_block
-    # block-bound arrays are scalar-prefetched into SMEM (1 MB): guard the
-    # granularity so (N / sub_q) * 16 * 4 B stays within budget
-    if (qmat.shape[0] // sub_q) * 64 > 900_000:
+    if sub_q > q_block or q_block % sub_q:
+        raise ValueError(f"sub_q={sub_q} must divide q_block={q_block}")
+    if qmat.shape[0] % q_block:
+        raise ValueError(f"query rows {qmat.shape[0]} not divisible by "
+                         f"q_block={q_block}; pad the state capacity")
+    # the two (B,16) block-bound arrays are scalar-prefetched into SMEM
+    # (1 MB); 2-D scalar-prefetch operands are lane-padded to 128 columns
+    # (see sweep_bookkeeping2's flat layout note), so budget ~2*512 B per
+    # window block
+    if (qmat.shape[0] // sub_q) * 1024 > 900_000:
         raise ValueError(
             f"sub_q={sub_q} yields {qmat.shape[0] // sub_q} window blocks; "
             "their SMEM-prefetched bounds would exceed the 1 MB scalar "
@@ -455,10 +462,11 @@ def sweep_b(pos_s, ivel_s, vol_s, pres_s, vm_s, qstart, qend, blk_start,
 #   - window bounds are computed per SUB-BLOCK (tight) by direct binary
 #     search into the sorted cell ids — no 55k-cell start table, no per-query
 #     (N, 16) bound arrays;
-#   - consecutive run windows are clamped disjoint, and the kernel masks
-#     rows to the exact [lo, hi) window (per sub-block scalars) plus an
-#     in-kernel stencil test |hash_q - hash_c - d_r| <= 1 on the linear
-#     cell hash (one f32 feature; hashes < 2^17 are exact in f32). The
+#   - the kernel masks candidates with the in-kernel stencil test
+#     |hash_q - hash_c - d_r| <= 1 on the linear cell hash ALONE (one f32
+#     feature; hashes < 2^17 are exact in f32) — run windows are NOT
+#     clamped disjoint (a pair passes under at most one run offset, so
+#     overlap cannot double-count; see sweep_bookkeeping2). The
 #     hash test admits x/y/z-boundary wrap pairs that the reference's
 #     per-axis clamped stencil excludes (cpp:462-481), but every such pair
 #     is >= one world edge minus two cells apart — far outside all kernel
@@ -792,6 +800,9 @@ def _call_sweep2(kernel, feats_t, qmat, blk_lo, blk_hi, q_block, w_chunk,
     """Run one v2 sweep kernel (see _call_sweep for q_slice semantics)."""
     if sub_q > q_block or q_block % sub_q:
         raise ValueError(f"sub_q={sub_q} must divide q_block={q_block}")
+    if qmat.shape[0] % q_block:
+        raise ValueError(f"query rows {qmat.shape[0]} not divisible by "
+                         f"q_block={q_block}; pad the state capacity")
     if (qmat.shape[0] // sub_q) * 128 > 900_000:
         raise ValueError(
             f"sub_q={sub_q} yields {qmat.shape[0] // sub_q} window blocks; "
@@ -903,7 +914,10 @@ def auto_sweep2_params(positions: np.ndarray, cfg: SimConfig,
     d = (gx * (_RUN_OFFSETS[:, 0] + gy * _RUN_OFFSETS[:, 1]))[None, :]
     lo = np.searchsorted(s, np.clip(h_lo[:, None] + d - 1, 0, num_cells))
     hi = np.searchsorted(s, np.clip(h_hi[:, None] + d + 2, 0, num_cells))
-    hi[:, :-1] = np.minimum(hi[:, :-1], lo[:, 1:])
+    # NOTE: the kernel iterates each run window in full (overlap between
+    # consecutive runs is handled by the stencil mask, never clamped away
+    # since sweep_bookkeeping2 dropped the disjoint clamp), so the cost
+    # model must not clamp either
     start = (lo // 128) * 128
     best = None
     for wc in (128, 256, 384):

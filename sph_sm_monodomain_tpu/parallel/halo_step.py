@@ -37,7 +37,6 @@ then re-shard — the same elastic-recovery pattern as run_protocol):
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -138,10 +137,6 @@ def shard_state_halo(state: ParticleState, mesh: Mesh, cfg: SimConfig,
     new = jax.tree_util.tree_map(
         lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)), new, spec)
     return new, s_cap, mig_cap, halo_cap
-
-
-class HaloAux(NamedTuple):
-    overflow: jax.Array  # emigrants > mig_cap, actives > S, plane > halo_cap
 
 
 def _shift(x, axis, direction, n_devices):
@@ -310,6 +305,10 @@ def _halo_body(state: ParticleState, cfg: SimConfig, q_block: int,
     # sort AFTER the right halo's >= my_hi ids) down to my_hi - 1. Their
     # feature hash stays the sentinel, so the stencil test still ignores
     # them — the clamp only affects window bounds.
+    # (known perf headroom: this clamp makes pure-padding sub-blocks sweep
+    # real last-plane windows every step; probing _window_bounds with the
+    # UNCLAMPED ids would empty them, but merged_ids must stay sorted and
+    # the halo buffers interleave sentinel rows — revisit together)
     win_ids = jnp.where(ids2_s < num_cells, ids2_s, my_hi - 1)
     merged_ids = jnp.concatenate([l_ids, win_ids, r_ids])
     # halo feature matrices already carry sentinel hashes on every row the
@@ -318,7 +317,7 @@ def _halo_body(state: ParticleState, cfg: SimConfig, q_block: int,
     merged_fs = jnp.concatenate([l_mat, fields, r_mat], axis=0)
 
     overflow = overflow + _plane_overflow(ids2_s, act_end2, my_lo, my_hi,
-                                          gxy, halo_cap)
+                                          gxy, halo_cap, d, n_devices)
 
     blk_lo, blk_hi = _window_bounds(win_ids, merged_ids, cfg, sub_q)
 
@@ -352,18 +351,29 @@ def _halo_body(state: ParticleState, cfg: SimConfig, q_block: int,
         vm=jnp.where(act, ou[:, 6], state.vm),
         dens=ou[:, 7], pres=ou[:, 8], iion=ou[:, 9], w=ou[:, 10],
         inter_vm=ou[:, 11], acc=ou[:, 12:15], inter_vel=ou[:, 16:19])
+    # overflow sums three failure modes across the mesh: emigrants beyond
+    # mig_cap, active rows beyond the slab capacity, boundary-plane rows
+    # beyond halo_cap (non-edge devices only)
     return state, jax.lax.psum(overflow, axis)
 
 
-def _plane_overflow(ids_s, act_end, my_lo, my_hi, gxy, halo_cap):
-    """Count boundary-plane rows beyond the halo capacity."""
+def _plane_overflow(ids_s, act_end, my_lo, my_hi, gxy, halo_cap, d,
+                    n_devices):
+    """Count boundary-plane rows beyond the halo capacity.
+
+    Edge devices have no partner for their outer plane (device 0 never
+    sends its first plane left, device D-1 never sends its last plane
+    right), so those planes are excluded — counting them produced spurious
+    overflow for exchanges that do not exist."""
     first_plane_end = jnp.searchsorted(ids_s, my_lo + gxy).astype(jnp.int32)
     last_plane_start = jnp.searchsorted(ids_s,
                                         my_hi - gxy).astype(jnp.int32)
     n_first = jnp.minimum(first_plane_end, act_end)
     n_last = act_end - jnp.minimum(last_plane_start, act_end)
-    return (jnp.maximum(n_first - halo_cap, 0)
-            + jnp.maximum(n_last - halo_cap, 0))
+    ovf_first = jnp.where(d > 0, jnp.maximum(n_first - halo_cap, 0), 0)
+    ovf_last = jnp.where(d < n_devices - 1,
+                         jnp.maximum(n_last - halo_cap, 0), 0)
+    return ovf_first + ovf_last
 
 
 def _window_bounds(core_ids, merged_ids, cfg: SimConfig, sub_q: int):
