@@ -27,10 +27,11 @@ def main():
     # ~1-2 min single-execution kill limit (~1.2 s device time).
     steps = int(os.environ.get("BENCH_STEPS", "500"))
     scene_name = os.environ.get("BENCH_SCENE", "biceps_full")
+    impl = os.environ.get("BENCH_IMPL") or None  # e.g. v4 / v5
     import jax
     import sph_sm_monodomain_tpu as smt
 
-    sc = smt.build_scene(scene_name)
+    sc = smt.build_scene(scene_name, fused_impl=impl)
     state, cfg = sc.state, sc.cfg
 
     fused = os.environ.get("BENCH_FUSED", "1") == "1" and \
@@ -47,7 +48,7 @@ def main():
                            fused=fused, q_block=sc.q_block,
                            w_window=sc.block_window,
                            sub_q=(sc.sub_block or None),
-                           impl=sc.fused_impl)
+                           impl=sc.fused_impl, pack_cap=sc.pack_cap)
         fetch(out[0])
         return out
 
@@ -64,7 +65,7 @@ def main():
                            fused=fused, q_block=sc.q_block,
                            w_window=sc.block_window,
                            sub_q=(sc.sub_block or None),
-                           impl=sc.fused_impl)
+                           impl=sc.fused_impl, pack_cap=sc.pack_cap)
         state = out[0]
         fetch(state)   # force real completion every rep
     dt = (time.time() - t0) / reps

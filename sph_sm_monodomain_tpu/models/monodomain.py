@@ -42,11 +42,12 @@ class StepAux(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("cfg", "q_block", "w_window", "sub_q",
-                                   "impl"))
+                                   "impl", "pack_cap"))
 def step_fused(state: ParticleState, cfg: SimConfig, q_block: int,
                w_window: int, sub_q: int | None = None,
                impl: str = "v3",
-               sm_inv=None) -> tuple[ParticleState, StepAux]:
+               sm_inv=None, pack_cap: int = 0
+               ) -> tuple[ParticleState, StepAux]:
     """One coupled step with the fused Pallas sweeps (ops/pallas_sweeps.py).
 
     Physics-equivalent to `step` (same phase order as
@@ -56,12 +57,17 @@ def step_fused(state: ParticleState, cfg: SimConfig, q_block: int,
     candidates, lane-wise accumulators) — trajectories agree to fp32
     tolerance.
 
+    impl="v5": packed per-sub-block candidate slabs (fewest tested pair
+    slots; needs `pack_cap`, overflow triggers a host-side regrow);
     impl="v4": fully-fused sweeps over 3 merged z-plane windows with the
-    per-axis cell mask (fastest measured); impl="v3" (default): the same
+    per-axis cell mask; impl="v3" (default): the same
     fully-fused sweeps over 9 (dy,dz) run windows with the linear-hash
     mask; impl="v2": v3's sweeps with XLA pointwise glue; impl="v1":
     per-query bound arrays + MXU-contraction kernels.
     """
+    if impl == "v5":
+        return _step_fused_v5(state, cfg, q_block, w_window, sub_q or 32,
+                              pack_cap, sm_inv)
     if impl == "v4":
         return _step_fused_v4(state, cfg, q_block, w_window, sub_q or 128,
                               sm_inv)
@@ -147,6 +153,43 @@ def step_fused(state: ParticleState, cfg: SimConfig, q_block: int,
     state = update_properties(state, cfg)
     # chunked windows cover every candidate exactly: no overflow possible
     return state, StepAux(overflow=jnp.zeros((), jnp.int32))
+
+
+def _step_fused_v5(state: ParticleState, cfg: SimConfig, q_block: int,
+                   w_window: int, sub_q: int, pack_cap: int,
+                   sm_inv=None) -> tuple[ParticleState, StepAux]:
+    """v5 fused step: per-sub-block PACKED candidate slabs — bookkeeping
+    left-packs the nine tight dilated hash runs of each sub-block, an XLA
+    row-gather materializes them as dense (B, 12, kb) feature slabs, and
+    the sweep kernels enumerate only the dilated union (~2.6x fewer tested
+    pair slots than v4 on the flagship cloud at sub_q=32). Slab overflow
+    (a block's union exceeding pack_cap) is counted in StepAux.overflow;
+    run_protocol regrows pack_cap and redoes the chunk."""
+    from ..ops.pallas_sweeps import sweep_bookkeeping5
+    from ..ops.fused_step import (apply_out_fused, build_qm_feats5,
+                                  pack_feats_a5, pack_feats_b5, sweep_a5,
+                                  sweep_b5)
+    if pack_cap <= 0:
+        raise ValueError("impl='v5' needs pack_cap > 0 (auto_sweep5_params)")
+
+    order, inv, src, trips, overflow, cf, cm, cs = sweep_bookkeeping5(
+        state.pos, state.active, cfg, sub_q, pack_cap)
+
+    # phase 2: shape matching (original order; MXU reductions)
+    state = corrected_velocity(state, cfg, sm_inv=sm_inv)
+
+    fs = build_qm_feats5(state, cf, cm, cs, order)
+    packed_a = pack_feats_a5(fs, src, pack_cap)
+    out_a = sweep_a5(fs, packed_a, trips, q_block, w_window, cfg,
+                     sub_q=sub_q)
+
+    vol_now = jnp.where(out_a[:, 8] > 0.0, out_a[:, 10] / out_a[:, 8], 0.0)
+    packed_b = pack_feats_b5(out_a, vol_now, src, pack_cap)
+    out_b = sweep_b5(out_a, packed_b, trips, q_block, w_window, cfg,
+                     sub_q=sub_q)
+
+    state = apply_out_fused(state, out_a, out_b, inv)
+    return state, StepAux(overflow=overflow)
 
 
 def _step_fused_v4(state: ParticleState, cfg: SimConfig, q_block: int,
@@ -320,26 +363,27 @@ def _step_with_protocol(state: ParticleState, i: jax.Array, cfg: SimConfig,
                         stim_off_step: int, fused: bool = False,
                         q_block: int = 128, w_window: int = 512,
                         sub_q: int | None = None, sm_inv=None,
-                        impl: str = "v3"):
+                        impl: str = "v3", pack_cap: int = 0):
     if stim_off_step >= 0:
         state = jax.lax.cond(i == stim_off_step,
                              lambda s: turn_off_stim(s, cfg),
                              lambda s: s, state)
     if fused:
         return step_fused(state, cfg, q_block, w_window, sub_q, impl=impl,
-                          sm_inv=sm_inv)
+                          sm_inv=sm_inv, pack_cap=pack_cap)
     return step(state, cfg, cell_capacity, neighbor_capacity, sm_inv=sm_inv)
 
 
 @partial(jax.jit, static_argnames=("cfg", "cell_capacity",
                                    "neighbor_capacity", "num_steps",
                                    "stim_off_step", "record_every", "impl",
-                                   "fused", "q_block", "w_window", "sub_q"))
+                                   "fused", "q_block", "w_window", "sub_q",
+                                   "pack_cap"))
 def simulate(state: ParticleState, cfg: SimConfig, cell_capacity: int,
              neighbor_capacity: int, num_steps: int, stim_off_step: int = -1,
              record_every: int = 0, fused: bool = False, q_block: int = 128,
              w_window: int = 512, sub_q: int | None = None,
-             impl: str = "v3"):
+             impl: str = "v3", pack_cap: int = 0):
     """Run `num_steps` coupled steps under lax.scan.
 
     `stim_off_step` mirrors the reference app protocol: turnOffStim fires
@@ -363,7 +407,8 @@ def simulate(state: ParticleState, cfg: SimConfig, cell_capacity: int,
         st, aux = _step_with_protocol(st, i, cfg, cell_capacity,
                                       neighbor_capacity, stim_off_step,
                                       fused, q_block, w_window, sub_q,
-                                      sm_inv=sm_inv, impl=impl)
+                                      sm_inv=sm_inv, impl=impl,
+                                      pack_cap=pack_cap)
         return (st, jnp.maximum(acc_overflow, aux.overflow)), ()
 
     carry = (state, jnp.asarray(0, jnp.int32))
@@ -427,30 +472,39 @@ def run_protocol(scene, num_steps: int = 500, stim_off_step: int | None = None,
         n = min(chunk, num_steps - done)
         # map the global stim-off index into this chunk (or disable)
         off = stim_off_step - done if done <= stim_off_step < done + n else -1
+        run_impl = impl or getattr(scene, "fused_impl", "v3")
         out = simulate(state, cfg, scene.cell_capacity,
                        scene.neighbor_capacity, num_steps=n,
                        stim_off_step=off, record_every=record_every,
                        fused=fused, q_block=scene.q_block,
                        w_window=scene.block_window,
                        sub_q=(scene.sub_block or None),
-                       impl=(impl or getattr(scene, "fused_impl", "v3")))
+                       impl=run_impl,
+                       pack_cap=getattr(scene, "pack_cap", 0))
         if record_every:
             new_state, aux, traj = out
         else:
             new_state, aux = out
             traj = None
         step_overflow = int(aux.overflow)
-        if step_overflow and not fused and regrow < 3:
-            # failure detection + elastic recovery (SURVEY.md §5): the
-            # window table truncated candidates (the cloud densified past
-            # the static capacity). Regrow the table 1.5x and REDO this
-            # chunk from its input state (recompiles once per growth).
-            # The fused path needs no regrow: its chunked candidate windows
-            # have dynamic trip counts, so coverage is exact for ANY
-            # density and its overflow is structurally zero (step_fused).
+        if step_overflow and regrow < 3 and \
+                (not fused or run_impl == "v5"):
+            # failure detection + elastic recovery (SURVEY.md §5): a static
+            # candidate capacity truncated neighbors (the cloud densified
+            # past it). Regrow 1.5x and REDO this chunk from its input
+            # state (recompiles once per growth). The v2-v4 fused paths
+            # need no regrow: their chunked candidate windows have dynamic
+            # trip counts, so coverage is exact for ANY density and their
+            # overflow is structurally zero (step_fused). v5's packed
+            # slabs DO carry a capacity (pack_cap) and regrow like the
+            # window table.
             regrow += 1
-            new_k = ((int(scene.neighbor_capacity * 1.5) + 8) // 9) * 9
-            scene = scene._replace(neighbor_capacity=new_k)
+            if fused:
+                new_cap = ((int(scene.pack_cap * 1.5) + 127) // 128) * 128
+                scene = scene._replace(pack_cap=new_cap)
+            else:
+                new_k = ((int(scene.neighbor_capacity * 1.5) + 8) // 9) * 9
+                scene = scene._replace(neighbor_capacity=new_k)
             continue  # redo this chunk from its unchanged input state
         state = new_state
         if record_every:

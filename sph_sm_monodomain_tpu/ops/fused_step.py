@@ -41,9 +41,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import SimConfig
-from .pallas_sweeps import (_RUN_OFFSETS, VMEM_FEATS_LIMIT_BYTES,
-                            _interpret_default, _PAIR_EPS, _slice_rows,
-                            hash_axis_perm)
+from .pallas_sweeps import (_COORD_SENTINEL, _RUN_OFFSETS,
+                            VMEM_FEATS_LIMIT_BYTES, _interpret_default,
+                            _PAIR_EPS, _slice_rows, hash_axis_perm)
 
 # candidate arrays above this double-buffer their per-chunk DMA in the v4
 # gather loop; below it the blocking copy is already latency-hidden and the
@@ -192,6 +192,139 @@ def _gather_loop4(blk_lo_ref, blk_hi_ref, feats_ref, scratch, w_chunk,
     return accs
 
 
+def _pair_step_a(cand, m, carry, qx, qy, qz, qcv, h2, p6c):
+    """One masked candidate chunk of the XSPH + density gather, in the
+    reference's per-pair difference form (cpp:483, 688-695). Candidate
+    rows: [x y z | vx vy vz | vol_prev | mass | ...]."""
+    a_d, a_x, a_y, a_z = carry
+    dx = qx - cand[0:1, :]
+    dy = qy - cand[1:2, :]
+    dz = qz - cand[2:3, :]
+    r2 = dx * dx + dy * dy + dz * dz
+    t = h2 - r2
+    w6 = jnp.where(m & (r2 <= h2), p6c * t * t * t, 0.0)
+    wv = w6 * cand[6:7, :]                               # * vol_prev_j
+    return (a_d + w6 * cand[7:8, :],
+            a_x + wv * (cand[3:4, :] - qcv[:, 0:1]),
+            a_y + wv * (cand[4:5, :] - qcv[:, 1:2]),
+            a_z + wv * (cand[5:6, :] - qcv[:, 2:3]))
+
+
+def _pair_step_b(cand, m, carry, qx, qy, qz, qp, qiv, qvm, h, inv_h,
+                 spiky_c, bs_c, mu, with_ep):
+    """One masked candidate chunk of the force + Vm Laplacian gather, in
+    the reference's per-pair difference form (cpp:550-563). Candidate
+    rows: [x y z | vx vy vz | vol | pres | vm | ...]."""
+    a_ax, a_ay, a_az, a_lap = carry
+    dx = qx - cand[0:1, :]
+    dy = qy - cand[1:2, :]
+    dz = qz - cand[2:3, :]
+    r2 = dx * dx + dy * dy + dz * dz
+    p = m & (r2 > _PAIR_EPS)                             # cpp:546
+    inv_rr = jax.lax.rsqrt(jnp.where(p, r2, 1.0))
+    rr = r2 * inv_rr
+    # fold the pair mask into the volume ONCE: every weight below scales
+    # by volm, so masked lanes contribute exactly 0
+    volm = jnp.where(p, cand[6:7, :], 0.0)
+    # spiky support [0, h] via relu(h - r) (hr < 0 -> weight 0)
+    hr = jnp.maximum(h - rr, 0.0)
+    common = volm * (spiky_c * hr)
+    f_p = common * (hr * (-0.5) * inv_rr) * (qp + cand[7:8, :])
+    f_v = mu * common
+    a_ax = a_ax + (f_v * (cand[3:4, :] - qiv[:, 0:1]) - f_p * dx)
+    a_ay = a_ay + (f_v * (cand[4:5, :] - qiv[:, 1:2]) - f_p * dy)
+    a_az = a_az + (f_v * (cand[5:6, :] - qiv[:, 2:3]) - f_p * dz)
+    if with_ep:
+        qr = rr * inv_h
+        # B_spline_2 (cpp:186-196) in relu form:
+        #   qr < 1: bs_c*(-3 + 4.5 qr);  1 <= qr < 2: bs_c*1.5*(2-qr)
+        # == bs_c*(1.5*relu(2 - qr) - 6*relu(1 - qr))
+        w2 = bs_c * (1.5 * jnp.maximum(2.0 - qr, 0.0)
+                     - 6.0 * jnp.maximum(1.0 - qr, 0.0))
+        a_lap = a_lap + (volm * w2) * (cand[8:9, :] - qvm)
+    return (a_ax, a_ay, a_az, a_lap)
+
+
+def _a_epilogue(cfg: SimConfig, with_ep: bool, mass, vm, stim, iion,
+                w_rec, dens):
+    """EOS pressure + stim gate + FHN reaction on gathered densities
+    (Compute_Density_SingPressure cpp:483-503 + calculate_cell_model
+    cpp:575-593). Shapes broadcast; returns (dens', pres, react, iion',
+    w')."""
+    dt = jnp.float32(cfg.time_delta)
+    h2 = jnp.float32(cfg.kernel_h * cfg.kernel_h)
+    p6c = jnp.float32(cfg.poly6_constant)
+    if cfg.quirk_double_self_density:                    # cpp:483
+        dens = dens + mass * (p6c * h2 * h2 * h2)
+    pres = jnp.float32(cfg.k_stiffness) \
+        * (dens - jnp.float32(cfg.stand_density))        # cpp:486
+    if with_ep:
+        pres = pres - vm * jnp.float32(cfg.voltage_constant)  # cpp:491
+    pres_c = jnp.clip(pres, -cfg.max_pressure, cfg.max_pressure)
+    if cfg.quirk_pressure_stim_gate:                     # cpp:493-503
+        pres = jnp.where(stim > 0.0, pres_c, jnp.float32(-0.0))
+    else:
+        pres = pres_c
+
+    if with_ep:
+        # FHN reaction (calculate_cell_model, cpp:575-593)
+        denom = jnp.float32(cfg.fh_vp - cfg.fh_vr)
+        asd = jnp.float32((cfg.fh_vt - cfg.fh_vr)
+                          / (cfg.fh_vp - cfg.fh_vr))
+        u = (vm - jnp.float32(cfg.fh_vr)) / denom
+        d_iion = dt * (jnp.float32(cfg.fh_c1) * u * (u - asd)
+                       * (u - 1.0)
+                       + jnp.float32(cfg.fh_c2) * w_rec) / mass
+        iion_n = (iion + d_iion) if cfg.quirk_iion_accumulate else d_iion
+        w_n = w_rec + dt * jnp.float32(cfg.fh_c3) \
+            * (u - jnp.float32(cfg.fh_c4) * w_rec) / mass
+        react = (iion_n - stim * (dt / mass)) \
+            / jnp.float32(cfg.cm_capacitance)            # cpp:571
+    else:
+        zero = jnp.zeros_like(dens)
+        iion_n, w_n, react = zero, zero, zero
+    return dens, pres, react, iion_n, w_n
+
+
+def _b_epilogue(cfg: SimConfig, with_ep: bool, qpos, qiv, qvm, dens,
+                react, mass, acc_raw, lap):
+    """Acceleration normalization + voltage update + semi-implicit Euler +
+    walls (Compute_Force tail cpp:568-571 + Update_Properties
+    cpp:596-651). Returns (pos', vel', vm', inter_vm, acc)."""
+    dt = jnp.float32(cfg.time_delta)
+    dens_g = jnp.where(dens > 0.0, dens, 1.0)
+    acc = acc_raw / dens_g                               # cpp:568
+    dtm = dt / mass
+    if with_ep:
+        scale = jnp.float32(cfg.sigma / (cfg.beta_sv_ratio
+                                         * cfg.cm_capacitance))
+        inter_vm = lap + scale * lap - react             # cpp:571
+        vm_new = qvm + inter_vm * dtm                    # cpp:612
+        vm_new = jnp.clip(vm_new, -cfg.max_voltage, cfg.max_voltage)
+    else:
+        inter_vm = jnp.zeros_like(qvm)
+        vm_new = qvm
+
+    # semi-implicit Euler + walls (cpp:596-651); the fixed-particle /
+    # inactive-lane keeps happen in original order after the unsort
+    vel = qiv + acc * dtm                                # cpp:608
+    pos = qpos + vel * dt                                # cpp:609
+    p_cols, v_cols = [], []
+    for ax in range(3):
+        wlim = jnp.float32(cfg.world_size[ax])
+        p = pos[:, ax:ax + 1]
+        v = vel[:, ax:ax + 1]
+        low = p < 0.0
+        high = p >= wlim
+        v = jnp.where(low | high, v * jnp.float32(cfg.wall_hit), v)
+        p = jnp.where(low, 0.0, p)
+        p = jnp.where(high, wlim - 1e-4, p)
+        p_cols.append(jnp.clip(p, 0.0, wlim))            # cpp:649
+        v_cols.append(v)
+    return (jnp.concatenate(p_cols, axis=1), jnp.concatenate(v_cols, axis=1),
+            vm_new, inter_vm, acc)
+
+
 def _kernel_a3(blk_lo_ref, blk_hi_ref, qm_ref, feats_ref, out_ref,
                *scratch, cfg: SimConfig, w_chunk: int, sub_q: int,
                with_ep: bool, stencil: str = "hash9",
@@ -201,7 +334,6 @@ def _kernel_a3(blk_lo_ref, blk_hi_ref, qm_ref, feats_ref, out_ref,
     nsub = qm_ref.shape[0] // sub_q
     h2 = jnp.float32(cfg.kernel_h * cfg.kernel_h)
     p6c = jnp.float32(cfg.poly6_constant)
-    dt = jnp.float32(cfg.time_delta)
 
     for sb in range(nsub):
         lo_q = sb * sub_q
@@ -220,18 +352,7 @@ def _kernel_a3(blk_lo_ref, blk_hi_ref, qm_ref, feats_ref, out_ref,
         # per-pair difference form (the reference's own accumulation shape,
         # cpp:688-695): 4 accumulators keep the chunk loop register-resident
         def pair(cand, m, carry, qx=qx, qy=qy, qz=qz, qcv=qcv):
-            a_d, a_x, a_y, a_z = carry
-            dx = qx - cand[0:1, :]
-            dy = qy - cand[1:2, :]
-            dz = qz - cand[2:3, :]
-            r2 = dx * dx + dy * dy + dz * dz
-            t = h2 - r2
-            w6 = jnp.where(m & (r2 <= h2), p6c * t * t * t, 0.0)
-            wv = w6 * cand[6:7, :]                           # * vol_prev_j
-            return (a_d + w6 * cand[7:8, :],
-                    a_x + wv * (cand[3:4, :] - qcv[:, 0:1]),
-                    a_y + wv * (cand[4:5, :] - qcv[:, 1:2]),
-                    a_z + wv * (cand[5:6, :] - qcv[:, 2:3]))
+            return _pair_step_a(cand, m, carry, qx, qy, qz, qcv, h2, p6c)
 
         zeros = jnp.zeros((sub_q, w_chunk), jnp.float32)
         if stencil == "xyz3":
@@ -245,45 +366,12 @@ def _kernel_a3(blk_lo_ref, blk_hi_ref, qm_ref, feats_ref, out_ref,
                 qh, base, pair, (zeros,) * 4, cfg, hbm_feats)
 
         red = lambda a: jnp.sum(a, axis=1, keepdims=True)
-        dens = red(a_d)
         ivel = qcv + jnp.concatenate(
             [red(a_x), red(a_y), red(a_z)], axis=1) \
             * jnp.float32(cfg.velocity_mixing)               # cpp:699
-
-        if cfg.quirk_double_self_density:                    # cpp:483
-            dens = dens + mass * (p6c * h2 * h2 * h2)
-        pres = jnp.float32(cfg.k_stiffness) \
-            * (dens - jnp.float32(cfg.stand_density))        # cpp:486
-        if with_ep:
-            pres = pres - vm * jnp.float32(cfg.voltage_constant)  # cpp:491
-        pres_c = jnp.clip(pres, -cfg.max_pressure, cfg.max_pressure)
-        if cfg.quirk_pressure_stim_gate:                     # cpp:493-503
-            pres = jnp.where(stim > 0.0, pres_c,
-                             jnp.float32(-0.0))
-        else:
-            pres = pres_c
-
-        dtm = dt / mass
-        if with_ep:
-            # FHN reaction (calculate_cell_model, cpp:575-593)
-            iion = qm_ref[sl, 10:11]
-            w_rec = qm_ref[sl, 11:12]
-            denom = jnp.float32(cfg.fh_vp - cfg.fh_vr)
-            asd = jnp.float32((cfg.fh_vt - cfg.fh_vr)
-                              / (cfg.fh_vp - cfg.fh_vr))
-            u = (vm - jnp.float32(cfg.fh_vr)) / denom
-            d_iion = dt * (jnp.float32(cfg.fh_c1) * u * (u - asd)
-                           * (u - 1.0)
-                           + jnp.float32(cfg.fh_c2) * w_rec) / mass
-            iion_n = (iion + d_iion) if cfg.quirk_iion_accumulate else d_iion
-            w_n = w_rec + dt * jnp.float32(cfg.fh_c3) \
-                * (u - jnp.float32(cfg.fh_c4) * w_rec) / mass
-            react = (iion_n - stim * dtm) \
-                / jnp.float32(cfg.cm_capacitance)            # cpp:571
-        else:
-            iion_n = jnp.zeros((sub_q, 1), jnp.float32)
-            w_n = jnp.zeros((sub_q, 1), jnp.float32)
-            react = jnp.zeros((sub_q, 1), jnp.float32)
+        dens, pres, react, iion_n, w_n = _a_epilogue(
+            cfg, with_ep, mass, vm, stim, qm_ref[sl, 10:11],
+            qm_ref[sl, 11:12], red(a_d))
 
         out_ref[sl, 0:3] = qm_ref[sl, 0:3]                   # pos
         out_ref[sl, 3:6] = ivel
@@ -310,7 +398,6 @@ def _kernel_b3(blk_lo_ref, blk_hi_ref, qm_ref, feats_ref, out_ref,
     spiky_c = jnp.float32(cfg.spiky_constant)
     bs_c = jnp.float32(cfg.b_spline_constant)
     mu = jnp.float32(cfg.mu_viscosity)
-    dt = jnp.float32(cfg.time_delta)
 
     for sb in range(nsub):
         lo_q = sb * sub_q
@@ -335,34 +422,8 @@ def _kernel_b3(blk_lo_ref, blk_hi_ref, qm_ref, feats_ref, out_ref,
         # chunk loop register-resident (10 split-sum tiles spilled to VMEM).
         def pair(cand, m, carry, qx=qx, qy=qy, qz=qz, qp=qp, qiv=qiv,
                  qvm=qvm):
-            a_ax, a_ay, a_az, a_lap = carry
-            dx = qx - cand[0:1, :]
-            dy = qy - cand[1:2, :]
-            dz = qz - cand[2:3, :]
-            r2 = dx * dx + dy * dy + dz * dz
-            p = m & (r2 > _PAIR_EPS)                         # cpp:546
-            inv_rr = jax.lax.rsqrt(jnp.where(p, r2, 1.0))
-            rr = r2 * inv_rr
-            # fold the pair mask into the volume ONCE: every weight below
-            # scales by volm, so masked lanes contribute exactly 0
-            volm = jnp.where(p, cand[6:7, :], 0.0)
-            # spiky support [0, h] via relu(h - r) (hr < 0 -> weight 0)
-            hr = jnp.maximum(h - rr, 0.0)
-            common = volm * (spiky_c * hr)
-            f_p = common * (hr * (-0.5) * inv_rr) * (qp + cand[7:8, :])
-            f_v = mu * common
-            a_ax = a_ax + (f_v * (cand[3:4, :] - qiv[:, 0:1]) - f_p * dx)
-            a_ay = a_ay + (f_v * (cand[4:5, :] - qiv[:, 1:2]) - f_p * dy)
-            a_az = a_az + (f_v * (cand[5:6, :] - qiv[:, 2:3]) - f_p * dz)
-            if with_ep:
-                qr = rr * inv_h
-                # B_spline_2 (cpp:186-196) in relu form:
-                #   qr < 1: bs_c*(-3 + 4.5 qr);  1 <= qr < 2: bs_c*1.5*(2-qr)
-                # == bs_c*(1.5*relu(2 - qr) - 6*relu(1 - qr))
-                w2 = bs_c * (1.5 * jnp.maximum(2.0 - qr, 0.0)
-                             - 6.0 * jnp.maximum(1.0 - qr, 0.0))
-                a_lap = a_lap + (volm * w2) * (cand[8:9, :] - qvm)
-            return (a_ax, a_ay, a_az, a_lap)
+            return _pair_step_b(cand, m, carry, qx, qy, qz, qp, qiv, qvm,
+                                h, inv_h, spiky_c, bs_c, mu, with_ep)
 
         zeros = jnp.zeros((sub_q, w_chunk), jnp.float32)
         if stencil == "xyz3":
@@ -376,41 +437,13 @@ def _kernel_b3(blk_lo_ref, blk_hi_ref, qm_ref, feats_ref, out_ref,
                 qh, base, pair, (zeros,) * 4, cfg, hbm_feats)
 
         red = lambda a: jnp.sum(a, axis=1, keepdims=True)
-        dens_g = jnp.where(dens > 0.0, dens, 1.0)
-        acc = jnp.concatenate([red(a_ax), red(a_ay), red(a_az)],
-                              axis=1) / dens_g               # cpp:568
+        pos_n, vel_n, vm_new, inter_vm, acc = _b_epilogue(
+            cfg, with_ep, qpos, qiv, qvm, dens, react, mass,
+            jnp.concatenate([red(a_ax), red(a_ay), red(a_az)], axis=1),
+            red(a_lap))
 
-        dtm = dt / mass
-        if with_ep:
-            lap = red(a_lap)
-            scale = jnp.float32(cfg.sigma / (cfg.beta_sv_ratio
-                                             * cfg.cm_capacitance))
-            inter_vm = lap + scale * lap - react             # cpp:571
-            vm_new = qvm + inter_vm * dtm                    # cpp:612
-            vm_new = jnp.clip(vm_new, -cfg.max_voltage, cfg.max_voltage)
-        else:
-            inter_vm = jnp.zeros((sub_q, 1), jnp.float32)
-            vm_new = qvm
-
-        # semi-implicit Euler + walls (cpp:596-651); the fixed-particle /
-        # inactive-lane keeps happen in original order after the unsort
-        vel = qiv + acc * dtm                                # cpp:608
-        pos = qpos + vel * dt                                # cpp:609
-        p_cols, v_cols = [], []
-        for ax in range(3):
-            wlim = jnp.float32(cfg.world_size[ax])
-            p = pos[:, ax:ax + 1]
-            v = vel[:, ax:ax + 1]
-            low = p < 0.0
-            high = p >= wlim
-            v = jnp.where(low | high, v * jnp.float32(cfg.wall_hit), v)
-            p = jnp.where(low, 0.0, p)
-            p = jnp.where(high, wlim - 1e-4, p)
-            p_cols.append(jnp.clip(p, 0.0, wlim))            # cpp:649
-            v_cols.append(v)
-
-        out_ref[sl, 0:3] = jnp.concatenate(p_cols, axis=1)
-        out_ref[sl, 3:6] = jnp.concatenate(v_cols, axis=1)
+        out_ref[sl, 0:3] = pos_n
+        out_ref[sl, 3:6] = vel_n
         out_ref[sl, 6:7] = vm_new
         out_ref[sl, 7:8] = dens
         out_ref[sl, 8:9] = qp
@@ -536,6 +569,262 @@ def build_qm_feats(state, f1, f2, order):
                          fs[:, 5], vol_prev, fs[:, 6], z, z, z, z,
                          fs[:, 12], fs[:, 13], z, z], axis=0)
     return fs, feats_a
+
+
+# ---------------------------------------------------------------------------
+# v5: packed per-sub-block candidate slabs
+# ---------------------------------------------------------------------------
+#
+# The v4 merged windows test ~2300 candidate slots per query on the flagship
+# cloud against ~470 stencil-true candidates: the window spans the full
+# dilated HASH interval, which at G_fast = 38 is dominated by rows whose
+# fast-axis cell is far outside the query's +-1 range. v5 removes that waste
+# structurally: sweep_bookkeeping5 computes the nine TIGHT dilated runs per
+# sub-block and left-packs their rows; an XLA row-gather materializes each
+# block's candidates as a dense private slab (B, 12, kb); the kernel sweeps
+# its own slab with per-block dynamic trip counts. Measured on the flagship
+# cloud: ~876 tested slots/query at sub_q=32 (2.6x fewer), at the cost of
+# one gathered slab write+read per sweep (~46 MB vs the 1.2 MB shared
+# feature matrix). No SMEM window bounds, no start alignment, no manual
+# HBM DMA: the slabs ride the Pallas pipeline via BlockSpec.
+
+_PACK_ROWS = 12  # [pos3 | vel3 | vol | mass/pres | vm | cf | cm | cs]
+
+
+def _kernel_a5(trips_ref, qm_ref, packed_ref, out_ref, *, cfg: SimConfig,
+               w_chunk: int, sub_q: int, with_ep: bool):
+    """Packed-slab XSPH + density gather + EOS/FHN epilogue. Writes OUT_A.
+
+    Phase 1 (per sub-block): sweep the block's slab, store raw gather sums
+    in the output columns. Phase 2 (whole q_block): the pointwise epilogue
+    runs once over full-width tiles, so small sub_q does not inflate the
+    epilogue op count."""
+    bid = pl.program_id(0)
+    q = qm_ref.shape[0]
+    nsub = q // sub_q
+    h2 = jnp.float32(cfg.kernel_h * cfg.kernel_h)
+    p6c = jnp.float32(cfg.poly6_constant)
+
+    for sb in range(nsub):
+        sl = slice(sb * sub_q, (sb + 1) * sub_q)
+        base = bid * nsub + sb
+        qx = qm_ref[sl, 0:1]
+        qy = qm_ref[sl, 1:2]
+        qz = qm_ref[sl, 2:3]
+        qcv = qm_ref[sl, 3:6]
+        qcf = qm_ref[sl, 12:13]
+        qcm = qm_ref[sl, 13:14]
+        qcs = qm_ref[sl, 14:15]
+
+        def chunk(c, carry, sb=sb, qx=qx, qy=qy, qz=qz, qcv=qcv,
+                  qcf=qcf, qcm=qcm, qcs=qcs):
+            off = pl.multiple_of(c * w_chunk, 128)
+            cand = packed_ref[sb, :, pl.ds(off, w_chunk)]    # (12, Wc)
+            m = ((jnp.abs(qcf - cand[9:10, :]) <= 1.0)
+                 & (jnp.abs(qcm - cand[10:11, :]) <= 1.0)
+                 & (jnp.abs(qcs - cand[11:12, :]) <= 1.0))
+            return _pair_step_a(cand, m, carry, qx, qy, qz, qcv, h2, p6c)
+
+        zeros = jnp.zeros((sub_q, w_chunk), jnp.float32)
+        accs = chunk(0, (zeros,) * 4)
+        a_d, a_x, a_y, a_z = jax.lax.fori_loop(1, trips_ref[base], chunk,
+                                               accs)
+        red = lambda a: jnp.sum(a, axis=1, keepdims=True)
+        out_ref[sl, 8:9] = red(a_d)
+        out_ref[sl, 3:4] = red(a_x)
+        out_ref[sl, 4:5] = red(a_y)
+        out_ref[sl, 5:6] = red(a_z)
+
+    # block-wide pointwise epilogue (full q_block rows)
+    mass = qm_ref[:, 6:7]
+    vm = qm_ref[:, 8:9]
+    stim = qm_ref[:, 9:10]
+    ivel = qm_ref[:, 3:6] + out_ref[:, 3:6] \
+        * jnp.float32(cfg.velocity_mixing)                   # cpp:699
+    dens, pres, react, iion_n, w_n = _a_epilogue(
+        cfg, with_ep, mass, vm, stim, qm_ref[:, 10:11], qm_ref[:, 11:12],
+        out_ref[:, 8:9])
+    out_ref[:, 0:3] = qm_ref[:, 0:3]                         # pos
+    out_ref[:, 3:6] = ivel
+    out_ref[:, 6:7] = pres
+    out_ref[:, 7:8] = vm
+    out_ref[:, 8:9] = dens
+    out_ref[:, 9:10] = react
+    out_ref[:, 10:11] = mass
+    out_ref[:, 11:12] = iion_n
+    out_ref[:, 12:15] = qm_ref[:, 12:15]                     # cf, cm, cs
+    out_ref[:, 15:16] = w_n
+
+
+def _kernel_b5(trips_ref, qm_ref, packed_ref, out_ref, *, cfg: SimConfig,
+               w_chunk: int, sub_q: int, with_ep: bool):
+    """Packed-slab force + Vm Laplacian gather + integration epilogue.
+    Reads OUT_A as QM, writes OUT_B (same column contract as _kernel_b3)."""
+    bid = pl.program_id(0)
+    q = qm_ref.shape[0]
+    nsub = q // sub_q
+    h = jnp.float32(cfg.kernel_h)
+    inv_h = jnp.float32(1.0 / cfg.kernel_h)
+    spiky_c = jnp.float32(cfg.spiky_constant)
+    bs_c = jnp.float32(cfg.b_spline_constant)
+    mu = jnp.float32(cfg.mu_viscosity)
+
+    for sb in range(nsub):
+        sl = slice(sb * sub_q, (sb + 1) * sub_q)
+        base = bid * nsub + sb
+        qx = qm_ref[sl, 0:1]
+        qy = qm_ref[sl, 1:2]
+        qz = qm_ref[sl, 2:3]
+        qiv = qm_ref[sl, 3:6]
+        qp = qm_ref[sl, 6:7]
+        qvm = qm_ref[sl, 7:8]
+        qcf = qm_ref[sl, 12:13]
+        qcm = qm_ref[sl, 13:14]
+        qcs = qm_ref[sl, 14:15]
+
+        def chunk(c, carry, sb=sb, qx=qx, qy=qy, qz=qz, qp=qp, qiv=qiv,
+                  qvm=qvm, qcf=qcf, qcm=qcm, qcs=qcs):
+            off = pl.multiple_of(c * w_chunk, 128)
+            cand = packed_ref[sb, :, pl.ds(off, w_chunk)]    # (12, Wc)
+            m = ((jnp.abs(qcf - cand[9:10, :]) <= 1.0)
+                 & (jnp.abs(qcm - cand[10:11, :]) <= 1.0)
+                 & (jnp.abs(qcs - cand[11:12, :]) <= 1.0))
+            return _pair_step_b(cand, m, carry, qx, qy, qz, qp, qiv, qvm,
+                                h, inv_h, spiky_c, bs_c, mu, with_ep)
+
+        zeros = jnp.zeros((sub_q, w_chunk), jnp.float32)
+        accs = chunk(0, (zeros,) * 4)
+        a_ax, a_ay, a_az, a_lap = jax.lax.fori_loop(1, trips_ref[base],
+                                                    chunk, accs)
+        red = lambda a: jnp.sum(a, axis=1, keepdims=True)
+        out_ref[sl, 12:13] = red(a_ax)
+        out_ref[sl, 13:14] = red(a_ay)
+        out_ref[sl, 14:15] = red(a_az)
+        out_ref[sl, 11:12] = red(a_lap)
+
+    # block-wide integration epilogue (full q_block rows)
+    pos_n, vel_n, vm_new, inter_vm, acc = _b_epilogue(
+        cfg, with_ep, qm_ref[:, 0:3], qm_ref[:, 3:6], qm_ref[:, 7:8],
+        qm_ref[:, 8:9], qm_ref[:, 9:10], qm_ref[:, 10:11],
+        out_ref[:, 12:15], out_ref[:, 11:12])
+    iion_n = qm_ref[:, 11:12]
+    w_n = qm_ref[:, 15:16]
+    dens = qm_ref[:, 8:9]
+    qp_all = qm_ref[:, 6:7]
+    out_ref[:, 0:3] = pos_n
+    out_ref[:, 3:6] = vel_n
+    out_ref[:, 6:7] = vm_new
+    out_ref[:, 7:8] = dens
+    out_ref[:, 8:9] = qp_all
+    out_ref[:, 9:10] = iion_n
+    out_ref[:, 10:11] = w_n
+    out_ref[:, 11:12] = inter_vm
+    out_ref[:, 12:15] = acc
+    out_ref[:, 15:16] = jnp.zeros((q, 1), jnp.float32)
+
+
+def _call_kernel5(kernel, packed, qmat, trips, q_block, w_chunk, sub_q,
+                  cfg, with_ep, interpret):
+    n = qmat.shape[0]
+    b, rows, kb = packed.shape
+    if rows != _PACK_ROWS:
+        raise ValueError(f"packed slab has {rows} feature rows, expected "
+                         f"{_PACK_ROWS}")
+    if sub_q > q_block or q_block % sub_q:
+        raise ValueError(f"sub_q={sub_q} must divide q_block={q_block}")
+    if n % q_block:
+        raise ValueError(f"query rows {n} not divisible by q_block="
+                         f"{q_block}; pad the state capacity")
+    if kb % w_chunk:
+        raise ValueError(f"kb={kb} must be a multiple of w_chunk={w_chunk}")
+    if b * sub_q != n:
+        raise ValueError(f"packed blocks {b} x sub_q={sub_q} != rows {n}")
+    nsub = q_block // sub_q
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,                               # trips (B,)
+        grid=(n // q_block,),
+        in_specs=[
+            pl.BlockSpec((q_block, 16), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nsub, _PACK_ROWS, kb), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((q_block, 16), lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(kernel, cfg=cfg, w_chunk=w_chunk, sub_q=sub_q,
+                          with_ep=with_ep),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, 16), jnp.float32),
+        interpret=interpret,
+    )(trips, qmat, packed)
+
+
+def sweep_a5(fs, packed_a, trips, q_block: int, w_chunk: int,
+             cfg: SimConfig, with_ep: bool = True,
+             interpret: bool | None = None, sub_q: int = 32):
+    """QM_A (N,16) + packed slabs (B,12,kb) -> OUT_A (N,16), sorted order."""
+    if interpret is None:
+        interpret = _interpret_default()
+    return _call_kernel5(_kernel_a5, packed_a, fs, trips, q_block, w_chunk,
+                         sub_q, cfg, with_ep, interpret)
+
+
+def sweep_b5(out_a, packed_b, trips, q_block: int, w_chunk: int,
+             cfg: SimConfig, with_ep: bool = True,
+             interpret: bool | None = None, sub_q: int = 32):
+    """OUT_A (N,16) + packed slabs (B,12,kb) -> OUT_B (N,16)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    return _call_kernel5(_kernel_b5, packed_b, out_a, trips, q_block,
+                         w_chunk, sub_q, cfg, with_ep, interpret)
+
+
+def build_qm_feats5(state, cf, cm, cs, order):
+    """Sorted QM_A (N,16) for the v5 step: the build_qm_feats layout with
+    the three per-axis cell coordinates at columns 12-14 (feeding the
+    exact in-kernel stencil mask and the packed candidate slabs)."""
+    n = state.pos.shape[0]
+    fields = jnp.concatenate([
+        state.pos, state.corrected_vel, state.mass[:, None],
+        state.dens[:, None], state.vm[:, None], state.stim[:, None],
+        state.iion[:, None], state.w[:, None], cf[:, None], cm[:, None],
+        cs[:, None], jnp.zeros((n, 1), jnp.float32)], axis=1)
+    return fields[order]
+
+
+def _pack_candidates(cols, src, kb):
+    """Row-gather candidate features into per-block slabs (B, 12, kb).
+
+    `cols`: _PACK_ROWS (N,) arrays in SORTED order; `src`: (B*kb,) sorted-
+    row indices from sweep_bookkeeping5, sentinel N for empty slots. The
+    sentinel row is zero except a _COORD_SENTINEL fast-axis coordinate, so
+    padded slots fail the stencil mask and carry inert (vol = mass = 0)
+    features either way."""
+    mat = jnp.stack(cols, axis=1)                            # (N, 12)
+    pad = jnp.zeros((1, _PACK_ROWS),
+                    jnp.float32).at[0, 9].set(_COORD_SENTINEL)
+    mat = jnp.concatenate([mat, pad], axis=0)
+    b = src.shape[0] // kb
+    return mat[src].reshape(b, kb, _PACK_ROWS).swapaxes(1, 2)
+
+
+def pack_feats_a5(fs, src, kb):
+    """Sweep-A candidate slabs from the sorted QM_A matrix."""
+    vol_prev = jnp.where(fs[:, 7] > 0.0, fs[:, 6] / fs[:, 7], 0.0)
+    return _pack_candidates(
+        [fs[:, 0], fs[:, 1], fs[:, 2], fs[:, 3], fs[:, 4], fs[:, 5],
+         vol_prev, fs[:, 6], jnp.zeros_like(vol_prev),
+         fs[:, 12], fs[:, 13], fs[:, 14]], src, kb)
+
+
+def pack_feats_b5(out_a, vol_now, src, kb):
+    """Sweep-B candidate slabs from OUT_A columns."""
+    return _pack_candidates(
+        [out_a[:, 0], out_a[:, 1], out_a[:, 2], out_a[:, 3], out_a[:, 4],
+         out_a[:, 5], vol_now, out_a[:, 6], out_a[:, 7],
+         out_a[:, 12], out_a[:, 13], out_a[:, 14]], src, kb)
 
 
 def apply_out_fused(state, out_a, out_b, inv):

@@ -610,6 +610,154 @@ def sweep_bookkeeping3(pos: jax.Array, active: jax.Array, cfg: SimConfig,
     return order, inv, flat4(lo), flat4(hi), cx, cyz
 
 
+def sweep_bookkeeping5(pos: jax.Array, active: jax.Array, cfg: SimConfig,
+                       sub_q: int, kb: int):
+    """Sort + per-sub-block PACKED candidate bookkeeping for the v5 sweeps.
+
+    v5 eliminates the enumerated-lane waste of the merged v4 windows
+    (~2.6x fewer tested pair slots on the biceps clouds): instead of
+    sweeping wide superset windows of the sorted array, each sub-block of
+    `sub_q` sorted queries gets the nine TIGHT dilated hash runs of its
+    query span — [h_lo + off_r - 1, h_hi + off_r + 1] for the nine
+    (dmid, dslow) stencil offsets off_r = gf*dm + gf*gm*ds — clamped
+    mutually disjoint and left-packed into a private slab of `kb` slots.
+    An XLA row-gather then materializes each slab's candidate features
+    densely, so the kernel sweeps exactly the dilated union (plus slab
+    padding), with no window setups and no alignment waste.
+
+    Returns (order, inv, src, trips, overflow, cf, cm, cs):
+      order/inv (N,)   sorted-row <-> original permutations
+      src (B*kb,)      int32 SORTED-row index feeding each packed slot
+                       (sentinel N for empty slots -> a zeroed feature row)
+      trips (B,)       int32 per-block chunk trip counts for chunk width
+                       128 (ceil(min(total, kb)/128))
+      overflow ()      int32 total candidates dropped because a block's
+                       dilated union exceeded kb (regrow kb and redo)
+      cf/cm/cs (N,)    f32 per-axis cell coords in ORIGINAL order (fast,
+                       mid, slow per hash_axis_perm); cf carries a
+                       sentinel on out-of-grid / inactive lanes so such
+                       queries and candidates never pass the mask
+    """
+    n = pos.shape[0]
+    num_cells = cfg.num_cells
+    fa, ma, sa = hash_axis_perm(cfg)
+    gf, gm = cfg.grid_size[fa], cfg.grid_size[ma]
+    if n % sub_q:
+        raise ValueError(f"capacity {n} not divisible by sub_q={sub_q}")
+    if kb % 128:
+        raise ValueError(f"kb={kb} must be a multiple of the 128-lane "
+                         "chunk width")
+
+    coords = (pos / cfg.cell_size).astype(jnp.int32)
+    gxyz = jnp.asarray(cfg.grid_size)
+    inside = jnp.all((coords >= 0) & (coords < gxyz[None, :]), axis=-1)
+    valid = inside & active
+    c_f, c_m, c_s = coords[..., fa], coords[..., ma], coords[..., sa]
+    ids = jnp.where(valid, c_f + gf * (c_m + gm * c_s), num_cells)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    if n <= 32768 and num_cells < 65536:
+        comb = jnp.sort(ids * 32768 + iota)
+        order = comb & 32767
+        sorted_ids = comb >> 15
+    else:
+        order = jnp.argsort(ids, stable=True).astype(jnp.int32)
+        sorted_ids = ids[order]
+    inv = jnp.zeros((n,), jnp.int32).at[order].set(iota,
+                                                   unique_indices=True)
+
+    b = n // sub_q
+    h_lo = sorted_ids[::sub_q][:b]
+    h_hi = sorted_ids[sub_q - 1::sub_q][:b]
+    offs = np.array([gf * dm + gf * gm * ds
+                     for ds in (-1, 0, 1) for dm in (-1, 0, 1)], np.int32)
+    d = jnp.asarray(offs)[None, :]                            # (1, 9)
+    lo_h = jnp.clip(h_lo[:, None] + d - 1, 0, num_cells)
+    hi_h = jnp.clip(h_hi[:, None] + d + 2, 0, num_cells)
+    seg_s = jnp.searchsorted(sorted_ids, lo_h).astype(jnp.int32)
+    seg_e = jnp.searchsorted(sorted_ids, hi_h).astype(jnp.int32)
+    # segments are ordered by ascending offset; when a block's hash span
+    # exceeds gf - 3 (sparse regions) consecutive dilated runs overlap —
+    # clamp them disjoint so no candidate row is packed (and therefore
+    # mask-accepted) twice. seg_e is non-decreasing in r, so only the
+    # immediate predecessor can overlap.
+    cols = [seg_s[:, 0]]
+    for r in range(1, 9):
+        cols.append(jnp.maximum(seg_s[:, r], seg_e[:, r - 1]))
+    seg_s = jnp.stack(cols, axis=1)
+    seg_len = jnp.maximum(seg_e - seg_s, 0)
+    cum = jnp.cumsum(seg_len, axis=1)                         # (B, 9) incl.
+    total = cum[:, -1]
+    overflow = jnp.sum(jnp.maximum(total - kb, 0)).astype(jnp.int32)
+    trips = jnp.clip((jnp.minimum(total, kb) + 127) // 128, 1, kb // 128)
+
+    # packed slot k of block b holds sorted row seg_s[b, r] + (k - cum[b,
+    # r-1]) where r is k's segment; loop the 9 segments instead of
+    # materializing a (B, 9, kb) rank tensor (1M-particle scenes)
+    k = jnp.arange(kb, dtype=jnp.int32)[None, :]              # (1, kb)
+    src = jnp.full((b, kb), n, jnp.int32)
+    start = jnp.zeros((b, 1), jnp.int32)
+    for r in range(9):
+        end = cum[:, r:r + 1]
+        in_seg = (k >= start) & (k < end)
+        src = jnp.where(in_seg, seg_s[:, r:r + 1] + (k - start), src)
+        start = end
+    return (order, inv, src.reshape(-1), trips, overflow,
+            jnp.where(valid, c_f.astype(jnp.float32),
+                      jnp.float32(_COORD_SENTINEL)),
+            jnp.where(valid, c_m.astype(jnp.float32), 0.0),
+            jnp.where(valid, c_s.astype(jnp.float32), 0.0))
+
+
+def auto_sweep5_params(positions: np.ndarray, cfg: SimConfig,
+                       headroom: float = 1.15,
+                       sub_qs: tuple[int, ...] = (16, 32, 64)
+                       ) -> tuple[int, int, int]:
+    """(sub_q, kb, w_chunk) for the v5 packed sweeps. Host-side, once per
+    scene: mirrors sweep_bookkeeping5's dilated-union construction over the
+    initial cloud and picks the block granularity minimizing tested pair
+    slots + packed-slab HBM traffic (the padding of kb = max block union
+    is pure bandwidth; the per-block dynamic trip counts keep ALU at the
+    true union)."""
+    num_cells = cfg.num_cells
+    fa, ma, sa = hash_axis_perm(cfg)
+    gf, gm = cfg.grid_size[fa], cfg.grid_size[ma]
+    coords = (np.asarray(positions) / cfg.cell_size).astype(np.int64)
+    g = np.asarray(cfg.grid_size)
+    inside = ((coords >= 0) & (coords < g[None, :])).all(1)
+    ids = np.where(inside, coords[:, fa] + gf * (coords[:, ma]
+                                                 + gm * coords[:, sa]),
+                   num_cells)
+    cap = ((len(ids) + 127) // 128) * 128
+    s = np.full(cap, num_cells, np.int64)
+    s[:len(ids)] = np.sort(ids)
+    offs = np.array([gf * dm + gf * gm * ds
+                     for ds in (-1, 0, 1) for dm in (-1, 0, 1)])
+    best = None
+    for sub_q in sub_qs:
+        b = cap // sub_q
+        h_lo = s[::sub_q][:b]
+        h_hi = s[sub_q - 1::sub_q][:b]
+        lo = np.searchsorted(s, np.clip(h_lo[:, None] + offs - 1,
+                                        0, num_cells))
+        hi = np.searchsorted(s, np.clip(h_hi[:, None] + offs + 2,
+                                        0, num_cells))
+        lo2 = lo.copy()
+        for r in range(1, 9):
+            lo2[:, r] = np.maximum(lo2[:, r], hi[:, r - 1])
+        tot = np.maximum(hi - lo2, 0).sum(1)
+        kb = max(int(np.ceil(tot.max() * headroom / 128)) * 128, 256)
+        trips = np.maximum((tot + 127) // 128, 1)
+        # tested pair slots (ALU, dominant) + per-chunk fixed overhead (8
+        # slot-equivalents, refit constant from auto_sweep4_params) + the
+        # padded slab DMA at ~12 bytes/slot vs ~50 flop-bytes/slot ALU
+        # equivalence -> 0.25 slot-equivalents per padded slot
+        cost = (trips * 128).sum() * sub_q + trips.sum() * 8 * sub_q \
+            + int(b * kb * 0.25 * sub_q)
+        if best is None or cost < best[0]:
+            best = (cost, sub_q, kb)
+    return best[1], best[2], 128
+
+
 def _sweep_a2_kernel(blk_lo_ref, blk_hi_ref, qm_ref, feats_ref, out_ref,
                      *scratch, cfg: SimConfig, w_chunk: int, sub_q: int,
                      hbm_feats: bool = False):

@@ -1,25 +1,30 @@
-"""ppermute halo-exchange + migration multi-chip step (z-slab ownership).
+"""ppermute halo-exchange + migration multi-chip step (slow-axis slabs).
 
 The all_gather design (sharded_step.py) replicates the global sort and
 window bookkeeping on every device and moves O(N) bytes per phase group;
 this module implements the O(N/D)-per-device design from
 docs/halo_exchange_design.md:
 
-  - ownership: device d owns the cells with z in [zb[d], zb[d+1]) — one
-    CONTIGUOUS hash interval, because the cell hash is x + Gx*(y + Gy*z)
-    (SPH_SM_monodomain.cpp:142). Concatenating the devices' locally-sorted
-    slabs therefore yields a globally-sorted array.
+  - ownership: device d owns the cell planes with SLOW-axis coordinate in
+    [sb[d], sb[d+1]) — one CONTIGUOUS interval of the axis-permuted hash
+    cf + Gf*(cm + Gm*cs) (pallas_sweeps.hash_axis_perm puts the LARGEST
+    grid extent on the slow axis, so stretched multi-muscle worlds slab
+    along their long axis and every exchanged boundary plane stays one
+    O(tile) fast x mid cross-section; the standard cubic world keeps the
+    reference's z-plane split, SPH_SM_monodomain.cpp:142). Concatenating
+    the devices' locally-sorted slabs yields a globally-sorted array.
   - per step, each device locally sorts its S rows, ppermutes emigrants
     (rows whose hash left its interval — after integration a particle
     moves less than one cell per CFL step, so only adjacent slabs ever
     receive) to its neighbors, merges immigrants with a second local sort,
-    and exchanges one boundary z-PLANE of candidate features with each
+    and exchanges one boundary PLANE of candidate features with each
     neighbor per sweep. All bookkeeping (sorts, searchsorted windows) is
     O(S log S) per device; the only O(N) collectives left are the tiny
     psums of the shape-matching moments.
-  - the sweeps are the v3 fused kernels (ops/fused_step.py) with LOCAL
-    queries (S rows) gathering from [left halo | local | right halo]
-    merged candidates — hash-sorted by construction.
+  - the sweeps are the v4 fused kernels (ops/fused_step.py, xyz3 merged
+    windows + exact per-axis cell mask — the measured-fastest stencil)
+    with LOCAL queries (S rows) gathering from [left halo | local | right
+    halo] merged candidates — hash-sorted by construction.
 
 The state keeps a device-sorted row layout (rows migrate and reorder
 freely); particle identity travels in the per-particle fields themselves
@@ -46,6 +51,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import SimConfig
 from ..state import ParticleState
 from ..ops.fused_step import feats_from_out_a, sweep_a3, sweep_b3
+from ..ops.pallas_sweeps import hash_axis_perm
 from ..ops.shape_matching import (corrected_velocity, sm_invariants,
                                   sm_rebind_rows)
 from ..ops.electrophysiology import turn_off_stim
@@ -54,50 +60,65 @@ from .sharded_step import AXIS, state_pspec
 _SENTINEL = -1048576.0  # matches pallas_sweeps._COORD_SENTINEL
 
 
-def z_slab_bounds(cfg: SimConfig, n_devices: int) -> np.ndarray:
-    """Cell-plane split points: device d owns z in [zb[d], zb[d+1])."""
-    gz = cfg.grid_size[2]
-    return np.array([(d * gz) // n_devices for d in range(n_devices + 1)],
+def slab_bounds(cfg: SimConfig, n_devices: int) -> np.ndarray:
+    """Slow-axis cell-plane split points: device d owns slow coords in
+    [sb[d], sb[d+1]) of the permuted hash (hash_axis_perm)."""
+    gs = cfg.grid_size[hash_axis_perm(cfg)[2]]
+    return np.array([(d * gs) // n_devices for d in range(n_devices + 1)],
                     dtype=np.int32)
 
 
+def z_slab_bounds(cfg: SimConfig, n_devices: int) -> np.ndarray:
+    """Back-compat alias: on the standard cubic world the permuted slow
+    axis IS z, so these are the z split points."""
+    return slab_bounds(cfg, n_devices)
+
+
 def _hash_ids(pos, active, cfg: SimConfig):
-    gx, gy, gz = cfg.grid_size
+    """Axis-permuted linear hash (matches sweep_bookkeeping3's sort key),
+    num_cells sentinel for out-of-grid / inactive rows."""
+    fa, ma, sa = hash_axis_perm(cfg)
+    gf, gm = cfg.grid_size[fa], cfg.grid_size[ma]
     coords = (pos / cfg.cell_size).astype(jnp.int32)
-    x, y, z = coords[..., 0], coords[..., 1], coords[..., 2]
-    inside = ((x >= 0) & (x < gx) & (y >= 0) & (y < gy)
-              & (z >= 0) & (z < gz))
-    return jnp.where(inside & active, x + gx * (y + gy * z), cfg.num_cells)
+    gxyz = jnp.asarray(cfg.grid_size)
+    inside = jnp.all((coords >= 0) & (coords < gxyz[None, :]), axis=-1)
+    cf, cm, cs = coords[..., fa], coords[..., ma], coords[..., sa]
+    return jnp.where(inside & active, cf + gf * (cm + gm * cs),
+                     cfg.num_cells)
 
 
 def shard_state_halo(state: ParticleState, mesh: Mesh, cfg: SimConfig,
                      mig_cap: int = 0, halo_cap: int = 0, slack: float = 1.5,
-                     axis: str = AXIS):
-    """Re-layout a single-device state into z-slab ownership.
+                     axis: str = AXIS, q_block: int = 128):
+    """Re-layout a single-device state into slow-axis slab ownership.
 
     Returns (sharded_state, S, mig_cap, halo_cap): a NEW state of capacity
     D*S whose rows live on their owning device (locally hash-sorted),
     padded with inactive rows. Capacities are auto-sized from the initial
-    distribution with `slack` headroom when not given.
+    distribution with `slack` headroom when not given. S is rounded up to
+    a multiple of `q_block` (the fused kernels' program block).
     """
     d = mesh.devices.size
-    zb = z_slab_bounds(cfg, d)
-    gxy = cfg.grid_size[0] * cfg.grid_size[1]
+    sb = slab_bounds(cfg, d)
+    fa, ma, _sa = hash_axis_perm(cfg)
+    gplane = cfg.grid_size[fa] * cfg.grid_size[ma]
+    gs = cfg.grid_size[_sa]
     ids = np.asarray(_hash_ids(state.pos, state.active, cfg))
     order = np.argsort(ids, kind="stable")
     ids_s = ids[order]
-    starts = np.searchsorted(ids_s, zb.astype(np.int64) * gxy)
+    starts = np.searchsorted(ids_s, sb.astype(np.int64) * gplane)
     n_act = int(np.searchsorted(ids_s, cfg.num_cells))
     counts = np.diff(np.append(starts[:-1], n_act))
     if not mig_cap:
         mig_cap = max(128, int(-(-int(counts.max() * 0.1) // 128) * 128))
     if not halo_cap:
-        # max particles in any single boundary z-plane, with slack
-        plane = np.maximum(ids_s[:n_act] // gxy, 0)
-        plane_counts = np.bincount(plane.astype(np.int64),
-                                   minlength=cfg.grid_size[2])
+        # max particles in any single boundary slow-plane, with slack
+        plane = np.maximum(ids_s[:n_act] // gplane, 0)
+        plane_counts = np.bincount(plane.astype(np.int64), minlength=gs)
         halo_cap = int(-(-int(plane_counts.max() * slack) // 128) * 128)
-    s_cap = int(-(-int(counts.max() * slack + 2 * mig_cap) // 128) * 128)
+    align = max(128, q_block)
+    s_cap = int(-(-int(counts.max() * slack + 2 * mig_cap) // align)
+                * align)
 
     leaves = jax.tree_util.tree_leaves(state)
     cap = state.capacity
@@ -150,11 +171,13 @@ def _halo_body(state: ParticleState, cfg: SimConfig, q_block: int,
                w_chunk: int, sub_q: int, mig_cap: int, halo_cap: int,
                n_devices: int, sm_inv, axis: str):
     s_cap = state.pos.shape[0]
-    gxy = cfg.grid_size[0] * cfg.grid_size[1]
-    zb = jnp.asarray(z_slab_bounds(cfg, n_devices), jnp.int32)
+    fa, ma, _sa = hash_axis_perm(cfg)
+    gf, gm = cfg.grid_size[fa], cfg.grid_size[ma]
+    gplane = gf * gm
+    sb = jnp.asarray(slab_bounds(cfg, n_devices), jnp.int32)
     d = jax.lax.axis_index(axis)
-    my_lo = zb[d] * gxy
-    my_hi = zb[d + 1] * gxy
+    my_lo = sb[d] * gplane
+    my_hi = sb[d + 1] * gplane
     num_cells = cfg.num_cells
     iota_s = jnp.arange(s_cap, dtype=jnp.int32)
 
@@ -253,15 +276,20 @@ def _halo_body(state: ParticleState, cfg: SimConfig, q_block: int,
 
     # ---- 4. sweep A with one boundary-plane halo exchange -----------------
     act_end2 = jnp.searchsorted(ids2_s, num_cells).astype(jnp.int32)
-    chash = jnp.where(ids2_s < num_cells, ids2_s.astype(jnp.float32),
-                      jnp.float32(_SENTINEL))
+    # xyz3 stencil features from the permuted hash: cx = fast-axis cell
+    # coord (sentinel on dead rows), cyz = mid + Gm*slow combined coord
+    # (pallas_sweeps.sweep_bookkeeping3 contract)
+    live = ids2_s < num_cells
+    cx = jnp.where(live, (ids2_s % gf).astype(jnp.float32),
+                   jnp.float32(_SENTINEL))
+    cyz = jnp.where(live, (ids2_s // gf).astype(jnp.float32), 0.0)
     # QM_A column contract: ops/fused_step.build_qm_feats (per-shard
     # rows here, so the arrays are sliced differently)
     fields = jnp.concatenate([
         state.pos, state.corrected_vel, state.mass[:, None],
         state.dens[:, None], state.vm[:, None], state.stim[:, None],
-        state.iion[:, None], state.w[:, None], chash[:, None],
-        jnp.zeros((s_cap, 3), jnp.float32)], axis=1)        # QM_A layout
+        state.iion[:, None], state.w[:, None], cx[:, None], cyz[:, None],
+        jnp.zeros((s_cap, 2), jnp.float32)], axis=1)        # QM_A layout
 
     def exchange_halo(mat, ids_col):
         """Send my first/last boundary rows to my neighbors; return the
@@ -317,9 +345,9 @@ def _halo_body(state: ParticleState, cfg: SimConfig, q_block: int,
     merged_fs = jnp.concatenate([l_mat, fields, r_mat], axis=0)
 
     overflow = overflow + _plane_overflow(ids2_s, act_end2, my_lo, my_hi,
-                                          gxy, halo_cap, d, n_devices)
+                                          gplane, halo_cap, d, n_devices)
 
-    blk_lo, blk_hi = _window_bounds(win_ids, merged_ids, cfg, sub_q)
+    blk_lo, blk_hi = _window_bounds3(win_ids, merged_ids, cfg, sub_q)
 
     n_m = merged_fs.shape[0]
     z = jnp.zeros((n_m,), jnp.float32)
@@ -328,9 +356,10 @@ def _halo_body(state: ParticleState, cfg: SimConfig, q_block: int,
     feats_a = jnp.stack(
         [merged_fs[:, 0], merged_fs[:, 1], merged_fs[:, 2],
          merged_fs[:, 3], merged_fs[:, 4], merged_fs[:, 5], vol_prev,
-         merged_fs[:, 6], z, z, z, z, merged_fs[:, 12], z, z, z], axis=0)
+         merged_fs[:, 6], z, z, z, z, merged_fs[:, 12], merged_fs[:, 13],
+         z, z], axis=0)
     out_a = sweep_a3(fields, feats_a, blk_lo, blk_hi, q_block, w_chunk,
-                     cfg, sub_q=sub_q)
+                     cfg, sub_q=sub_q, stencil="xyz3")
 
     # ---- 5. sweep B with the second halo exchange -------------------------
     la, li, ra, ri = exchange_halo(out_a, ids2_s)
@@ -339,7 +368,7 @@ def _halo_body(state: ParticleState, cfg: SimConfig, q_block: int,
                         merged_a[:, 10] / merged_a[:, 8], 0.0)
     feats_b = feats_from_out_a(merged_a, vol_now)
     out_b = sweep_b3(out_a, feats_b, blk_lo, blk_hi, q_block, w_chunk,
-                     cfg, sub_q=sub_q)
+                     cfg, sub_q=sub_q, stencil="xyz3")
 
     # ---- 6. final state (device-sorted layout, no unsort) -----------------
     ou = jnp.concatenate([out_b, out_a[:, 3:6]], axis=1)
@@ -357,7 +386,7 @@ def _halo_body(state: ParticleState, cfg: SimConfig, q_block: int,
     return state, jax.lax.psum(overflow, axis)
 
 
-def _plane_overflow(ids_s, act_end, my_lo, my_hi, gxy, halo_cap, d,
+def _plane_overflow(ids_s, act_end, my_lo, my_hi, gplane, halo_cap, d,
                     n_devices):
     """Count boundary-plane rows beyond the halo capacity.
 
@@ -365,9 +394,10 @@ def _plane_overflow(ids_s, act_end, my_lo, my_hi, gxy, halo_cap, d,
     sends its first plane left, device D-1 never sends its last plane
     right), so those planes are excluded — counting them produced spurious
     overflow for exchanges that do not exist."""
-    first_plane_end = jnp.searchsorted(ids_s, my_lo + gxy).astype(jnp.int32)
+    first_plane_end = jnp.searchsorted(ids_s,
+                                       my_lo + gplane).astype(jnp.int32)
     last_plane_start = jnp.searchsorted(ids_s,
-                                        my_hi - gxy).astype(jnp.int32)
+                                        my_hi - gplane).astype(jnp.int32)
     n_first = jnp.minimum(first_plane_end, act_end)
     n_last = act_end - jnp.minimum(last_plane_start, act_end)
     ovf_first = jnp.where(d > 0, jnp.maximum(n_first - halo_cap, 0), 0)
@@ -376,27 +406,83 @@ def _plane_overflow(ids_s, act_end, my_lo, my_hi, gxy, halo_cap, d,
     return ovf_first + ovf_last
 
 
-def _window_bounds(core_ids, merged_ids, cfg: SimConfig, sub_q: int):
-    """Per-sub-block candidate windows into the merged array (the local
-    equivalent of pallas_sweeps.sweep_bookkeeping2's searchsorted step)."""
-    from ..ops.pallas_sweeps import _RUN_OFFSETS
-    gx, gy, _ = cfg.grid_size
+def _window_bounds3(core_ids, merged_ids, cfg: SimConfig, sub_q: int):
+    """Per-sub-block merged slow-plane candidate windows into the merged
+    array (the local equivalent of pallas_sweeps.sweep_bookkeeping3's
+    searchsorted step: three windows per sub-block, one per slow offset,
+    each dilated +-(Gf + 1) to cover the full 3x3 (fast, mid) footprint)."""
+    fa, ma, _sa = hash_axis_perm(cfg)
+    gf, gm = cfg.grid_size[fa], cfg.grid_size[ma]
     num_cells = cfg.num_cells
     n = core_ids.shape[0]
     b = n // sub_q
     h_lo = core_ids[::sub_q][:b]
     h_hi = core_ids[sub_q - 1::sub_q][:b]
-    dvec = jnp.asarray(gx * (_RUN_OFFSETS[:, 0] + gy * _RUN_OFFSETS[:, 1]))
-    blo = jnp.clip(h_lo[:, None] + dvec[None, :] - 1, 0, num_cells)
-    bhi = jnp.clip(h_hi[:, None] + dvec[None, :] + 2, 0, num_cells)
+    dvec = jnp.asarray(np.array([-1, 0, 1], np.int32) * (gf * gm))
+    blo = jnp.clip(h_lo[:, None] + dvec[None, :] - (gf + 1), 0, num_cells)
+    bhi = jnp.clip(h_hi[:, None] + dvec[None, :] + (gf + 2), 0, num_cells)
     lo = jnp.searchsorted(merged_ids, blo).astype(jnp.int32)
     hi = jnp.searchsorted(merged_ids, bhi).astype(jnp.int32)
-    flat16 = lambda a: jnp.pad(a, ((0, 0), (0, 16 - a.shape[1]))).reshape(-1)
-    return flat16(lo), flat16(hi)
+    flat4 = lambda a: jnp.pad(a, ((0, 0), (0, 1))).reshape(-1)
+    return flat4(lo), flat4(hi)
+
+
+def unshard_state_halo(state: ParticleState, num_particles: int,
+                       cfg: SimConfig,
+                       pad_to: int | None = None) -> ParticleState:
+    """Gather a halo-sharded state back into a dense single-device state.
+
+    Halo states are slab re-layouts with interleaved inactive padding and
+    freely-migrated row order; this compacts the active rows (device-major
+    order, i.e. globally slab-sorted — deterministic) into rows [0, n) of
+    a fresh lane-aligned state padded exactly like state.init_fluid, so
+    checkpoints, renders and trajectory dumps read it like any
+    single-device state. Host-side (persistence path, not the hot loop).
+
+    The reference keeps no global particle index either (particle identity
+    lives in the per-particle fields, Particle.h:7-35), so 'original CSV
+    order' is not recoverable — nor needed: every consumer treats rows as
+    an unordered particle set.
+    """
+    act = np.asarray(state.active)
+    idx = np.nonzero(act)[0]
+    n = int(idx.size)
+    if n != num_particles:
+        print(f"unshard_state_halo: expected {num_particles} active "
+              f"particles, state has {n} (capacity overflow loss)")
+    cap = pad_to or ((max(n, 1) + 127) // 128) * 128
+    if cap < n:
+        raise ValueError(f"pad_to={cap} < active rows {n}")
+    far = 4.0 * max(cfg.world_size)
+
+    def compact(arr, fill=0.0):
+        arr = np.asarray(arr)
+        if arr.ndim == 0 or arr.shape[0] != act.shape[0]:
+            return jnp.asarray(arr)
+        out = np.full((cap,) + arr.shape[1:], fill, dtype=arr.dtype)
+        out[:n] = arr[idx]
+        return jnp.asarray(out)
+
+    new = ParticleState(
+        pos=compact(state.pos, far), vel=compact(state.vel),
+        predicted_vel=compact(state.predicted_vel),
+        corrected_vel=compact(state.corrected_vel),
+        inter_vel=compact(state.inter_vel), acc=compact(state.acc),
+        orig_pos=compact(state.orig_pos, far),
+        goal_pos=compact(state.goal_pos, far),
+        mass=compact(state.mass, cfg.particle_mass),
+        dens=compact(state.dens, cfg.stand_density),
+        pres=compact(state.pres), vm=compact(state.vm),
+        inter_vm=compact(state.inter_vm), iion=compact(state.iion),
+        stim=compact(state.stim), w=compact(state.w),
+        fixed=compact(state.fixed, False), active=compact(state.active,
+                                                          False),
+        is_stim_on=jnp.asarray(np.asarray(state.is_stim_on)))
+    return new
 
 
 def make_halo_step(mesh: Mesh, cfg: SimConfig, mig_cap: int, halo_cap: int,
-                   q_block: int = 128, w_chunk: int = 256, sub_q: int = 64,
+                   q_block: int = 128, w_chunk: int = 128, sub_q: int = 128,
                    axis: str = AXIS):
     """Build the jitted halo-exchange step: state -> (state, overflow).
 
@@ -420,7 +506,7 @@ def make_halo_step(mesh: Mesh, cfg: SimConfig, mig_cap: int, halo_cap: int,
 def make_halo_simulate(mesh: Mesh, cfg: SimConfig, mig_cap: int,
                        halo_cap: int, num_steps: int,
                        stim_off_step: int = -1, q_block: int = 128,
-                       w_chunk: int = 256, sub_q: int = 64,
+                       w_chunk: int = 128, sub_q: int = 128,
                        axis: str = AXIS):
     """N halo-exchange steps under lax.scan with the reference stim-off
     protocol; SM rest-shape moments hoisted out of the scan (they are

@@ -142,41 +142,93 @@ def init_fluid(positions, cfg: SimConfig, velocities=None,
 # this trivial and enables golden-trajectory tests).
 # ---------------------------------------------------------------------------
 
-def save_checkpoint(path: str, state: ParticleState, step: int = 0) -> None:
-    leaves, treedef = jax.tree_util.tree_flatten(state)
-    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+_CKPT_VERSION = 2
+
+
+def save_checkpoint(path: str, state: ParticleState, step: int = 0,
+                    cfg: SimConfig | None = None) -> None:
+    """Write a SELF-DESCRIBING checkpoint: every state field is stored
+    under its dataclass field NAME (not a positional leaf index, so a
+    field reorder between versions fails loudly instead of silently
+    permuting state), plus the global step and — when given — a JSON
+    snapshot of the SimConfig so a resume can reconstruct the exact
+    physics without re-passing flags."""
+    import dataclasses as dc
+    import json
+    arrays = {f"field_{f.name}": np.asarray(getattr(state, f.name))
+              for f in dc.fields(state)}
     arrays["__step__"] = np.asarray(step, dtype=np.int64)
+    arrays["__version__"] = np.asarray(_CKPT_VERSION, dtype=np.int64)
+    if cfg is not None:
+        arrays["__config__"] = np.frombuffer(
+            json.dumps(dc.asdict(cfg)).encode(), dtype=np.uint8)
     np.savez_compressed(path, **arrays)
 
 
-def load_checkpoint(path: str) -> tuple[ParticleState, int]:
+def load_checkpoint(path: str, with_config: bool = False):
+    """Load a checkpoint -> (state, step) or (state, step, cfg|None).
+
+    Fields are matched BY NAME and validated against the current
+    ParticleState schema: missing or unknown fields raise (an incompatible
+    writer must fail loudly, never permute state silently). Legacy v1
+    positional checkpoints (leaf_<i>) are still read, with the historical
+    flatten order."""
+    import dataclasses as dc
+    import json
     data = np.load(path)
     if "__step__" not in data:
         raise ValueError(f"{path}: not a sph_sm_monodomain_tpu checkpoint "
                          "(missing __step__ field)")
     step = int(data["__step__"])
-    template = jax.tree_util.tree_structure(
-        ParticleState(*([jnp.zeros(())] * 19)))
-    n = template.num_leaves
-    have = sum(k.startswith("leaf_") for k in data.files)
-    if have != n:
-        raise ValueError(
-            f"{path}: checkpoint schema mismatch — expected {n} state "
-            f"leaves, file has {have} (written by an incompatible version)")
-    leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(n)]
-    state = jax.tree_util.tree_unflatten(template, leaves)
+    names = [f.name for f in dc.fields(ParticleState)]
+    if any(k.startswith("field_") for k in data.files):
+        have = {k[6:] for k in data.files if k.startswith("field_")}
+        missing = [n for n in names if n not in have]
+        unknown = sorted(have - set(names))
+        if missing or unknown:
+            raise ValueError(
+                f"{path}: checkpoint field mismatch — missing {missing}, "
+                f"unknown {unknown} (written by an incompatible version)")
+        state = ParticleState(**{n: jnp.asarray(data[f"field_{n}"])
+                                 for n in names})
+    else:
+        # legacy v1 layout: positional leaf_<i> in tree_flatten order
+        template = jax.tree_util.tree_structure(
+            ParticleState(*([jnp.zeros(())] * len(names))))
+        n = template.num_leaves
+        have = sum(k.startswith("leaf_") for k in data.files)
+        if have != n:
+            raise ValueError(
+                f"{path}: checkpoint schema mismatch — expected {n} state "
+                f"leaves, file has {have} (incompatible version)")
+        leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(n)]
+        state = jax.tree_util.tree_unflatten(template, leaves)
     # shape sanity: every per-particle leaf shares the capacity axis, and
     # the capacity is lane-aligned the way init_fluid/pad_to guarantee
     cap = state.pos.shape[0]
-    bad = [i for i, leaf in enumerate(leaves)
-           if leaf.ndim >= 1 and leaf.shape[0] != cap]
+    bad = [f.name for f in dc.fields(state)
+           if getattr(state, f.name).ndim >= 1
+           and getattr(state, f.name).shape[0] != cap]
     if state.pos.ndim != 2 or state.pos.shape[1] != 3 or bad:
         raise ValueError(
             f"{path}: inconsistent leaf shapes (capacity axis {cap}, "
-            f"pos {state.pos.shape}, mismatched leaves {bad})")
+            f"pos {state.pos.shape}, mismatched fields {bad})")
     if cap % PAD_MULTIPLE:
         raise ValueError(
             f"{path}: capacity {cap} is not a multiple of {PAD_MULTIPLE} "
             "(lane alignment) — was this checkpoint written by this "
             "framework?")
-    return state, step
+    if not with_config:
+        return state, step
+    cfg = None
+    if "__config__" in data:
+        raw = json.loads(bytes(data["__config__"]).decode())
+        cfg_fields = {f.name: f for f in dc.fields(SimConfig)}
+        kw = {}
+        for k, v in raw.items():
+            if k not in cfg_fields:
+                raise ValueError(f"{path}: config snapshot has unknown "
+                                 f"field {k!r} (incompatible version)")
+            kw[k] = tuple(v) if isinstance(v, list) else v
+        cfg = SimConfig(**kw)
+    return state, step, cfg

@@ -17,7 +17,7 @@ import numpy as np
 from ..config import SimConfig
 from ..state import ParticleState, init_fluid
 from ..ops.grid import auto_cell_capacity, auto_window_capacity
-from ..ops.pallas_sweeps import auto_sweep4_params
+from ..ops.pallas_sweeps import auto_sweep4_params, auto_sweep5_params
 from ..ops import electrophysiology as ep
 
 _REPO_ROOT = Path(__file__).resolve().parents[2]
@@ -104,6 +104,7 @@ class Scene(NamedTuple):
     block_window: int = 128  # fused-sweep candidate chunk width (static)
     sub_block: int = 128     # window-bound granularity (fused sub_q)
     fused_impl: str = "v4"   # production fused-step kernel generation
+    pack_cap: int = 0        # v5 packed-slab capacity kb (static)
 
 
 _SCENE_FILES = {
@@ -159,9 +160,13 @@ def scene_positions(name: str, cfg: SimConfig,
 
 
 def build_scene(name: str, cfg: SimConfig | None = None, replicate: int = 1,
-                stim: bool = True, pad_to: int | None = None) -> Scene:
+                stim: bool = True, pad_to: int | None = None,
+                fused_impl: str | None = None) -> Scene:
     """Load + seed + stimulate a scene the way the reference app does
-    (init / init_mesh / init_cube, main.cpp:464-496)."""
+    (init / init_mesh / init_cube, main.cpp:464-496).
+
+    `fused_impl` overrides the production fused-step kernel generation
+    (None -> the measured-fastest default for the scene)."""
     cfg = cfg or SimConfig()
     tile_w = cfg.world_size[0]
     if replicate > 1:
@@ -191,15 +196,23 @@ def build_scene(name: str, cfg: SimConfig | None = None, replicate: int = 1,
                                                      else None))
     cap = cfg.cell_capacity or auto_cell_capacity(pts, cfg)
     k_nbr = auto_window_capacity(pts, cfg)
-    # v4 fused-sweep tuning, measured on v5e (DEVELOPMENT.md): sub_q=128
-    # window granularity with 128-wide candidate chunks is the optimum for
-    # the biceps-density clouds; the auto-tuner only widens chunks for
-    # much denser scenes
-    sub_q, w_chunk = auto_sweep4_params(pts, cfg, sub_q=128)
+    impl = fused_impl or "v4"
+    if impl == "v5":
+        # packed-slab tuning: block granularity + slab capacity from the
+        # initial cloud's dilated-union histogram (pallas_sweeps.py)
+        sub_q, pack_cap, w_chunk = auto_sweep5_params(pts, cfg)
+    else:
+        # v4 fused-sweep tuning, measured on v5e (DEVELOPMENT.md):
+        # sub_q=128 window granularity with 128-wide candidate chunks is
+        # the optimum for the biceps-density clouds; the auto-tuner only
+        # widens chunks for much denser scenes
+        sub_q, w_chunk = auto_sweep4_params(pts, cfg, sub_q=128)
+        pack_cap = 0
     return Scene(state=state, cfg=cfg, cell_capacity=cap,
                  neighbor_capacity=k_nbr,
                  num_particles=int(pts.shape[0]), name=name,
-                 q_block=128, block_window=w_chunk, sub_block=sub_q)
+                 q_block=128, block_window=w_chunk, sub_block=sub_q,
+                 fused_impl=impl, pack_cap=pack_cap)
 
 
 def load_surface_mesh(which: str = "biceps"):

@@ -123,49 +123,80 @@ def profile_phases_fused(scene, length: int = 250) -> dict:
     """
     import jax.numpy as jnp
     from ..models.monodomain import step_fused
-    from ..ops.fused_step import build_qm_feats, sweep_a3
-    from ..ops.pallas_sweeps import sweep_bookkeeping3
+    from ..ops.fused_step import (build_qm_feats, build_qm_feats5,
+                                  pack_feats_a5, sweep_a3, sweep_a5)
+    from ..ops.pallas_sweeps import (sweep_bookkeeping3, sweep_bookkeeping5)
     from ..ops.shape_matching import sm_invariants
 
     state, cfg = scene.state, scene.cfg
     qb, wc = scene.q_block, scene.block_window
     sub_q = scene.sub_block or 128
     impl = getattr(scene, "fused_impl", "v4")
+    pack_cap = getattr(scene, "pack_cap", 0)
     sm_inv = jax.block_until_ready(
         jax.jit(lambda s: sm_invariants(s, cfg))(state))
-    n = state.capacity
 
-    def book(s):
-        return sweep_bookkeeping3(s.pos, s.active, cfg, sub_q)
+    if impl == "v5":
+        def book(s):
+            return sweep_bookkeeping5(s.pos, s.active, cfg, sub_q, pack_cap)
 
-    def stage1(s):  # bookkeeping
-        order, inv, blk_lo, blk_hi, cx, cyz = book(s)
-        return s.replace(pos=s.pos + 1e-9 * (order[0] % 2).astype(s.pos.dtype))
+        def stage1(s):  # bookkeeping (sort + segments + packed indices)
+            order = book(s)[0]
+            return s.replace(pos=s.pos
+                             + 1e-9 * (order[0] % 2).astype(s.pos.dtype))
 
-    def stage2(s):  # + shape matching
-        order, inv, blk_lo, blk_hi, cx, cyz = book(s)
-        s = corrected_velocity(s, cfg, sm_inv=sm_inv)
-        return s.replace(pos=s.pos + 1e-9 * s.corrected_vel
-                         + 1e-9 * (order[0] % 2).astype(s.pos.dtype))
+        def stage2(s):  # + shape matching
+            order = book(s)[0]
+            s = corrected_velocity(s, cfg, sm_inv=sm_inv)
+            return s.replace(pos=s.pos + 1e-9 * s.corrected_vel
+                             + 1e-9 * (order[0] % 2).astype(s.pos.dtype))
 
-    def stage3(s):  # + sorted gather + sweep A
-        order, inv, blk_lo, blk_hi, cx, cyz = book(s)
-        s = corrected_velocity(s, cfg, sm_inv=sm_inv)
-        fs, feats_a = build_qm_feats(s, cx, cyz, order)
-        out_a = sweep_a3(fs, feats_a, blk_lo, blk_hi, qb, wc, cfg,
-                         sub_q=sub_q, stencil="xyz3")
-        return s.replace(dens=out_a[:, 8][inv],
-                         pos=s.pos + 1e-12 * s.corrected_vel)
+        def stage3(s):  # + qm gather + slab pack + sweep A
+            order, inv, src, trips, _ovf, cf, cm, cs = book(s)
+            s = corrected_velocity(s, cfg, sm_inv=sm_inv)
+            fs = build_qm_feats5(s, cf, cm, cs, order)
+            packed_a = pack_feats_a5(fs, src, pack_cap)
+            out_a = sweep_a5(fs, packed_a, trips, qb, wc, cfg, sub_q=sub_q)
+            return s.replace(dens=out_a[:, 8][inv],
+                             pos=s.pos + 1e-12 * s.corrected_vel)
+    else:
+        def book(s):
+            return sweep_bookkeeping3(s.pos, s.active, cfg, sub_q)
+
+        def stage1(s):  # bookkeeping
+            order = book(s)[0]
+            return s.replace(pos=s.pos
+                             + 1e-9 * (order[0] % 2).astype(s.pos.dtype))
+
+        def stage2(s):  # + shape matching
+            order = book(s)[0]
+            s = corrected_velocity(s, cfg, sm_inv=sm_inv)
+            return s.replace(pos=s.pos + 1e-9 * s.corrected_vel
+                             + 1e-9 * (order[0] % 2).astype(s.pos.dtype))
+
+        def stage3(s):  # + sorted gather + sweep A
+            order, inv, blk_lo, blk_hi, cx, cyz = book(s)
+            s = corrected_velocity(s, cfg, sm_inv=sm_inv)
+            fs, feats_a = build_qm_feats(s, cx, cyz, order)
+            out_a = sweep_a3(fs, feats_a, blk_lo, blk_hi, qb, wc, cfg,
+                             sub_q=sub_q, stencil="xyz3")
+            return s.replace(dens=out_a[:, 8][inv],
+                             pos=s.pos + 1e-12 * s.corrected_vel)
 
     def stage4(s):  # full fused step
         out, _ = step_fused(s, cfg, qb, wc, sub_q, impl=impl,
-                            sm_inv=sm_inv)
+                            sm_inv=sm_inv, pack_cap=pack_cap)
         return out
 
     t1 = _scan_time(stage1, state, length=length)
     t2 = _scan_time(stage2, state, length=length)
     t3 = _scan_time(stage3, state, length=length)
     t4 = _scan_time(stage4, state, length=length)
+    # raw per-pipeline times ride along under non-schema keys so callers
+    # can print them next to the attributed (clamped-difference) columns
+    # and spot compile-noise-driven negative deltas instead of having them
+    # silently zeroed (VERDICT r2 §7); _scan_time already takes the best
+    # of `reps` runs per stage.
     return {
         "find_neighbors": t1,
         "corrected_velocity": max(t2 - t1, 0.0),
@@ -175,6 +206,7 @@ def profile_phases_fused(scene, length: int = 250) -> dict:
         "compute_force": max(t4 - t3, 0.0),
         "update_properties": 0.0,
         "total_step": t4,
+        "raw_pipeline_s": (t1, t2, t3, t4),
     }
 
 

@@ -1,6 +1,7 @@
 """Aux subsystem tests: bounds, debug/health, determinism, CLI trajectory."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from sph_sm_monodomain_tpu import SimConfig, init_fluid, step
@@ -59,6 +60,7 @@ def test_step_is_deterministic(rng):
     assert check_step_determinism(lambda s: step(s, CFG, 32, 9 * 32), st)
 
 
+@pytest.mark.slow
 def test_cli_traj_streaming(tmp_path):
     from sph_sm_monodomain_tpu.cli import main
     from sph_sm_monodomain_tpu.runtime import read_trajectory

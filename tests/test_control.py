@@ -7,11 +7,13 @@ control file.
 """
 
 import numpy as np
+import pytest
 
 from sph_sm_monodomain_tpu import build_scene, run_protocol
 from sph_sm_monodomain_tpu.cli import RunController
 
 
+@pytest.mark.slow
 def test_run_protocol_callback_commands():
     scene = build_scene("susane")
     calls = []
@@ -38,11 +40,14 @@ def test_run_controller_file_commands(tmp_path):
     ctl = tmp_path / "ctl"
     saved = {}
     ctl.write_text("stim-off\nsave out.npz\nbogus\n")
-    c = RunController(str(ctl), save_fn=lambda p, st: saved.update(p=p,
-                                                                   st=st))
+    c = RunController(str(ctl),
+                      save_fn=lambda p, st, done: saved.update(
+                          p=p, st=st, done=done))
     cmd = c(2, "STATE")
     assert cmd.get("stim_off") is True
-    assert saved == {"p": "out.npz", "st": "STATE"}
+    # save_fn receives the executed-step count so checkpoints record the
+    # true global step (ADVICE r2)
+    assert saved == {"p": "out.npz", "st": "STATE", "done": 2}
     # consumed by OFFSET (the file is append-only; truncating raced with a
     # concurrent `echo cmd >>`): a second poll re-reads nothing
     saved.clear()

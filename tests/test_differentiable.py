@@ -6,6 +6,7 @@ for, e.g., fitting stiffness/viscosity to observed deformation.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -23,6 +24,7 @@ def _state(rng, n=96):
     return set_stim(st, (0.6, 0.6, 0.6), 0.5, CFG.stim_strength, CFG), n
 
 
+@pytest.mark.slow
 def test_grad_through_steps_wrt_positions(rng):
     st, n = _state(rng)
 
@@ -38,6 +40,7 @@ def test_grad_through_steps_wrt_positions(rng):
     assert np.abs(g).max() > 0  # gradients actually flow
 
 
+@pytest.mark.slow
 def test_grad_wrt_viscosity_parameter(rng):
     st, n = _state(rng)
 
@@ -56,6 +59,7 @@ def test_grad_wrt_viscosity_parameter(rng):
     assert np.isfinite(float(v)) and np.isfinite(float(g))
 
 
+@pytest.mark.slow
 def test_vmap_over_stim_strengths(rng):
     # batch the whole simulation over a parameter axis
     st, n = _state(rng, 64)

@@ -32,6 +32,7 @@ def _sorted_by_identity(state, fields):
         int(act.sum())
 
 
+@pytest.mark.slow
 def test_halo_matches_single_chip(rng, mesh):
     n = 900
     pts = rng.uniform(0.06, 1.44, size=(n, 3)).astype(np.float32)
@@ -62,6 +63,7 @@ def test_halo_matches_single_chip(rng, mesh):
                                    err_msg=f"{f} diverged halo vs single")
 
 
+@pytest.mark.slow
 def test_halo_migration_moves_particles(rng, mesh):
     """Particles given z-velocity must cross slab boundaries without loss."""
     n = 600
@@ -90,6 +92,7 @@ def test_halo_migration_moves_particles(rng, mesh):
     assert (drift <= 0).mean() > 0.99
 
 
+@pytest.mark.slow
 def test_halo_clustered_sm_matches_single_chip(rng, mesh):
     """Multi-muscle clusters under the halo path: rows migrate between
     devices, so the clustered moments must use the one-hot form keyed on

@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pytest
 
 from sph_sm_monodomain_tpu import SimConfig, init_fluid
 from sph_sm_monodomain_tpu.utils.render import render_points, set_color
@@ -50,6 +51,7 @@ def test_report_row_schema():
     assert float(cols[22]) == CFG.fh_c4
 
 
+@pytest.mark.slow
 def test_cli_smoke(tmp_path):
     from sph_sm_monodomain_tpu.cli import main
     report = tmp_path / "report.csv"
@@ -67,6 +69,7 @@ def test_cli_smoke(tmp_path):
     assert rc == 0
 
 
+@pytest.mark.slow
 def test_cli_mode_variants(tmp_path):
     from sph_sm_monodomain_tpu.cli import main
     for mode in ("sph", "sm", "monodomain"):
@@ -117,6 +120,7 @@ def test_simulate_record_every(rng):
     assert np.isfinite(np.asarray(traj["pos"])).all()
 
 
+@pytest.mark.slow
 def test_run_protocol_record_and_regrow(rng, monkeypatch):
     # force a tiny neighbor capacity so the window table overflows and the
     # elastic regrow kicks in (failure detection + recovery, SURVEY.md §5)
@@ -136,6 +140,7 @@ def test_run_protocol_record_and_regrow(rng, monkeypatch):
     assert np.isfinite(np.asarray(state.pos)[:128]).all()
 
 
+@pytest.mark.slow
 def test_cli_multi_device():
     import jax
     from sph_sm_monodomain_tpu.cli import main

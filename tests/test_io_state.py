@@ -95,11 +95,51 @@ def test_checkpoint_load_rejects_bad_files(tmp_path):
     good = str(tmp_path / "good.npz")
     save_checkpoint(good, st, step=1)
     data = dict(np.load(good))
-    data["leaf_0"] = data["leaf_0"][:64]
+    data["field_pos"] = data["field_pos"][:64]
     bad = str(tmp_path / "bad.npz")
     np.savez(bad, **data)
     with pytest.raises(ValueError):
         load_checkpoint(bad)
+
+
+def test_checkpoint_self_describing(tmp_path):
+    """v2 checkpoints store fields BY NAME: renamed/missing/unknown fields
+    fail loudly (a field reorder can no longer silently permute state),
+    and the SimConfig snapshot round-trips (VERDICT r2 §5)."""
+    pts = np.random.default_rng(3).random((40, 3)).astype(np.float32)
+    cfg = CFG.replace(mu_viscosity=42.0, quadratic_match=True)
+    st = init_fluid(pts, cfg)
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, st, step=7, cfg=cfg)
+
+    st2, step_no, cfg2 = load_checkpoint(path, with_config=True)
+    assert step_no == 7
+    assert cfg2 == cfg        # exact dataclass round-trip (incl. tuples)
+    assert isinstance(cfg2.world_size, tuple)
+    np.testing.assert_array_equal(np.asarray(st.pos), np.asarray(st2.pos))
+
+    # simulate a writer with a permuted/renamed field schema
+    data = dict(np.load(path))
+    data["field_velocity"] = data.pop("field_vel")
+    bad = str(tmp_path / "renamed.npz")
+    np.savez(bad, **data)
+    with pytest.raises(ValueError, match="field mismatch"):
+        load_checkpoint(bad)
+
+
+def test_checkpoint_legacy_positional_format(tmp_path):
+    """v1 (leaf_<i>) checkpoints still load, in tree_flatten order."""
+    import jax
+    pts = np.random.default_rng(4).random((40, 3)).astype(np.float32)
+    st = init_fluid(pts, CFG)
+    leaves = jax.tree_util.tree_leaves(st)
+    path = str(tmp_path / "legacy.npz")
+    np.savez(path, __step__=np.asarray(11),
+             **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)})
+    st2, step_no = load_checkpoint(path)
+    assert step_no == 11
+    np.testing.assert_array_equal(np.asarray(st.pos), np.asarray(st2.pos))
+    np.testing.assert_array_equal(np.asarray(st.vm), np.asarray(st2.vm))
 
 
 def test_displacement():

@@ -2,6 +2,7 @@
 on CPU; the same code compiles natively on TPU)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -32,6 +33,7 @@ def _state(rng, n=256):
     return st, pts
 
 
+@pytest.mark.slow
 def test_sweep_a_matches_xla_phase(rng):
     st, pts = _state(rng)
     w_win = auto_block_window(pts, CFG, QB)
@@ -93,6 +95,7 @@ def test_sweep_b_matches_xla_phase(rng):
                                err_msg="laplacian mismatch")
 
 
+@pytest.mark.slow
 def test_step_fused_matches_step(rng):
     st, pts = _state(rng, 200)
     w_win = auto_block_window(pts, CFG, QB)
@@ -155,6 +158,7 @@ def test_step_fused_v4_world_boundary_cells(rng):
                                np.asarray(b.dens)[:n], rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_step_fused_v4_wide_world_axis_perm(rng):
     """Stretched worlds (multi-muscle replicate scenes) permute the v4
     hash axes so the smallest extent is fast — physics must match the
@@ -188,6 +192,7 @@ def test_fused_padded_lanes_inert(rng):
     np.testing.assert_array_equal(np.asarray(out.pos)[150:], pad_pos)
 
 
+@pytest.mark.slow
 def test_step_fused_hbm_candidate_path(rng, monkeypatch):
     # force the large-N path (candidates in HBM, per-chunk DMA); patch the
     # threshold in BOTH modules that bind it (fused_step imports the value)
@@ -208,6 +213,7 @@ def test_step_fused_hbm_candidate_path(rng, monkeypatch):
                                err_msg="HBM candidate path diverged")
 
 
+@pytest.mark.slow
 def test_step_fused_v4_hbm_double_buffer(rng, monkeypatch):
     # the v4 large-array HBM path double-buffers the candidate DMA
     # (_gather_loop4); physics must match the bucketed step exactly as in
@@ -230,6 +236,7 @@ def test_step_fused_v4_hbm_double_buffer(rng, monkeypatch):
                                np.asarray(b.dens)[:210], rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_step_fused_v4_hbm_blocking(rng, monkeypatch):
     # v4 mid-size HBM path (blocking single-buffer DMA, db off)
     from sph_sm_monodomain_tpu.ops import fused_step as fsm
@@ -246,6 +253,7 @@ def test_step_fused_v4_hbm_blocking(rng, monkeypatch):
                                err_msg="v4 blocking HBM path diverged")
 
 
+@pytest.mark.slow
 def test_step_fused_sub_blocks_match(rng):
     # sub-block windows (tighter bounds per 32 queries) == plain windows
     st, pts = _state(rng, 200)
@@ -258,3 +266,83 @@ def test_step_fused_sub_blocks_match(rng):
                                err_msg="sub-block windows diverged")
     np.testing.assert_allclose(np.asarray(a.vm)[:200],
                                np.asarray(b.vm)[:200], atol=1e-3)
+
+
+def test_step_fused_v5_matches_step(rng):
+    """The v5 packed-slab path (per-sub-block dilated-union candidate
+    slabs, exact 3-axis cell mask) against the bucketed XLA step."""
+    st, pts = _state(rng, 200)
+    a = st
+    b = st
+    for i in range(3):
+        a, _ = step(a, CFG, 64, 9 * 64)
+        b, aux_b = step_fused(b, CFG, 64, 128, 16, impl="v5", pack_cap=640)
+        assert int(aux_b.overflow) == 0
+    for name, atol in (("pos", 5e-5), ("vel", 5e-3), ("vm", 5e-3),
+                       ("iion", 1e-5), ("w", 1e-6)):
+        np.testing.assert_allclose(
+            np.asarray(getattr(a, name))[:200],
+            np.asarray(getattr(b, name))[:200], atol=atol,
+            err_msg=f"{name} diverged v5-fused vs unfused")
+    np.testing.assert_allclose(np.asarray(a.dens)[:200],
+                               np.asarray(b.dens)[:200], rtol=1e-5)
+
+
+def test_step_fused_v5_overflow_counter(rng):
+    """A deliberately undersized pack_cap must report overflow (the v5
+    regrow signal) instead of silently truncating."""
+    st, pts = _state(rng, 200)
+    _, aux = step_fused(st, CFG, 64, 128, 16, impl="v5", pack_cap=128)
+    assert int(aux.overflow) > 0
+
+
+@pytest.mark.slow
+def test_step_fused_v5_wide_world_axis_perm(rng):
+    """Stretched worlds permute the hash axes (multi-muscle scenes); the
+    packed slabs must follow the permutation like v4 does."""
+    from sph_sm_monodomain_tpu.ops.pallas_sweeps import hash_axis_perm
+    cfg = CFG.replace(world_size=(4.5, 1.5, 1.5))
+    assert hash_axis_perm(cfg)[0] != 0
+    n = 220
+    pts = rng.random((n, 3)).astype(np.float32) * [4.3, 0.4, 0.4] \
+        + [0.1, 0.5, 0.5]
+    st = init_fluid(pts.astype(np.float32), cfg)
+    st = set_stim(st, tuple(pts[0]), 0.5, cfg.stim_strength, cfg)
+    a, b = st, st
+    for _ in range(2):
+        a, _ = step(a, cfg, 64, 9 * 64)
+        b, aux = step_fused(b, cfg, 64, 128, 32, impl="v5", pack_cap=768)
+        assert int(aux.overflow) == 0
+    np.testing.assert_allclose(np.asarray(a.pos)[:n],
+                               np.asarray(b.pos)[:n], atol=5e-5,
+                               err_msg="v5 axis-permuted hash diverged")
+    np.testing.assert_allclose(np.asarray(a.dens)[:n],
+                               np.asarray(b.dens)[:n], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.vm)[:n],
+                               np.asarray(b.vm)[:n], atol=5e-3)
+
+
+@pytest.mark.slow
+def test_step_fused_v5_sparse_block_overlap(rng):
+    """Blocks whose hash span exceeds G_fast make consecutive dilated runs
+    overlap; the disjoint clamp must keep each candidate packed once (a
+    double-pack would double-count pair contributions)."""
+    n = 96
+    # two tight clusters far apart along the fast axis -> one sub-block
+    # straddles a huge hash gap
+    pts = np.concatenate([
+        rng.random((n // 2, 3)).astype(np.float32) * 0.08 + 0.05,
+        rng.random((n // 2, 3)).astype(np.float32) * 0.08 + 1.3,
+    ]).astype(np.float32)
+    st = init_fluid(pts, CFG)
+    st = set_stim(st, tuple(pts[0]), 0.5, CFG.stim_strength, CFG)
+    a, b = st, st
+    for _ in range(2):
+        a, _ = step(a, CFG, 64, 9 * 64)
+        b, aux = step_fused(b, CFG, 64, 128, 32, impl="v5", pack_cap=512)
+        assert int(aux.overflow) == 0
+    np.testing.assert_allclose(np.asarray(a.pos)[:n],
+                               np.asarray(b.pos)[:n], atol=5e-5,
+                               err_msg="v5 sparse-block overlap diverged")
+    np.testing.assert_allclose(np.asarray(a.dens)[:n],
+                               np.asarray(b.dens)[:n], rtol=1e-5)

@@ -148,6 +148,7 @@ def _run_reference_q(exe, positions, steps, stim_off=-1, quadratic=0):
     return frames
 
 
+@pytest.mark.slow
 def test_matches_reference_quadratic_match(ref_driver, rng):
     # the 9x9 quadratic shape-matching path (quadraticMatch=true, h:154)
     from sph_sm_monodomain_tpu import SimConfig, init_fluid, step
@@ -179,6 +180,7 @@ def test_matches_reference_quadratic_match(ref_driver, rng):
                                    err_msg=f"Vm step {i}")
 
 
+@pytest.mark.slow
 def test_matches_reference_real_biceps_cloud(ref_driver):
     # end-to-end on the actual biceps_simple_out_1 cloud (4,796 particles)
     from sph_sm_monodomain_tpu.utils.io import ASSETS_DIR, read_cloud_csv

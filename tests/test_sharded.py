@@ -54,6 +54,7 @@ def test_sharded_step_matches_single_chip(rng, mesh):
             err_msg=f"{name} diverged between sharded and single-chip")
 
 
+@pytest.mark.slow
 def test_sharded_simulate_with_stim_off(rng, mesh):
     st, n = _state(rng, 200)
     sharded = shard_state(st, mesh)
@@ -84,6 +85,7 @@ def test_sharded_output_sharding_preserved(rng, mesh):
     assert shd.spec[0] == "p", f"expected particle-sharded output, got {shd}"
 
 
+@pytest.mark.slow
 def test_sharded_clustered_sm_matches_single_chip(rng, mesh):
     """Multi-muscle (sm_clusters=2) under particle sharding: the blocked
     segment reductions psum per-cluster moments across the mesh and must

@@ -22,6 +22,7 @@ def mesh():
     return make_mesh(jax.devices()[:8])
 
 
+@pytest.mark.slow
 def test_sharded_fused_matches_single_chip(rng, mesh):
     n = 400
     pts = np.clip(rng.normal(size=(n, 3)).astype(np.float32) * 0.06 + 0.6,
@@ -52,6 +53,7 @@ def test_sharded_fused_matches_single_chip(rng, mesh):
     assert sharded.pos.sharding.spec[0] == "p"
 
 
+@pytest.mark.slow
 def test_sharded_simulate_fused_scan_with_stim_off(rng, mesh):
     """The CLI's --devices production driver: fused scan + stim-off cond."""
     from sph_sm_monodomain_tpu import simulate

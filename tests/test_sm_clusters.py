@@ -47,6 +47,7 @@ def _two_tile_state(pts, cfg2):
 
 
 @pytest.mark.parametrize("quadratic", [False, True])
+@pytest.mark.slow
 def test_clustered_matches_independent_runs(rng, quadratic):
     pts = _cloud(rng)
     cfg1 = SimConfig(quadratic_match=quadratic)
@@ -67,6 +68,7 @@ def test_clustered_matches_independent_runs(rng, quadratic):
                                        "independent run")
 
 
+@pytest.mark.slow
 def test_clustered_fused_path_parity(rng):
     """The fused v4 step consumes clustered corrected velocities through
     the same sm_invariants hoisting — must match the bucketed step."""
@@ -82,6 +84,7 @@ def test_clustered_fused_path_parity(rng):
 
 
 @pytest.mark.parametrize("quadratic", [False, True])
+@pytest.mark.slow
 def test_segment_forms_agree(rng, quadratic, monkeypatch):
     """The three clustered segment-reduction forms (blocked matmul /
     contiguous reshape / one-hot) must produce the same goal positions

@@ -5,6 +5,7 @@ Covers both regimes of the piecewise dynamics (SURVEY.md §7): stimulated
 """
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from sph_sm_monodomain_tpu import SimConfig, init_fluid, step
@@ -78,6 +79,7 @@ def test_step_matches_oracle_after_stim_off(rng):
         _compare(state, o, n, i, atol_pos=5e-5)
 
 
+@pytest.mark.slow
 def test_step_matches_oracle_quadratic_match(rng):
     cfg = CFG.replace(quadratic_match=True)
     pts = _cloud(rng, 120)

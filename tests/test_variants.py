@@ -1,6 +1,7 @@
 """Model variant tests: SPH-only, SM-only, monodomain-only (BASELINE configs)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from sph_sm_monodomain_tpu import SimConfig, init_fluid
@@ -32,6 +33,7 @@ def test_sph_only_falls_and_has_pressure(rng):
     np.testing.assert_array_equal(np.asarray(st.iion)[:200], 0.0)
 
 
+@pytest.mark.slow
 def test_sph_only_fused_matches_unfused(rng):
     cfg = variants.sph_only_config(CFG)
     pts = _blob(rng, 300)
@@ -122,6 +124,7 @@ def test_monodomain_only_scan_driver(rng):
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_monodomain_fused_matches_unfused(rng):
     from sph_sm_monodomain_tpu.models.variants import (
         monodomain_prepare, monodomain_prepare_fused,

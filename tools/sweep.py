@@ -1,0 +1,167 @@
+"""Parameter-sweep benchmark campaign — the TPU re-issue of the
+reference's committed run-log campaign (component D2).
+
+The reference ships 109 + 133 full-run rows (results_171107.csv /
+results_171114.csv, schema printed by print_report at
+/root/reference/SPH_SM_monodomain/SPH_SM_monodomain.cpp:785-792). Their
+recorded parameter columns are CONSTANT within each file — the campaign is
+two configurations, (sigma=1, stim=500000) and (sigma=0.383, stim=800000),
+measured repeatedly. This tool reproduces both anchors exactly and extends
+them with a grid over the headline physics constants (K, alpha, beta, mu —
+the knobs the reference exposes as ctor constants, cpp:40, 64-65, 49),
+emitting one print_report-schema row per configuration.
+
+Timing discipline (DEVELOPMENT.md): each row's step time is measured over
+chained lax.scan chunks with a value fetch per chunk; each configuration is
+a separate XLA compile (cfg is a static argument), so a full campaign is
+dominated by compile time on the remote tunnel — run it in the background.
+
+Per-phase columns: the sort/SM/sweep-A stages are profiled ONCE per scene
+at the anchor configuration (4 extra compiles) and reused across rows;
+each row's compute_force column is its measured total minus those shared
+stage costs, so every row's phase columns sum to its own avg step by
+construction. (Re-profiling all 4 pipelines per row would quadruple the
+campaign's compile cost for <1% column movement: the sort and SM stage
+costs do not depend on K/alpha/beta/mu.)
+
+Usage:
+  python tools/sweep.py --scene biceps_18475 --steps 500 \
+      --out results_tpu_sweep.csv
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import os
+import sys
+import time
+
+
+def reference_anchor_configs(base):
+    """The two configurations of the committed reference campaign.
+
+    sigma is derived (sigma_i*sigma_e/(sigma_i+sigma_e), cpp:26):
+    sigma=1 needs sigma_i=sigma_e=2; the 171114 file's 0.3828 is the
+    checked-in default. K/alpha/beta in the logs predate the checked-in
+    constants (K=0.8, a=0.5, b=0.2 vs ctor 0.5/0.3/0.4 — BASELINE.md)."""
+    common = dict(k_stiffness=0.8, sm_alpha=0.5, sm_beta=0.2,
+                  mu_viscosity=100.0)
+    return [
+        base.replace(sigma_i=2.0, sigma_e=2.0, stim_strength=500000.0,
+                     **common),
+        base.replace(stim_strength=800000.0, **common),
+    ]
+
+
+def grid_configs(base):
+    """K x alpha/beta x mu grid around the reference constants."""
+    cfgs = []
+    for k, (al, be), mu in itertools.product(
+            (0.3, 0.5, 0.8),
+            ((0.3, 0.4), (0.5, 0.2)),
+            (50.0, 100.0, 200.0)):
+        cfgs.append(base.replace(k_stiffness=k, sm_alpha=al, sm_beta=be,
+                                 mu_viscosity=mu))
+    return cfgs
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--scene", default="biceps_18475",
+                    help="reference app scene (5,211 particles)")
+    ap.add_argument("--steps", type=int, default=500,
+                    help="steps per run (reference: 500..2000)")
+    ap.add_argument("--out", default="results_tpu_sweep.csv")
+    ap.add_argument("--quick", action="store_true",
+                    help="anchors + a 6-point grid (smoke test)")
+    ap.add_argument("--impl", default=None, help="fused impl override")
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+    import sph_sm_monodomain_tpu as smt
+    from sph_sm_monodomain_tpu.config import SimConfig
+    from sph_sm_monodomain_tpu.utils.report import (REPORT_HEADER,
+                                                    profile_phases_fused,
+                                                    report_row)
+
+    base = SimConfig()
+    cfgs = reference_anchor_configs(base) + grid_configs(base)
+    if args.quick:
+        cfgs = cfgs[:8]
+    scene0 = smt.build_scene(args.scene, cfgs[0], fused_impl=args.impl)
+    fused = jax.default_backend() == "tpu"
+    print(f"campaign: {len(cfgs)} configs x {args.steps} steps on "
+          f"{args.scene} ({scene0.num_particles} particles), "
+          f"impl={scene0.fused_impl}, backend={jax.default_backend()}",
+          flush=True)
+
+    # shared stage profile at the first anchor (phases reused across rows,
+    # see module docstring)
+    shared = {}
+    if fused:
+        t0 = time.time()
+        shared = profile_phases_fused(scene0)
+        print(f"shared stage profile in {time.time() - t0:.0f}s: "
+              f"book={shared['find_neighbors']*1e3:.3f}ms "
+              f"sm={shared['corrected_velocity']*1e3:.3f}ms "
+              f"sweepA={shared['density_pressure']*1e3:.3f}ms", flush=True)
+
+    def fetch(st):
+        return float(st.pos[0, 0])
+
+    write_header = not os.path.exists(args.out)
+    with open(args.out, "a") as f:
+        if write_header:
+            f.write("# TPU re-issue of the reference benchmark campaign "
+                    "(results_171107/171114.csv). One row per run; "
+                    "find_neighbors/corrected_velocity/density_pressure "
+                    "profiled once per scene at the anchor config, "
+                    "compute_force = row total - those (columns sum to "
+                    "the row's avg step).\n")
+            f.write(REPORT_HEADER + "\n")
+        for i, cfg in enumerate(cfgs):
+            sc = smt.build_scene(args.scene, cfg, fused_impl=args.impl)
+            state = sc.state
+            t0 = time.time()
+            out = smt.simulate(state, cfg, sc.cell_capacity,
+                               sc.neighbor_capacity, num_steps=args.steps,
+                               stim_off_step=args.steps // 2, fused=fused,
+                               q_block=sc.q_block, w_window=sc.block_window,
+                               sub_q=(sc.sub_block or None),
+                               impl=sc.fused_impl, pack_cap=sc.pack_cap)
+            fetch(out[0])
+            compile_s = time.time() - t0
+            # timed run: chained continuation of the warm program
+            t0 = time.time()
+            out = smt.simulate(out[0], cfg, sc.cell_capacity,
+                               sc.neighbor_capacity, num_steps=args.steps,
+                               fused=fused, q_block=sc.q_block,
+                               w_window=sc.block_window,
+                               sub_q=(sc.sub_block or None),
+                               impl=sc.fused_impl, pack_cap=sc.pack_cap)
+            fetch(out[0])
+            avg_step = (time.time() - t0) / args.steps
+            phases = dict(shared)
+            if fused and shared:
+                head = (shared["find_neighbors"]
+                        + shared["corrected_velocity"]
+                        + shared["density_pressure"])
+                phases["compute_force"] = max(avg_step - head, 0.0)
+                phases.pop("total_step", None)
+                phases.pop("raw_pipeline_s", None)
+            row = report_row(cfg, args.steps, avg_step, phases)
+            f.write(row + "\n")
+            f.flush()
+            print(f"[{i + 1}/{len(cfgs)}] K={cfg.k_stiffness} "
+                  f"a={cfg.sm_alpha} b={cfg.sm_beta} mu={cfg.mu_viscosity} "
+                  f"sigma={cfg.sigma:.3f} stim={cfg.stim_strength:g}: "
+                  f"{avg_step*1e3:.2f} ms/step "
+                  f"(compile+warm {compile_s:.0f}s)", flush=True)
+    print(f"campaign -> {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
