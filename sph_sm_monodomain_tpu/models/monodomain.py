@@ -65,9 +65,11 @@ def step_fused(state: ParticleState, cfg: SimConfig, q_block: int,
     mask; impl="v2": v3's sweeps with XLA pointwise glue; impl="v1":
     per-query bound arrays + MXU-contraction kernels.
     """
-    if impl == "v5":
+    if impl in ("v5", "v5s"):
+        # v5s: v5 with statically-unrolled chunk loops over the padded slab
         return _step_fused_v5(state, cfg, q_block, w_window, sub_q or 32,
-                              pack_cap, sm_inv)
+                              pack_cap, sm_inv,
+                              static_trips=(impl == "v5s"))
     if impl == "v4":
         return _step_fused_v4(state, cfg, q_block, w_window, sub_q or 128,
                               sm_inv)
@@ -157,7 +159,9 @@ def step_fused(state: ParticleState, cfg: SimConfig, q_block: int,
 
 def _step_fused_v5(state: ParticleState, cfg: SimConfig, q_block: int,
                    w_window: int, sub_q: int, pack_cap: int,
-                   sm_inv=None) -> tuple[ParticleState, StepAux]:
+                   sm_inv=None,
+                   static_trips: bool = False
+                   ) -> tuple[ParticleState, StepAux]:
     """v5 fused step: per-sub-block PACKED candidate slabs — bookkeeping
     left-packs the nine tight dilated hash runs of each sub-block, an XLA
     row-gather materializes them as dense (B, 12, kb) feature slabs, and
@@ -181,12 +185,12 @@ def _step_fused_v5(state: ParticleState, cfg: SimConfig, q_block: int,
     fs = build_qm_feats5(state, cf, cm, cs, order)
     packed_a = pack_feats_a5(fs, src, pack_cap)
     out_a = sweep_a5(fs, packed_a, trips, q_block, w_window, cfg,
-                     sub_q=sub_q)
+                     sub_q=sub_q, static_trips=static_trips)
 
     vol_now = jnp.where(out_a[:, 8] > 0.0, out_a[:, 10] / out_a[:, 8], 0.0)
     packed_b = pack_feats_b5(out_a, vol_now, src, pack_cap)
     out_b = sweep_b5(out_a, packed_b, trips, q_block, w_window, cfg,
-                     sub_q=sub_q)
+                     sub_q=sub_q, static_trips=static_trips)
 
     state = apply_out_fused(state, out_a, out_b, inv)
     return state, StepAux(overflow=overflow)

@@ -581,18 +581,25 @@ def build_qm_feats(state, f1, f2, order):
 # fast-axis cell is far outside the query's +-1 range. v5 removes that waste
 # structurally: sweep_bookkeeping5 computes the nine TIGHT dilated runs per
 # sub-block and left-packs their rows; an XLA row-gather materializes each
-# block's candidates as a dense private slab (B, 12, kb); the kernel sweeps
+# block's candidates as a dense private slab (B, 16, kb); the kernel sweeps
 # its own slab with per-block dynamic trip counts. Measured on the flagship
 # cloud: ~876 tested slots/query at sub_q=32 (2.6x fewer), at the cost of
-# one gathered slab write+read per sweep (~46 MB vs the 1.2 MB shared
+# one gathered slab write+read per sweep (~61 MB vs the 1.2 MB shared
 # feature matrix). No SMEM window bounds, no start alignment, no manual
 # HBM DMA: the slabs ride the Pallas pipeline via BlockSpec.
 
-_PACK_ROWS = 12  # [pos3 | vel3 | vol | mass/pres | vm | cf | cm | cs]
+# Slab feature rows mirror the v4 (16, N) candidate layout exactly
+# ([pos3 | vel3 | vol | mass/pres | vm | - - - | cf cm cs | -]): 16 rows
+# = two aligned (8, 128) sublane tiles, so every row slice the kernel
+# takes stays tile-local. A 12-row layout saved 25% slab bandwidth but
+# put the coordinate rows across a tile boundary — Mosaic relayouts blew
+# the compile time up ~10x and the kernel ran slower.
+_PACK_ROWS = 16
 
 
 def _kernel_a5(trips_ref, qm_ref, packed_ref, out_ref, *, cfg: SimConfig,
-               w_chunk: int, sub_q: int, with_ep: bool):
+               w_chunk: int, sub_q: int, with_ep: bool,
+               static_trips: bool = False):
     """Packed-slab XSPH + density gather + EOS/FHN epilogue. Writes OUT_A.
 
     Phase 1 (per sub-block): sweep the block's slab, store raw gather sums
@@ -620,15 +627,24 @@ def _kernel_a5(trips_ref, qm_ref, packed_ref, out_ref, *, cfg: SimConfig,
                   qcf=qcf, qcm=qcm, qcs=qcs):
             off = pl.multiple_of(c * w_chunk, 128)
             cand = packed_ref[sb, :, pl.ds(off, w_chunk)]    # (12, Wc)
-            m = ((jnp.abs(qcf - cand[9:10, :]) <= 1.0)
-                 & (jnp.abs(qcm - cand[10:11, :]) <= 1.0)
-                 & (jnp.abs(qcs - cand[11:12, :]) <= 1.0))
+            m = ((jnp.abs(qcf - cand[12:13, :]) <= 1.0)
+                 & (jnp.abs(qcm - cand[13:14, :]) <= 1.0)
+                 & (jnp.abs(qcs - cand[14:15, :]) <= 1.0))
             return _pair_step_a(cand, m, carry, qx, qy, qz, qcv, h2, p6c)
 
         zeros = jnp.zeros((sub_q, w_chunk), jnp.float32)
         accs = chunk(0, (zeros,) * 4)
-        a_d, a_x, a_y, a_z = jax.lax.fori_loop(1, trips_ref[base], chunk,
-                                               accs)
+        if static_trips:
+            # fully unrolled sweep of the padded slab: ~kb/avg-union more
+            # masked ALU, but no SMEM trip reads and a branch-free
+            # straight-line loop body Mosaic can software-pipeline
+            kb = packed_ref.shape[2]
+            for c in range(1, kb // w_chunk):
+                accs = chunk(c, accs)
+            a_d, a_x, a_y, a_z = accs
+        else:
+            a_d, a_x, a_y, a_z = jax.lax.fori_loop(1, trips_ref[base],
+                                                   chunk, accs)
         red = lambda a: jnp.sum(a, axis=1, keepdims=True)
         out_ref[sl, 8:9] = red(a_d)
         out_ref[sl, 3:4] = red(a_x)
@@ -657,7 +673,8 @@ def _kernel_a5(trips_ref, qm_ref, packed_ref, out_ref, *, cfg: SimConfig,
 
 
 def _kernel_b5(trips_ref, qm_ref, packed_ref, out_ref, *, cfg: SimConfig,
-               w_chunk: int, sub_q: int, with_ep: bool):
+               w_chunk: int, sub_q: int, with_ep: bool,
+               static_trips: bool = False):
     """Packed-slab force + Vm Laplacian gather + integration epilogue.
     Reads OUT_A as QM, writes OUT_B (same column contract as _kernel_b3)."""
     bid = pl.program_id(0)
@@ -686,16 +703,22 @@ def _kernel_b5(trips_ref, qm_ref, packed_ref, out_ref, *, cfg: SimConfig,
                   qvm=qvm, qcf=qcf, qcm=qcm, qcs=qcs):
             off = pl.multiple_of(c * w_chunk, 128)
             cand = packed_ref[sb, :, pl.ds(off, w_chunk)]    # (12, Wc)
-            m = ((jnp.abs(qcf - cand[9:10, :]) <= 1.0)
-                 & (jnp.abs(qcm - cand[10:11, :]) <= 1.0)
-                 & (jnp.abs(qcs - cand[11:12, :]) <= 1.0))
+            m = ((jnp.abs(qcf - cand[12:13, :]) <= 1.0)
+                 & (jnp.abs(qcm - cand[13:14, :]) <= 1.0)
+                 & (jnp.abs(qcs - cand[14:15, :]) <= 1.0))
             return _pair_step_b(cand, m, carry, qx, qy, qz, qp, qiv, qvm,
                                 h, inv_h, spiky_c, bs_c, mu, with_ep)
 
         zeros = jnp.zeros((sub_q, w_chunk), jnp.float32)
         accs = chunk(0, (zeros,) * 4)
-        a_ax, a_ay, a_az, a_lap = jax.lax.fori_loop(1, trips_ref[base],
-                                                    chunk, accs)
+        if static_trips:
+            kb = packed_ref.shape[2]
+            for c in range(1, kb // w_chunk):
+                accs = chunk(c, accs)
+            a_ax, a_ay, a_az, a_lap = accs
+        else:
+            a_ax, a_ay, a_az, a_lap = jax.lax.fori_loop(
+                1, trips_ref[base], chunk, accs)
         red = lambda a: jnp.sum(a, axis=1, keepdims=True)
         out_ref[sl, 12:13] = red(a_ax)
         out_ref[sl, 13:14] = red(a_ay)
@@ -724,7 +747,7 @@ def _kernel_b5(trips_ref, qm_ref, packed_ref, out_ref, *, cfg: SimConfig,
 
 
 def _call_kernel5(kernel, packed, qmat, trips, q_block, w_chunk, sub_q,
-                  cfg, with_ep, interpret):
+                  cfg, with_ep, interpret, static_trips=False):
     n = qmat.shape[0]
     b, rows, kb = packed.shape
     if rows != _PACK_ROWS:
@@ -754,7 +777,7 @@ def _call_kernel5(kernel, packed, qmat, trips, q_block, w_chunk, sub_q,
     )
     return pl.pallas_call(
         functools.partial(kernel, cfg=cfg, w_chunk=w_chunk, sub_q=sub_q,
-                          with_ep=with_ep),
+                          with_ep=with_ep, static_trips=static_trips),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, 16), jnp.float32),
         interpret=interpret,
@@ -763,22 +786,26 @@ def _call_kernel5(kernel, packed, qmat, trips, q_block, w_chunk, sub_q,
 
 def sweep_a5(fs, packed_a, trips, q_block: int, w_chunk: int,
              cfg: SimConfig, with_ep: bool = True,
-             interpret: bool | None = None, sub_q: int = 32):
-    """QM_A (N,16) + packed slabs (B,12,kb) -> OUT_A (N,16), sorted order."""
+             interpret: bool | None = None, sub_q: int = 32,
+             static_trips: bool = False):
+    """QM_A (N,16) + packed slabs (B,16,kb) -> OUT_A (N,16), sorted order."""
     if interpret is None:
         interpret = _interpret_default()
     return _call_kernel5(_kernel_a5, packed_a, fs, trips, q_block, w_chunk,
-                         sub_q, cfg, with_ep, interpret)
+                         sub_q, cfg, with_ep, interpret,
+                         static_trips=static_trips)
 
 
 def sweep_b5(out_a, packed_b, trips, q_block: int, w_chunk: int,
              cfg: SimConfig, with_ep: bool = True,
-             interpret: bool | None = None, sub_q: int = 32):
-    """OUT_A (N,16) + packed slabs (B,12,kb) -> OUT_B (N,16)."""
+             interpret: bool | None = None, sub_q: int = 32,
+             static_trips: bool = False):
+    """OUT_A (N,16) + packed slabs (B,16,kb) -> OUT_B (N,16)."""
     if interpret is None:
         interpret = _interpret_default()
     return _call_kernel5(_kernel_b5, packed_b, out_a, trips, q_block,
-                         w_chunk, sub_q, cfg, with_ep, interpret)
+                         w_chunk, sub_q, cfg, with_ep, interpret,
+                         static_trips=static_trips)
 
 
 def build_qm_feats5(state, cf, cm, cs, order):
@@ -802,9 +829,9 @@ def _pack_candidates(cols, src, kb):
     sentinel row is zero except a _COORD_SENTINEL fast-axis coordinate, so
     padded slots fail the stencil mask and carry inert (vol = mass = 0)
     features either way."""
-    mat = jnp.stack(cols, axis=1)                            # (N, 12)
+    mat = jnp.stack(cols, axis=1)                            # (N, 16)
     pad = jnp.zeros((1, _PACK_ROWS),
-                    jnp.float32).at[0, 9].set(_COORD_SENTINEL)
+                    jnp.float32).at[0, 12].set(_COORD_SENTINEL)
     mat = jnp.concatenate([mat, pad], axis=0)
     b = src.shape[0] // kb
     return mat[src].reshape(b, kb, _PACK_ROWS).swapaxes(1, 2)
@@ -813,18 +840,20 @@ def _pack_candidates(cols, src, kb):
 def pack_feats_a5(fs, src, kb):
     """Sweep-A candidate slabs from the sorted QM_A matrix."""
     vol_prev = jnp.where(fs[:, 7] > 0.0, fs[:, 6] / fs[:, 7], 0.0)
+    z = jnp.zeros_like(vol_prev)
     return _pack_candidates(
         [fs[:, 0], fs[:, 1], fs[:, 2], fs[:, 3], fs[:, 4], fs[:, 5],
-         vol_prev, fs[:, 6], jnp.zeros_like(vol_prev),
-         fs[:, 12], fs[:, 13], fs[:, 14]], src, kb)
+         vol_prev, fs[:, 6], z, z, z, z,
+         fs[:, 12], fs[:, 13], fs[:, 14], z], src, kb)
 
 
 def pack_feats_b5(out_a, vol_now, src, kb):
     """Sweep-B candidate slabs from OUT_A columns."""
+    z = jnp.zeros_like(vol_now)
     return _pack_candidates(
         [out_a[:, 0], out_a[:, 1], out_a[:, 2], out_a[:, 3], out_a[:, 4],
-         out_a[:, 5], vol_now, out_a[:, 6], out_a[:, 7],
-         out_a[:, 12], out_a[:, 13], out_a[:, 14]], src, kb)
+         out_a[:, 5], vol_now, out_a[:, 6], out_a[:, 7], z, z, z,
+         out_a[:, 12], out_a[:, 13], out_a[:, 14], z], src, kb)
 
 
 def apply_out_fused(state, out_a, out_b, inv):

@@ -148,3 +148,46 @@ def test_cli_multi_device():
     rc = main(["--scene", "cube", "--steps", "4", "--chunk", "2",
                "--devices", "8"])
     assert rc == 0
+
+
+@pytest.mark.slow
+def test_cli_render_live_and_gif(tmp_path):
+    """--render-live rewrites one file between chunks (the GLUT-window
+    stand-in) and --gif assembles the frame sequence (VERDICT r2 §8)."""
+    from sph_sm_monodomain_tpu.cli import main
+    out = tmp_path / "frames"
+    live = tmp_path / "latest.png"
+    gif = tmp_path / "run.gif"
+    rc = main(["--scene", "cube", "--steps", "4", "--stim-off-step", "-1",
+               "--render-every", "2", "--render-dir", str(out),
+               "--render-live", str(live), "--gif", str(gif)])
+    assert rc == 0
+    assert live.exists() and live.stat().st_size > 0
+    assert gif.exists()
+    with open(gif, "rb") as f:
+        assert f.read(6) in (b"GIF89a", b"GIF87a")
+
+
+def test_cli_flag_free_resume_restores_config(tmp_path):
+    """A checkpoint written with non-default physics resumes with the SAME
+    physics even when the resume command passes no flags (VERDICT r2 §5)."""
+    import numpy as np
+    from sph_sm_monodomain_tpu.cli import main
+    from sph_sm_monodomain_tpu.state import load_checkpoint
+    ckpt = tmp_path / "state.npz"
+    rc = main(["--scene", "cube", "--steps", "2", "--stim-off-step", "-1",
+               "--set", "mu_viscosity=37.5", "--set", "k_stiffness=0.9",
+               "--save-checkpoint", str(ckpt)])
+    assert rc == 0
+    _, step_no, cfg = load_checkpoint(str(ckpt), with_config=True)
+    assert step_no == 2
+    assert cfg.mu_viscosity == 37.5 and cfg.k_stiffness == 0.9
+    # flag-free resume adopts the snapshot (visible in the report row's
+    # Mu/K columns)
+    report = tmp_path / "resume_report.csv"
+    rc = main(["--scene", "cube", "--steps", "4", "--stim-off-step", "-1",
+               "--load-checkpoint", str(ckpt), "--report", str(report)])
+    assert rc == 0
+    row = report.read_text().strip().splitlines()[-1].split(";")
+    assert float(row[10]) == 0.9     # K
+    assert float(row[13]) == 37.5    # Mu
