@@ -492,7 +492,7 @@ def run_protocol(scene, num_steps: int = 500, stim_off_step: int | None = None,
             traj = None
         step_overflow = int(aux.overflow)
         if step_overflow and regrow < 3 and \
-                (not fused or run_impl == "v5"):
+                (not fused or run_impl in ("v5", "v5s")):
             # failure detection + elastic recovery (SURVEY.md §5): a static
             # candidate capacity truncated neighbors (the cloud densified
             # past it). Regrow 1.5x and REDO this chunk from its input

@@ -747,12 +747,18 @@ def auto_sweep5_params(positions: np.ndarray, cfg: SimConfig,
         tot = np.maximum(hi - lo2, 0).sum(1)
         kb = max(int(np.ceil(tot.max() * headroom / 128)) * 128, 256)
         trips = np.maximum((tot + 127) // 128, 1)
-        # tested pair slots (ALU, dominant) + per-chunk fixed overhead (8
-        # slot-equivalents, refit constant from auto_sweep4_params) + the
-        # padded slab DMA at ~12 bytes/slot vs ~50 flop-bytes/slot ALU
-        # equivalence -> 0.25 slot-equivalents per padded slot
+        # cost in tested-pair-slot equivalents:
+        #   ALU: tested slots = sum(trips)*Wc per query x sub_q queries
+        #   + per-chunk fixed overhead (8 slot-equivalents, the
+        #     auto_sweep4_params refit constant)
+        #   + padded slab HBM traffic: the pool is written by the gather
+        #     and read by the kernel (64 B/slot per sweep); v4 measures
+        #     ~47 G tested slots/s against 819 GB/s HBM -> ~17 B per
+        #     slot-equivalent, i.e. ~3.7 slot-equivalents per pool slot
+        #     (independent of sub_q — smaller blocks mean MORE pool slots
+        #     via the kb = max-union padding, which is the real tradeoff)
         cost = (trips * 128).sum() * sub_q + trips.sum() * 8 * sub_q \
-            + int(b * kb * 0.25 * sub_q)
+            + int(3.7 * b * kb)
         if best is None or cost < best[0]:
             best = (cost, sub_q, kb)
     return best[1], best[2], 128
