@@ -39,6 +39,10 @@ import functools
 import sys
 import time
 
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 FLOPS_PER_SLOT_A = 28

@@ -37,6 +37,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def reference_anchor_configs(base):
     """The two configurations of the committed reference campaign.
