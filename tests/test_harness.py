@@ -70,6 +70,29 @@ def test_cli_smoke(tmp_path):
 
 
 @pytest.mark.slow
+def test_cli_flag_free_resume(tmp_path, capsys):
+    """Resume must not depend on re-passing identical --set flags: the
+    checkpoint's SimConfig snapshot is authoritative (VERDICT r2 §5)."""
+    from sph_sm_monodomain_tpu.cli import main
+    from sph_sm_monodomain_tpu.state import load_checkpoint
+    ckpt = tmp_path / "state.npz"
+    rc = main(["--scene", "cube", "--steps", "2", "--stim-off-step", "-1",
+               "--set", "k_stiffness=0.7", "--set", "mu_viscosity=150",
+               "--save-checkpoint", str(ckpt)])
+    assert rc == 0
+    _, step, cfg = load_checkpoint(str(ckpt), with_config=True)
+    assert step == 2 and cfg.k_stiffness == 0.7 and cfg.mu_viscosity == 150
+    capsys.readouterr()
+    # resume WITHOUT the --set flags: the snapshot must win over defaults
+    rc = main(["--scene", "cube", "--steps", "4", "--stim-off-step", "-1",
+               "--load-checkpoint", str(ckpt)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "config restored from checkpoint" in out
+    assert "k_stiffness" in out and "mu_viscosity" in out
+
+
+@pytest.mark.slow
 def test_cli_mode_variants(tmp_path):
     from sph_sm_monodomain_tpu.cli import main
     for mode in ("sph", "sm", "monodomain"):

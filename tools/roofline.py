@@ -51,13 +51,26 @@ FLOPS_PER_SLOT_B = 40
 
 def measure_vpu_peak(reps: int = 3) -> float:
     """Achieved fp32 lane-ops/s of a pure multiply-add chain on resident
-    VMEM tiles — the empirical VPU ceiling for the sweep kernels' op mix."""
+    VMEM tiles — the empirical VPU ceiling for the sweep kernels' op mix.
+
+    Timing discipline: every dispatch on the remote tunnel costs ~33 ms
+    wall regardless of program (DEVELOPMENT.md), so a single timed run
+    under-reports peak ~20x. We time the SAME jitted program at two scan
+    lengths and divide the op delta by the time delta — the dispatch floor
+    and any fixed per-run overhead cancel exactly.
+
+    Accumulators must be REGISTER-resident: one (8,128) VREG each. A
+    probe over {4..64} chains x tile shapes (2026-08-17, v5e) peaked at
+    16 chains / (8,128) tiles = 3.81 T ops/s — exactly 4 VPU ALUs x 1024
+    lanes x ~940 MHz with mul and add issued as separate vector ops (the
+    same mix the sweep kernels compile to). Larger tiles spill to VMEM
+    (1.7 T), fewer chains expose too little ILP (2.2 T at 8)."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
-    q, w, iters, chains = 256, 512, 200, 8
+    q, w, iters, chains = 8, 128, 800000, 16
+    len_small, len_big = 2, 12
 
     def kernel(x_ref, o_ref):
         accs = tuple(x_ref[:, :] * (1.0 + 0.001 * k)
@@ -76,23 +89,27 @@ def measure_vpu_peak(reps: int = 3) -> float:
         kernel, out_shape=jax.ShapeDtypeStruct((q, w), jnp.float32),
         interpret=jax.default_backend() != "tpu")
 
-    @jax.jit
-    def run(x):
+    @functools.partial(jax.jit, static_argnames="length")
+    def run(x, length):
         def step(c, _):
             return f(c) * 1e-6, None
-        out, _ = jax.lax.scan(step, x, None, length=20)
+        out, _ = jax.lax.scan(step, x, None, length=length)
         return out
 
-    out = run(x)
-    float(out[0, 0])
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.time()
-        out = run(x)
-        float(out[0, 0])
-        best = min(best, time.time() - t0)
-    ops = 20 * iters * chains * 2 * q * w
-    return ops / best
+    best = {}
+    for length in (len_small, len_big):
+        out = run(x, length)
+        float(out[0, 0])  # warm (compile) outside the timed region
+        t_best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            out = run(x, length)
+            float(out[0, 0])
+            t_best = min(t_best, time.time() - t0)
+        best[length] = t_best
+    dt = best[len_big] - best[len_small]
+    ops = (len_big - len_small) * iters * chains * 2 * q * w
+    return ops / max(dt, 1e-9)
 
 
 def scene_slot_stats(pts: np.ndarray, cfg, impl: str, sub_q: int,
@@ -170,6 +187,9 @@ def main():
     ap.add_argument("--impl", default=None)
     ap.add_argument("--ms-per-step", type=float, default=None,
                     help="known step time; omit to measure a 200-step scan")
+    ap.add_argument("--peak", type=float, default=None,
+                    help="known VPU peak in lane-ops/s (from a prior "
+                         "measure_vpu_peak run); omit to measure")
     args = ap.parse_args()
 
     import jax
@@ -215,7 +235,7 @@ def main():
                 float(state.pos[0, 0])
         ms = (time.time() - t0) / 400 * 1e3
 
-    peak = measure_vpu_peak()
+    peak = args.peak if args.peak else measure_vpu_peak()
     n = stats["n"]
     spq = stats["slots_per_query"]
     slots_step = spq * stats["cap"] * 2          # both sweeps

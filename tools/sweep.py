@@ -56,15 +56,27 @@ def reference_anchor_configs(base):
     ]
 
 
-def grid_configs(base):
-    """K x alpha/beta x mu grid around the reference constants."""
+def grid_configs(base, full: bool = False):
+    """K x alpha/beta x mu grid around the reference constants; --grid full
+    crosses in the two axes the reference anchors vary (sigma, stim)."""
     cfgs = []
-    for k, (al, be), mu in itertools.product(
+    ep_axes = [(None, None)]  # (sigma_i/e override, stim override)
+    if full:
+        # sigma=1 needs sigma_i=sigma_e=2 (derived, cpp:26); the stim
+        # values are the two committed campaign anchors
+        ep_axes = [(None, 300.0), (None, 800000.0),
+                   (2.0, 300.0), (2.0, 500000.0)]
+    for k, (al, be), mu, (sig, stim) in itertools.product(
             (0.3, 0.5, 0.8),
             ((0.3, 0.4), (0.5, 0.2)),
-            (50.0, 100.0, 200.0)):
-        cfgs.append(base.replace(k_stiffness=k, sm_alpha=al, sm_beta=be,
-                                 mu_viscosity=mu))
+            (50.0, 100.0, 200.0),
+            ep_axes):
+        kw = dict(k_stiffness=k, sm_alpha=al, sm_beta=be, mu_viscosity=mu)
+        if sig is not None:
+            kw.update(sigma_i=sig, sigma_e=sig)
+        if stim is not None:
+            kw.update(stim_strength=stim)
+        cfgs.append(base.replace(**kw))
     return cfgs
 
 
@@ -77,6 +89,10 @@ def main():
     ap.add_argument("--out", default="results_tpu_sweep.csv")
     ap.add_argument("--quick", action="store_true",
                     help="anchors + a 6-point grid (smoke test)")
+    ap.add_argument("--grid", default="default",
+                    choices=("default", "full"),
+                    help="'full' crosses in the sigma/stim anchor axes "
+                         "(74 configs, ~reference campaign breadth)")
     ap.add_argument("--impl", default=None, help="fused impl override")
     args = ap.parse_args()
 
@@ -89,7 +105,8 @@ def main():
                                                     report_row)
 
     base = SimConfig()
-    cfgs = reference_anchor_configs(base) + grid_configs(base)
+    cfgs = reference_anchor_configs(base) + grid_configs(
+        base, full=args.grid == "full")
     if args.quick:
         cfgs = cfgs[:8]
     scene0 = smt.build_scene(args.scene, cfgs[0], fused_impl=args.impl)
