@@ -80,6 +80,71 @@ def grid_configs(base, full: bool = False):
     return cfgs
 
 
+def summarize(csv_path: str, out_md: str | None) -> int:
+    """Analysis pass over a campaign CSV — the TPU stand-in for the
+    reference's results.ods spreadsheet: per-parameter sensitivity of the
+    avg step time, campaign extremes, and phase-share sanity."""
+    import numpy as np
+    rows = []
+    with open(csv_path) as f:
+        for ln in f:
+            if ln.startswith("#") or ln.startswith("Avg FPS"):
+                continue
+            cols = ln.strip().split(";")
+            if len(cols) < 23:
+                continue
+            rows.append([float(c) for c in cols])
+    if not rows:
+        print(f"no rows in {csv_path}")
+        return 1
+    a = np.array(rows)
+    step_ms = a[:, 1] * 1e3
+    # schema indices: 1=step, 3..9=phases, 10=K, 11=alpha, 12=beta,
+    # 13=mu, 14=sigma, 15=stim
+    lines = [
+        "# Sweep campaign analysis",
+        "",
+        f"Source: `{os.path.basename(csv_path)}` — {len(rows)} runs, "
+        f"{int(a[0, 2])} steps each (stim-off at half), biceps_18475 "
+        "anchor scene. The TPU re-issue of the analysis the reference "
+        "keeps in `results.ods` over results_171107/171114.csv.",
+        "",
+        f"- avg step: min {step_ms.min():.3f} ms / median "
+        f"{np.median(step_ms):.3f} ms / max {step_ms.max():.3f} ms",
+        f"- throughput spread across the whole physics grid: "
+        f"{step_ms.max() / step_ms.min():.2f}x",
+        "",
+        "Per-parameter sensitivity (mean step ms per value; the step time "
+        "is dominated by candidate-lane enumeration, so physics constants "
+        "only move it through density/contraction state):",
+        "",
+        "| param | value -> mean ms/step |",
+        "|---|---|",
+    ]
+    for name, col in (("K", 10), ("alpha", 11), ("beta", 12), ("mu", 13),
+                      ("sigma", 14), ("stim", 15)):
+        vals = sorted(set(a[:, col]))
+        cells = ", ".join(
+            f"{v:g} -> {step_ms[a[:, col] == v].mean():.3f}" for v in vals)
+        lines.append(f"| {name} | {cells} |")
+    head = a[:, 3] + a[:, 4] + a[:, 6]   # find + corrvel + dens-pressure
+    share = (head + a[:, 8]) / a[:, 1]   # + compute_force
+    lines += [
+        "",
+        f"Phase-column reconciliation: phases sum to "
+        f"{share.mean() * 100:.1f}% of the row step on average "
+        f"(min {share.min() * 100:.1f}%, by construction ~100).",
+    ]
+    text = "\n".join(lines) + "\n"
+    if out_md:
+        with open(out_md, "w") as f:
+            f.write(text)
+        print(f"summary -> {out_md}")
+    else:
+        print(text)
+    return 0
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--scene", default="biceps_18475",
@@ -94,7 +159,13 @@ def main():
                     help="'full' crosses in the sigma/stim anchor axes "
                          "(74 configs, ~reference campaign breadth)")
     ap.add_argument("--impl", default=None, help="fused impl override")
+    ap.add_argument("--summarize", action="store_true",
+                    help="analyze an existing campaign CSV (no TPU work)")
+    ap.add_argument("--summary-out", default=None, metavar="PATH.md")
     args = ap.parse_args()
+
+    if args.summarize:
+        return summarize(args.out, args.summary_out)
 
     import jax
     import numpy as np
