@@ -159,6 +159,20 @@ def scene_positions(name: str, cfg: SimConfig,
     return pts
 
 
+def smem_budget_sub_q(padded_cap: int) -> int:
+    """Smallest power-of-two sub-block granularity >=128 whose v4 window
+    bounds fit the scalar-memory prefetch budget.
+
+    The v4 kernels SMEM-prefetch 4 window bounds x 8 B per sub-block
+    (fused_step._call_kernel3 rejects > 900 kB); past ~3.6M padded rows
+    the 128-row granularity overflows, so sub-blocks (and q_block with
+    them) double until the bounds fit."""
+    sub_q = 128
+    while (padded_cap // sub_q) * 4 * 8 > 900_000:
+        sub_q *= 2
+    return sub_q
+
+
 def build_scene(name: str, cfg: SimConfig | None = None, replicate: int = 1,
                 stim: bool = True, pad_to: int | None = None,
                 fused_impl: str | None = None) -> Scene:
@@ -186,6 +200,14 @@ def build_scene(name: str, cfg: SimConfig | None = None, replicate: int = 1,
         cfg = cfg.replace(sm_tile_rows=pts.shape[0] // replicate)
     if pts.shape[0] > cfg.max_particles:
         cfg = cfg.replace(max_particles=int(pts.shape[0]))
+    smem_sub_q = 128
+    if (fused_impl or "v4") != "v5":
+        smem_sub_q = smem_budget_sub_q(pad_to
+                                       or -(-pts.shape[0] // 128) * 128)
+        if smem_sub_q > 128:
+            # the capacity must pad to a q_block multiple for the kernel
+            # grid to tile evenly
+            pad_to = -(-(pad_to or pts.shape[0]) // smem_sub_q) * smem_sub_q
     state = init_fluid(pts, cfg, pad_to=pad_to)
     if stim:
         if name == "cube":
@@ -205,14 +227,15 @@ def build_scene(name: str, cfg: SimConfig | None = None, replicate: int = 1,
         # v4 fused-sweep tuning, measured on v5e (DEVELOPMENT.md):
         # sub_q=128 window granularity with 128-wide candidate chunks is
         # the optimum for the biceps-density clouds; the auto-tuner only
-        # widens chunks for much denser scenes
-        sub_q, w_chunk = auto_sweep4_params(pts, cfg, sub_q=128)
+        # widens chunks for much denser scenes (and sub-blocks for the
+        # multi-million-particle SMEM bounds budget, smem_sub_q above)
+        sub_q, w_chunk = auto_sweep4_params(pts, cfg, sub_q=smem_sub_q)
         pack_cap = 0
     return Scene(state=state, cfg=cfg, cell_capacity=cap,
                  neighbor_capacity=k_nbr,
                  num_particles=int(pts.shape[0]), name=name,
-                 q_block=128, block_window=w_chunk, sub_block=sub_q,
-                 fused_impl=impl, pack_cap=pack_cap)
+                 q_block=max(128, sub_q), block_window=w_chunk,
+                 sub_block=sub_q, fused_impl=impl, pack_cap=pack_cap)
 
 
 def load_surface_mesh(which: str = "biceps"):

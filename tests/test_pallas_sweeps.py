@@ -184,6 +184,35 @@ def test_step_fused_v4_wide_world_axis_perm(rng):
                                np.asarray(b.vm)[:n], atol=5e-3)
 
 
+def test_step_fused_v4_wide_sub_blocks(rng):
+    """sub_q=q_block=256 — the granularity utils/io.build_scene falls back
+    to when the per-sub-block SMEM bounds would overflow the ~1 MB scalar
+    budget (multi-million-particle scenes)."""
+    st, pts = _state(rng, 256)  # capacity 256 divides q_block=256
+    a, b = st, st
+    for _ in range(2):
+        a, _ = step(a, CFG, 64, 9 * 64)
+        b, aux_b = step_fused(b, CFG, 256, 128, 256, impl="v4")
+        assert int(aux_b.overflow) == 0
+    for name, atol in (("pos", 5e-5), ("vel", 5e-3), ("vm", 5e-3)):
+        np.testing.assert_allclose(
+            np.asarray(getattr(a, name))[:256],
+            np.asarray(getattr(b, name))[:256], atol=atol,
+            err_msg=f"{name} diverged at sub_q=256")
+    np.testing.assert_allclose(np.asarray(a.dens)[:256],
+                               np.asarray(b.dens)[:256], rtol=1e-5)
+
+
+def test_build_scene_smem_budget_widens_sub_blocks():
+    """The SMEM-bounds budget rule: 128-row sub-blocks up to ~3.6M padded
+    rows, then doubled until (cap/sub_q)*4*8 <= 900 kB (the x224 4.1M
+    scene failed _call_kernel3's budget check before this tuner rule)."""
+    from sph_sm_monodomain_tpu.utils.io import smem_budget_sub_q
+    for cap, want in ((1_034_624, 128), (3_600_000, 128),
+                      (4_138_496, 256), (16_000_000, 1024)):
+        assert smem_budget_sub_q(cap) == want, (cap, want)
+
+
 def test_fused_padded_lanes_inert(rng):
     st, pts = _state(rng, 150)  # capacity 256, 106 padded lanes
     w_win = auto_block_window(pts, CFG, QB)
