@@ -73,7 +73,12 @@ def stim_hits_from_centers(pos: jax.Array, active: jax.Array, centers,
     thresh = _stim_threshold(radius, cfg)
 
     def body(hit, block):
-        d2 = jnp.sum((pos[None, :, :] - block[:, None, :]) ** 2, axis=-1)
+        # per-axis difference form: three (chunk, N) temps instead of one
+        # (chunk, N, 3) — the broadcast cube hit 6.4 GB per iteration at
+        # 2M particles and crashed the TPU worker (DEVELOPMENT.md, scale
+        # ceiling investigation)
+        d2 = sum((pos[None, :, k] - block[:, None, k]) ** 2
+                 for k in range(3))
         return hit | jnp.any(d2 <= thresh, axis=0), None
 
     hit, _ = jax.lax.scan(body, jnp.zeros(pos.shape[0], dtype=bool), blocks)
@@ -82,15 +87,28 @@ def stim_hits_from_centers(pos: jax.Array, active: jax.Array, centers,
 
 def turn_on_stim_mesh(state: ParticleState, positions,
                       cfg: SimConfig,
-                      tile_width: float | None = None) -> ParticleState:
+                      tile_width: float | None = None,
+                      centers_are_cloud: bool = True) -> ParticleState:
     """Stimulate the whole cloud + pin tendon anchors (turnOnStim_Mesh,
     cpp:745-762): stim sphere radius 0.01 around every loaded position, then
     fix particles with x in [0, 0.07] or (x >= 0.90 and y >= 0.80).
 
+    `centers_are_cloud`: the reference unions a set_stim sphere around
+    EVERY loaded position — each particle is distance 0 from its own
+    center, so the union is exactly the active cloud and the O(N*M)
+    distance pass is pure waste (it cost ~43 T lane-ops and a 6.4 GB
+    broadcast temp per scan step at 2M particles — the >1.5M single-chip
+    scale ceiling of rounds 2-3, see DEVELOPMENT.md). Pass False only if
+    `positions` is NOT the cloud that seeded `state`.
+
     `tile_width`: for multi-muscle scenes (several clouds tiled along x),
     apply the anchor predicates in tile-local x so every muscle gets its
     tendon anchors."""
-    hit = stim_hits_from_centers(state.pos, state.active, positions, 0.01, cfg)
+    if centers_are_cloud:
+        hit = state.active
+    else:
+        hit = stim_hits_from_centers(state.pos, state.active, positions,
+                                     0.01, cfg)
     stim = jnp.where(hit, cfg.stim_strength, state.stim)
     x, y = state.pos[:, 0], state.pos[:, 1]
     if tile_width is not None:

@@ -90,3 +90,19 @@ def test_strict_vs_corrected_diverge(rng):
         b, _ = step(b, CORRECTED, 32, 9 * 64)
     # unstimulated: strict mode has zero pressure forces, corrected doesn't
     assert not np.allclose(np.asarray(a.vel)[:150], np.asarray(b.vel)[:150])
+
+
+def test_stim_mesh_cloud_shortcut_matches_distance_pass(rng):
+    """turn_on_stim_mesh's cloud shortcut (hit = active) must equal the
+    general set_stim-union distance pass when the centers ARE the cloud —
+    the O(N*M) pass is the round-3 >1.5M scale-ceiling root cause
+    (DEVELOPMENT.md); the shortcut must not change the physics."""
+    from sph_sm_monodomain_tpu.ops.electrophysiology import turn_on_stim_mesh
+    pts = _blob(rng, 150)
+    st = init_fluid(pts, STRICT)   # capacity 256: 106 padded inactive rows
+    a = turn_on_stim_mesh(st, pts, STRICT)                   # shortcut
+    b = turn_on_stim_mesh(st, pts, STRICT,
+                          centers_are_cloud=False)           # distance pass
+    np.testing.assert_array_equal(np.asarray(a.stim), np.asarray(b.stim))
+    np.testing.assert_array_equal(np.asarray(a.fixed), np.asarray(b.fixed))
+    assert bool(a.is_stim_on) and bool(b.is_stim_on)
