@@ -13,6 +13,8 @@ Run:  python examples/contraction_demo.py [scene] [steps]
 """
 
 import sys
+
+sys.path.insert(0, str(__import__('pathlib').Path(__file__).resolve().parent.parent))
 import time
 from pathlib import Path
 

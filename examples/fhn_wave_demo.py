@@ -8,6 +8,8 @@ Run:  python examples/fhn_wave_demo.py [steps]
 """
 
 import sys
+
+sys.path.insert(0, str(__import__('pathlib').Path(__file__).resolve().parent.parent))
 from pathlib import Path
 
 import numpy as np
@@ -41,7 +43,7 @@ def main():
         state = variants.simulate_monodomain_only(state, tables, cfg,
                                                   num_steps=every)
         img = render_points(state, cfg, mode="voltage",
-                            azimuth=0.4, elevation=0.25)
+                            azimuth=0.4, elevation=0.25, vrange=(0.0, 15.0))
         save_png(str(OUT / f"wave_{i + every:05d}.png"), img)
         vm = np.asarray(state.vm)[:n]
         print(f"step {i + every}: Vm [{vm.min():.1f}, {vm.max():.1f}], "

@@ -61,6 +61,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--render-dir", default="frames")
     p.add_argument("--render-mode", default="displacement",
                    choices=["displacement", "voltage"])
+    p.add_argument("--vrange", default=None, metavar="LO,HI",
+                   help="voltage colormap range for --render-mode voltage "
+                        "(default: the reference's [-200, 200], which is "
+                        "nearly flat over an FHN wave — try 0,15)")
     p.add_argument("--render-live", default=None, metavar="PATH.png",
                    help="re-render the CURRENT state to this one file "
                         "between chunks — the headless stand-in for "
@@ -309,6 +313,9 @@ def main(argv=None) -> int:
         traj_writer = TrajectoryWriter(args.traj, scene.num_particles,
                                        fields=4)
 
+    vrange = (tuple(float(x) for x in args.vrange.split(","))
+              if args.vrange else None)
+
     def stream_frame(i, st):
         if traj_writer is not None:
             n_act = scene.num_particles
@@ -320,7 +327,8 @@ def main(argv=None) -> int:
             # one-file live view, atomically replaced so a watcher never
             # reads a half-written image
             import os
-            img = render_mod.render_points(st, cfg, mode=args.render_mode)
+            img = render_mod.render_points(st, cfg, mode=args.render_mode,
+                                           vrange=vrange)
             tmp = args.render_live + ".tmp.png"
             render_mod.save_png(tmp, img)
             if not os.path.exists(tmp):    # save_png's no-PIL .ppm fallback
@@ -560,7 +568,7 @@ def main(argv=None) -> int:
             states, cfg, args.render_dir,
             stim_off_step=(stim_off // max(render_every, 1)
                            if stim_off >= 0 else -1),
-            mode=args.render_mode)
+            mode=args.render_mode, vrange=vrange)
         print(f"{len(paths)} frames -> {args.render_dir}/")
         if args.gif and paths:
             from .utils.animate import read_png_rgb, write_gif

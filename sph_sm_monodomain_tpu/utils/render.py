@@ -49,13 +49,19 @@ def render_points(state: ParticleState, cfg: SimConfig,
                   mode: str = "displacement", size: int = 600,
                   azimuth: float = 0.0, elevation: float = 0.0,
                   point_px: int = 2, fade_ratio: float = 1.0,
-                  background=(26, 26, 26)) -> np.ndarray:
+                  background=(26, 26, 26),
+                  vrange: tuple[float, float] | None = None) -> np.ndarray:
     """Render active particles to an (size, size, 3) uint8 image.
 
     mode: 'displacement' (main.cpp:213, range [-0.05, 0.05], optionally
     scaled by `fade_ratio` like the post-stim ramp at main.cpp:221-222) or
     'voltage' (the commented-out variant at main.cpp:210, range
     [-200, max_voltage]).
+
+    vrange: override the voltage colormap range. The reference's
+    [-200, 200] maps an FHN wave's working range (tens of mV) onto a
+    nearly-flat slice of the blue->yellow->red ramp; pass a tight range
+    (e.g. (0, 15) for the apex-stim wave demo) to make the front visible.
     """
     act = np.asarray(state.active)
     pos = np.asarray(state.pos)[act]
@@ -63,7 +69,8 @@ def render_points(state: ParticleState, cfg: SimConfig,
         val = np.asarray(state.displacement())[act] * fade_ratio
         rgb = set_color(val, -0.05, 0.05)
     elif mode == "voltage":
-        rgb = set_color(np.asarray(state.vm)[act], -200.0, cfg.max_voltage)
+        lo, hi = vrange if vrange is not None else (-200.0, cfg.max_voltage)
+        rgb = set_color(np.asarray(state.vm)[act], lo, hi)
     else:
         raise ValueError(f"unknown render mode {mode!r}")
 
