@@ -2,6 +2,7 @@
 
 import os
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -33,6 +34,26 @@ def test_render_points_shape_and_content(rng):
     assert (img != 26).any()
     img_v = render_points(st, CFG, mode="voltage", size=64)
     assert img_v.shape == (64, 64, 3)
+
+
+def test_render_voltage_vrange(rng):
+    # an FHN-scale Vm field (a few mV) is invisible under the reference's
+    # [-200, 200] ramp (uniform blue) but spans the ramp under a tight
+    # vrange override
+    pts = np.clip(rng.random((64, 3)).astype(np.float32), 0.1, 1.4)
+    st = init_fluid(pts, CFG)
+    vm = np.linspace(0.0, 15.0, st.capacity).astype(np.float32)
+    st = st.replace(vm=jnp.asarray(vm))
+    img_def = render_points(st, CFG, mode="voltage", size=64)
+    img_tight = render_points(st, CFG, mode="voltage", size=64,
+                              vrange=(0.0, 15.0))
+    bg = np.array([26, 26, 26], np.uint8)
+    fg_def = img_def[(img_def != bg).any(-1)]
+    fg_tight = img_tight[(img_tight != bg).any(-1)]
+    # default: every particle pixel is in the blue half (tiny red channel)
+    assert fg_def[:, 0].max() <= 140
+    # tight range: the same field reaches the red end of the ramp
+    assert fg_tight[:, 0].max() > 200
 
 
 def test_report_row_schema():
