@@ -329,11 +329,17 @@ def main(argv=None) -> int:
             import os
             img = render_mod.render_points(st, cfg, mode=args.render_mode,
                                            vrange=vrange)
-            tmp = args.render_live + ".tmp.png"
-            render_mod.save_png(tmp, img)
-            if not os.path.exists(tmp):    # save_png's no-PIL .ppm fallback
-                tmp = args.render_live + ".tmp.ppm"
-            os.replace(tmp, args.render_live)
+            tmp = render_mod.save_png(args.render_live + ".tmp.png", img)
+            target = args.render_live
+            if tmp.endswith(".ppm"):
+                # no-PIL fallback wrote raw PPM: keep the live file's
+                # extension honest so viewers can decode it
+                target = args.render_live.rsplit(".", 1)[0] + ".ppm"
+                if not getattr(stream_frame, "_warned_ppm", False):
+                    stream_frame._warned_ppm = True
+                    print(f"no PIL: live view -> {target} (raw PPM)",
+                          flush=True)
+            os.replace(tmp, target)
 
     controller = None
     if args.control or args.pause_at:
@@ -348,7 +354,12 @@ def main(argv=None) -> int:
                 # padding; compact to a dense single-device state before
                 # writing so the checkpoint is a plain resumable state
                 from .parallel.halo_step import unshard_state_halo
-                st = unshard_state_halo(st, scene.num_particles, cfg)
+                try:
+                    st = unshard_state_halo(st, scene.num_particles, cfg)
+                except ValueError as e:    # lossy: refuse, keep running
+                    print(f"control: NOT saving checkpoint: {e}",
+                          file=sys.stderr, flush=True)
+                    return
             # record the GLOBAL step so a resume maps the protocol
             # correctly (ADVICE r2: a step-0 checkpoint replayed the full
             # stim-off schedule against already-advanced state)
@@ -450,8 +461,10 @@ def main(argv=None) -> int:
             impl = "fused" if jax.default_backend() == "tpu" else "gather"
         mesh = SS.make_mesh(devices)
         if impl == "halo":
+            # per-device slab capacity must align to the scene's kernel
+            # block (scenes past the SMEM budget widen q_block to 256+)
             sharded, _s_cap, mig_cap, halo_cap = HS.shard_state_halo(
-                state, mesh, cfg)
+                state, mesh, cfg, q_block=scene.q_block)
         else:
             sharded = SS.shard_state(state, mesh)
 
@@ -494,7 +507,7 @@ def main(argv=None) -> int:
                 # persistence consumers assume dense [0, n) row order;
                 # compact the slab layout once per chunk
                 view = HS.unshard_state_halo(sharded, scene.num_particles,
-                                             cfg)
+                                             cfg, allow_loss=True)
             else:
                 view = sharded
             stream_frame(done, view)
@@ -551,16 +564,25 @@ def main(argv=None) -> int:
         written = traj_writer.close()
         print(f"trajectory ({written} frames) -> {args.traj}")
 
+    exit_code = 0
     if args.save_checkpoint:
         ckpt_state = state
         if args.devices > 1 and args.parallel == "halo":
             from .parallel.halo_step import unshard_state_halo
-            ckpt_state = unshard_state_halo(state, scene.num_particles, cfg)
-        # accumulated step count: resumed steps + steps ACTUALLY executed
-        # this run (an early `stop` must not claim unexecuted steps)
-        save_checkpoint(args.save_checkpoint, ckpt_state,
-                        step=start_step + steps_run, cfg=cfg)
-        print(f"checkpoint -> {args.save_checkpoint}")
+            try:
+                ckpt_state = unshard_state_halo(state, scene.num_particles,
+                                                cfg)
+            except ValueError as e:    # lossy state: refuse to persist it
+                print(f"NOT writing checkpoint: {e}", file=sys.stderr,
+                      flush=True)
+                ckpt_state, exit_code = None, 1
+        if ckpt_state is not None:
+            # accumulated step count: resumed steps + steps ACTUALLY
+            # executed this run (an early `stop` must not claim
+            # unexecuted steps)
+            save_checkpoint(args.save_checkpoint, ckpt_state,
+                            step=start_step + steps_run, cfg=cfg)
+            print(f"checkpoint -> {args.save_checkpoint}")
 
     if render_every:
         states = [s for _, s in frames]
@@ -611,7 +633,7 @@ def main(argv=None) -> int:
                 f.write(REPORT_HEADER + "\n")
             f.write(row + "\n")
         print(f"report row -> {args.report}")
-    return 0
+    return exit_code
 
 
 if __name__ == "__main__":

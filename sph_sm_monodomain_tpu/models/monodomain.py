@@ -177,7 +177,7 @@ def _step_fused_v5(state: ParticleState, cfg: SimConfig, q_block: int,
         raise ValueError("impl='v5' needs pack_cap > 0 (auto_sweep5_params)")
 
     order, inv, src, trips, overflow, cf, cm, cs = sweep_bookkeeping5(
-        state.pos, state.active, cfg, sub_q, pack_cap)
+        state.pos, state.active, cfg, sub_q, pack_cap, w_chunk=w_window)
 
     # phase 2: shape matching (original order; MXU reductions)
     state = corrected_velocity(state, cfg, sm_inv=sm_inv)

@@ -611,7 +611,7 @@ def sweep_bookkeeping3(pos: jax.Array, active: jax.Array, cfg: SimConfig,
 
 
 def sweep_bookkeeping5(pos: jax.Array, active: jax.Array, cfg: SimConfig,
-                       sub_q: int, kb: int):
+                       sub_q: int, kb: int, w_chunk: int = 128):
     """Sort + per-sub-block PACKED candidate bookkeeping for the v5 sweeps.
 
     v5 eliminates the enumerated-lane waste of the merged v4 windows
@@ -630,7 +630,10 @@ def sweep_bookkeeping5(pos: jax.Array, active: jax.Array, cfg: SimConfig,
       src (B*kb,)      int32 SORTED-row index feeding each packed slot
                        (sentinel N for empty slots -> a zeroed feature row)
       trips (B,)       int32 per-block chunk trip counts for chunk width
-                       128 (ceil(min(total, kb)/128))
+                       `w_chunk` (ceil(min(total, kb)/w_chunk)) — MUST
+                       match the w_chunk the sweep kernels run with, or
+                       chunks past kb re-read (clamped ds) the last real
+                       chunk and multi-count its contributions
       overflow ()      int32 total candidates dropped because a block's
                        dilated union exceeded kb (regrow kb and redo)
       cf/cm/cs (N,)    f32 per-axis cell coords in ORIGINAL order (fast,
@@ -647,6 +650,8 @@ def sweep_bookkeeping5(pos: jax.Array, active: jax.Array, cfg: SimConfig,
     if kb % 128:
         raise ValueError(f"kb={kb} must be a multiple of the 128-lane "
                          "chunk width")
+    if kb % w_chunk:
+        raise ValueError(f"kb={kb} not divisible by w_chunk={w_chunk}")
 
     coords = (pos / cfg.cell_size).astype(jnp.int32)
     gxyz = jnp.asarray(cfg.grid_size)
@@ -688,7 +693,8 @@ def sweep_bookkeeping5(pos: jax.Array, active: jax.Array, cfg: SimConfig,
     cum = jnp.cumsum(seg_len, axis=1)                         # (B, 9) incl.
     total = cum[:, -1]
     overflow = jnp.sum(jnp.maximum(total - kb, 0)).astype(jnp.int32)
-    trips = jnp.clip((jnp.minimum(total, kb) + 127) // 128, 1, kb // 128)
+    trips = jnp.clip((jnp.minimum(total, kb) + w_chunk - 1) // w_chunk,
+                     1, kb // w_chunk)
 
     # packed slot k of block b holds sorted row seg_s[b, r] + (k - cum[b,
     # r-1]) where r is k's segment; loop the 9 segments instead of

@@ -429,7 +429,8 @@ def _window_bounds3(core_ids, merged_ids, cfg: SimConfig, sub_q: int):
 
 def unshard_state_halo(state: ParticleState, num_particles: int,
                        cfg: SimConfig,
-                       pad_to: int | None = None) -> ParticleState:
+                       pad_to: int | None = None,
+                       allow_loss: bool = False) -> ParticleState:
     """Gather a halo-sharded state back into a dense single-device state.
 
     Halo states are slab re-layouts with interleaved inactive padding and
@@ -448,8 +449,15 @@ def unshard_state_halo(state: ParticleState, num_particles: int,
     idx = np.nonzero(act)[0]
     n = int(idx.size)
     if n != num_particles:
-        print(f"unshard_state_halo: expected {num_particles} active "
-              f"particles, state has {n} (capacity overflow loss)")
+        # a lossy state must never silently become a resumable checkpoint;
+        # lossy RENDERS are still useful, so callers on view-only paths
+        # pass allow_loss=True (and get a stderr warning instead)
+        msg = (f"unshard_state_halo: expected {num_particles} active "
+               f"particles, state has {n} (capacity overflow loss)")
+        if not allow_loss:
+            raise ValueError(msg)
+        import sys
+        print(msg, file=sys.stderr, flush=True)
     cap = pad_to or ((max(n, 1) + 127) // 128) * 128
     if cap < n:
         raise ValueError(f"pad_to={cap} < active rows {n}")

@@ -133,8 +133,13 @@ def write_gif(path: str, frames, fps: float = 20.0, loop: int = 0) -> None:
 
 
 def read_png_rgb(path: str) -> np.ndarray:
-    """Read an (H, W, 3) uint8 PNG written by utils.render.save_png
-    (8-bit RGB, no interlace) — enough to re-assemble frame sequences."""
+    """Read an (H, W, 3) uint8 frame written by utils.render.save_png:
+    8-bit RGB PNG (no interlace), or the raw P6 PPM its no-PIL fallback
+    writes (detected by magic bytes, regardless of extension)."""
+    with open(path, "rb") as f:
+        head = f.read(2)
+    if head == b"P6":
+        return _read_ppm_rgb(path)
     try:
         from PIL import Image
         return np.asarray(Image.open(path).convert("RGB"))
@@ -194,3 +199,16 @@ def read_png_rgb(path: str) -> np.ndarray:
         img[y] = line.astype(np.uint8)
         prev = line
     return img
+
+
+def _read_ppm_rgb(path: str) -> np.ndarray:
+    """Raw (binary) P6 PPM, the exact single-space-header form
+    utils.render.save_png's fallback writes."""
+    with open(path, "rb") as f:
+        data = f.read()
+    parts = data.split(b"\n", 1)
+    magic, w, h, maxval = parts[0].split()
+    assert magic == b"P6" and maxval == b"255", f"{path}: unsupported PPM"
+    w, h = int(w), int(h)
+    return np.frombuffer(parts[1][:w * h * 3],
+                         np.uint8).reshape(h, w, 3).copy()

@@ -201,7 +201,7 @@ def build_scene(name: str, cfg: SimConfig | None = None, replicate: int = 1,
     if pts.shape[0] > cfg.max_particles:
         cfg = cfg.replace(max_particles=int(pts.shape[0]))
     smem_sub_q = 128
-    if (fused_impl or "v4") != "v5":
+    if (fused_impl or "v4") not in ("v5", "v5s"):
         smem_sub_q = smem_budget_sub_q(pad_to
                                        or -(-pts.shape[0] // 128) * 128)
         if smem_sub_q > 128:
@@ -219,7 +219,7 @@ def build_scene(name: str, cfg: SimConfig | None = None, replicate: int = 1,
     cap = cfg.cell_capacity or auto_cell_capacity(pts, cfg)
     k_nbr = auto_window_capacity(pts, cfg)
     impl = fused_impl or "v4"
-    if impl == "v5":
+    if impl in ("v5", "v5s"):
         # packed-slab tuning: block granularity + slab capacity from the
         # initial cloud's dilated-union histogram (pallas_sweeps.py)
         sub_q, pack_cap, w_chunk = auto_sweep5_params(pts, cfg)

@@ -94,7 +94,10 @@ def render_points(state: ParticleState, cfg: SimConfig,
     return img
 
 
-def save_png(path: str, img: np.ndarray) -> None:
+def save_png(path: str, img: np.ndarray) -> str:
+    """Write `img` to `path`; returns the path actually written (the
+    no-PIL fallback writes raw PPM and swaps the extension — callers must
+    use the RETURNED path, not the requested one)."""
     try:
         from PIL import Image
         Image.fromarray(img).save(path)
@@ -103,6 +106,7 @@ def save_png(path: str, img: np.ndarray) -> None:
         with open(path, "wb") as f:
             f.write(f"P6 {img.shape[1]} {img.shape[0]} 255\n".encode())
             f.write(img.tobytes())
+    return path
 
 
 def render_frames(states, cfg: SimConfig, out_dir: str, stim_off_step: int,
@@ -118,8 +122,7 @@ def render_frames(states, cfg: SimConfig, out_dir: str, stim_off_step: int,
             # ratio = 1 - 0.008 * (steps since stim off), main.cpp:221
             fade = max(0.0, 1.0 - 0.008 * (i - stim_off_step))
         img = render_points(st, cfg, mode=mode, fade_ratio=fade, **kw)
-        p = os.path.join(out_dir, f"frame_{i:05d}.png")
-        save_png(p, img)
+        p = save_png(os.path.join(out_dir, f"frame_{i:05d}.png"), img)
         paths.append(p)
     return paths
 

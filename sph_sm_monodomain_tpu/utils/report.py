@@ -136,43 +136,24 @@ def profile_phases_fused(scene, length: int = 250) -> dict:
     sm_inv = jax.block_until_ready(
         jax.jit(lambda s: sm_invariants(s, cfg))(state))
 
-    if impl == "v5":
+    is_v5 = impl in ("v5", "v5s")
+    if is_v5:
         def book(s):
-            return sweep_bookkeeping5(s.pos, s.active, cfg, sub_q, pack_cap)
-
-        def stage1(s):  # bookkeeping (sort + segments + packed indices)
-            order = book(s)[0]
-            return s.replace(pos=s.pos
-                             + 1e-9 * (order[0] % 2).astype(s.pos.dtype))
-
-        def stage2(s):  # + shape matching
-            order = book(s)[0]
-            s = corrected_velocity(s, cfg, sm_inv=sm_inv)
-            return s.replace(pos=s.pos + 1e-9 * s.corrected_vel
-                             + 1e-9 * (order[0] % 2).astype(s.pos.dtype))
+            return sweep_bookkeeping5(s.pos, s.active, cfg, sub_q, pack_cap,
+                                      w_chunk=wc)
 
         def stage3(s):  # + qm gather + slab pack + sweep A
             order, inv, src, trips, _ovf, cf, cm, cs = book(s)
             s = corrected_velocity(s, cfg, sm_inv=sm_inv)
             fs = build_qm_feats5(s, cf, cm, cs, order)
             packed_a = pack_feats_a5(fs, src, pack_cap)
-            out_a = sweep_a5(fs, packed_a, trips, qb, wc, cfg, sub_q=sub_q)
+            out_a = sweep_a5(fs, packed_a, trips, qb, wc, cfg, sub_q=sub_q,
+                             static_trips=(impl == "v5s"))
             return s.replace(dens=out_a[:, 8][inv],
                              pos=s.pos + 1e-12 * s.corrected_vel)
     else:
         def book(s):
             return sweep_bookkeeping3(s.pos, s.active, cfg, sub_q)
-
-        def stage1(s):  # bookkeeping
-            order = book(s)[0]
-            return s.replace(pos=s.pos
-                             + 1e-9 * (order[0] % 2).astype(s.pos.dtype))
-
-        def stage2(s):  # + shape matching
-            order = book(s)[0]
-            s = corrected_velocity(s, cfg, sm_inv=sm_inv)
-            return s.replace(pos=s.pos + 1e-9 * s.corrected_vel
-                             + 1e-9 * (order[0] % 2).astype(s.pos.dtype))
 
         def stage3(s):  # + sorted gather + sweep A
             order, inv, blk_lo, blk_hi, cx, cyz = book(s)
@@ -182,6 +163,17 @@ def profile_phases_fused(scene, length: int = 250) -> dict:
                              sub_q=sub_q, stencil="xyz3")
             return s.replace(dens=out_a[:, 8][inv],
                              pos=s.pos + 1e-12 * s.corrected_vel)
+
+    def stage1(s):  # bookkeeping (sort + window/slab index construction)
+        order = book(s)[0]
+        return s.replace(pos=s.pos
+                         + 1e-9 * (order[0] % 2).astype(s.pos.dtype))
+
+    def stage2(s):  # + shape matching
+        order = book(s)[0]
+        s = corrected_velocity(s, cfg, sm_inv=sm_inv)
+        return s.replace(pos=s.pos + 1e-9 * s.corrected_vel
+                         + 1e-9 * (order[0] % 2).astype(s.pos.dtype))
 
     def stage4(s):  # full fused step
         out, _ = step_fused(s, cfg, qb, wc, sub_q, impl=impl,

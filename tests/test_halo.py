@@ -185,3 +185,9 @@ def test_unshard_state_halo_roundtrip(rng, mesh):
     # padding matches init_fluid conventions (inert but finite)
     assert (np.asarray(dense.mass)[n:] == CFG.particle_mass).all()
     assert (np.asarray(dense.dens)[n:] == CFG.stand_density).all()
+    # a lossy state must refuse to unshard by default (a checkpoint of it
+    # would silently resume wrong physics) and only warn with allow_loss
+    with pytest.raises(ValueError, match="overflow loss"):
+        H.unshard_state_halo(halo, n + 1, CFG)
+    lossy = H.unshard_state_halo(halo, n + 1, CFG, allow_loss=True)
+    assert int(np.asarray(lossy.active).sum()) == n

@@ -56,6 +56,22 @@ def test_render_voltage_vrange(rng):
     assert fg_tight[:, 0].max() > 200
 
 
+def test_save_png_returns_path_and_ppm_roundtrip(tmp_path):
+    # save_png returns the path it actually wrote (the no-PIL fallback
+    # swaps .png -> .ppm); read_png_rgb decodes the fallback's raw P6 by
+    # magic bytes so --gif assembly works in a no-PIL environment
+    from sph_sm_monodomain_tpu.utils.animate import read_png_rgb
+    from sph_sm_monodomain_tpu.utils.render import save_png
+    img = (np.arange(4 * 5 * 3, dtype=np.uint8).reshape(4, 5, 3) * 3) % 255
+    p = save_png(str(tmp_path / "frame.png"), img)
+    assert p.endswith((".png", ".ppm"))
+    np.testing.assert_array_equal(read_png_rgb(p), img)
+    # the fallback's exact PPM form decodes identically
+    ppm = tmp_path / "frame2.ppm"
+    ppm.write_bytes(b"P6 5 4 255\n" + img.tobytes())
+    np.testing.assert_array_equal(read_png_rgb(str(ppm)), img)
+
+
 def test_report_row_schema():
     phases = {k: 0.001 for k in
               ("find_neighbors", "corrected_velocity",

@@ -41,6 +41,14 @@ def test_scene_builds_and_stimulates():
     np.testing.assert_array_equal(fixed, want_fixed)
 
 
+def test_scene_v5s_gets_packed_tuning():
+    # the static-trips v5 variant must get the same auto_sweep5_params
+    # tuning as v5: a v4-tuned scene with pack_cap=0 raises on first step
+    sc = build_scene("susane", stim=False, fused_impl="v5s")
+    assert sc.fused_impl == "v5s" and sc.pack_cap > 0
+    assert sc.state.capacity % sc.sub_block == 0
+
+
 def test_cube_scene_seeding():
     pts = cube_positions(CFG)
     assert pts.shape[0] > 1000

@@ -325,6 +325,22 @@ def test_step_fused_v5_overflow_counter(rng):
     assert int(aux.overflow) > 0
 
 
+def test_step_fused_v5_wide_chunks_match(rng):
+    """w_chunk != 128 must produce the SAME densities: the per-block trip
+    counts are sized in w_chunk-wide chunks (a hard-coded 128 made every
+    chunk past kb re-read the last real chunk via the clamped dynamic
+    slice and multi-count its contributions ~3.7x)."""
+    st, pts = _state(rng, 200)
+    a, _ = step_fused(st, CFG, 64, 128, 16, impl="v5", pack_cap=1024)
+    b, aux_b = step_fused(st, CFG, 64, 512, 16, impl="v5", pack_cap=1024)
+    assert int(aux_b.overflow) == 0
+    np.testing.assert_allclose(np.asarray(a.dens)[:200],
+                               np.asarray(b.dens)[:200], rtol=1e-6,
+                               err_msg="v5 dens diverged at w_chunk=512")
+    np.testing.assert_allclose(np.asarray(a.pos)[:200],
+                               np.asarray(b.pos)[:200], atol=1e-7)
+
+
 @pytest.mark.slow
 def test_step_fused_v5_wide_world_axis_perm(rng):
     """Stretched worlds permute the hash axes (multi-muscle scenes); the
