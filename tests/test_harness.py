@@ -211,6 +211,33 @@ def test_cli_multi_device():
 
 
 @pytest.mark.slow
+def test_cli_halo_checkpoint_and_render(tmp_path):
+    """The halo path persists: --save-checkpoint and --render-every work
+    under --parallel halo through the automatic unshard (VERDICT r2 §2/3),
+    and the checkpoint resumes on a single device."""
+    import jax
+    from sph_sm_monodomain_tpu.cli import main
+    from sph_sm_monodomain_tpu.state import load_checkpoint
+    assert jax.device_count() >= 8
+    ckpt = tmp_path / "halo.npz"
+    out = tmp_path / "frames"
+    rc = main(["--scene", "cube", "--steps", "2", "--chunk", "1",
+               "--stim-off-step", "-1", "--devices", "8",
+               "--parallel", "halo", "--render-every", "1",
+               "--render-dir", str(out), "--save-checkpoint", str(ckpt)])
+    assert rc == 0
+    assert ckpt.exists() and len(list(out.iterdir())) >= 2
+    state, step_no, _cfg = load_checkpoint(str(ckpt), with_config=True)
+    assert step_no == 2
+    import numpy as np
+    assert np.isfinite(np.asarray(state.pos)[np.asarray(state.active)]).all()
+    # resume the unsharded checkpoint single-device
+    rc = main(["--scene", "cube", "--steps", "4", "--stim-off-step", "-1",
+               "--load-checkpoint", str(ckpt)])
+    assert rc == 0
+
+
+@pytest.mark.slow
 def test_cli_render_live_and_gif(tmp_path):
     """--render-live rewrites one file between chunks (the GLUT-window
     stand-in) and --gif assembles the frame sequence (VERDICT r2 §8)."""
