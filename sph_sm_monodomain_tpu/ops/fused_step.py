@@ -856,11 +856,15 @@ def pack_feats_b5(out_a, vol_now, src, kb):
          out_a[:, 12], out_a[:, 13], out_a[:, 14], z], src, kb)
 
 
-def apply_out_fused(state, out_a, out_b, inv):
-    """Unsort OUT_A/OUT_B and write the step's results back into the state
-    (fixed/inactive keeps in original order) — the single writeback for
-    the fully-fused v3/v4 steps."""
-    ou = jnp.concatenate([out_b, out_a[:, 3:6]], axis=1)[inv]
+def apply_out_fused(state, out_a, out_b, inv=None):
+    """Unsort OUT_A/OUT_B (inv=None skips the unsort for callers whose
+    state already lives in sorted layout, e.g. the halo path) and write
+    the step's results back into the state (fixed/inactive keeps) — the
+    SINGLE writeback carrying the output-column contract for every fused
+    step, single- or multi-chip."""
+    ou = jnp.concatenate([out_b, out_a[:, 3:6]], axis=1)
+    if inv is not None:
+        ou = ou[inv]
     act = state.active
     upd = act & ~state.fixed
     return state.replace(

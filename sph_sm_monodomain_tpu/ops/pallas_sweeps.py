@@ -551,6 +551,28 @@ def hash_axis_perm(cfg: SimConfig) -> tuple[int, int, int]:
     return tuple(sorted(range(3), key=lambda a: (g[a], a)))
 
 
+def hash_cells_perm(pos: jax.Array, active: jax.Array, cfg: SimConfig):
+    """Axis-permuted cell coordinates + linear sort hash — the SINGLE
+    implementation shared by the v4/v5 sweep bookkeeping and the halo
+    path's slab ownership/migration (parallel/halo_step): slab ownership
+    and the window sort key must stay bit-identical or migrated rows land
+    outside the windows that hash them.
+
+    Returns (cf, cm, cs, valid, ids): per-axis cell coords in
+    hash_axis_perm (fast, mid, slow) order, the in-grid & active mask, and
+    ids = cf + Gf*(cm + Gm*cs) with a num_cells sentinel on invalid rows.
+    """
+    fa, ma, sa = hash_axis_perm(cfg)
+    gf, gm = cfg.grid_size[fa], cfg.grid_size[ma]
+    coords = (pos / cfg.cell_size).astype(jnp.int32)
+    gxyz = jnp.asarray(cfg.grid_size)
+    inside = jnp.all((coords >= 0) & (coords < gxyz[None, :]), axis=-1)
+    valid = inside & active
+    cf, cm, cs = coords[..., fa], coords[..., ma], coords[..., sa]
+    ids = jnp.where(valid, cf + gf * (cm + gm * cs), cfg.num_cells)
+    return cf, cm, cs, valid, ids
+
+
 def sweep_bookkeeping3(pos: jax.Array, active: jax.Array, cfg: SimConfig,
                        win_block: int):
     """Sort + merged slow-plane window bookkeeping for the v4 sweeps
@@ -575,12 +597,7 @@ def sweep_bookkeeping3(pos: jax.Array, active: jax.Array, cfg: SimConfig,
     fa, ma, sa = hash_axis_perm(cfg)
     gf, gm = cfg.grid_size[fa], cfg.grid_size[ma]
 
-    coords = (pos / cfg.cell_size).astype(jnp.int32)
-    gxyz = jnp.asarray(cfg.grid_size)
-    inside = jnp.all((coords >= 0) & (coords < gxyz[None, :]), axis=-1)
-    valid = inside & active
-    cf, cm, cs = coords[..., fa], coords[..., ma], coords[..., sa]
-    ids = jnp.where(valid, cf + gf * (cm + gm * cs), num_cells)
+    cf, cm, cs, valid, ids = hash_cells_perm(pos, active, cfg)
     iota = jnp.arange(n, dtype=jnp.int32)
     if n <= 32768 and num_cells < 65536:
         comb = jnp.sort(ids * 32768 + iota)
@@ -653,12 +670,7 @@ def sweep_bookkeeping5(pos: jax.Array, active: jax.Array, cfg: SimConfig,
     if kb % w_chunk:
         raise ValueError(f"kb={kb} not divisible by w_chunk={w_chunk}")
 
-    coords = (pos / cfg.cell_size).astype(jnp.int32)
-    gxyz = jnp.asarray(cfg.grid_size)
-    inside = jnp.all((coords >= 0) & (coords < gxyz[None, :]), axis=-1)
-    valid = inside & active
-    c_f, c_m, c_s = coords[..., fa], coords[..., ma], coords[..., sa]
-    ids = jnp.where(valid, c_f + gf * (c_m + gm * c_s), num_cells)
+    c_f, c_m, c_s, valid, ids = hash_cells_perm(pos, active, cfg)
     iota = jnp.arange(n, dtype=jnp.int32)
     if n <= 32768 and num_cells < 65536:
         comb = jnp.sort(ids * 32768 + iota)

@@ -50,7 +50,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import SimConfig
 from ..state import ParticleState
-from ..ops.fused_step import feats_from_out_a, sweep_a3, sweep_b3
+from ..ops.fused_step import (apply_out_fused, feats_from_out_a, sweep_a3,
+                              sweep_b3)
 from ..ops.pallas_sweeps import hash_axis_perm
 from ..ops.shape_matching import (corrected_velocity, sm_invariants,
                                   sm_rebind_rows)
@@ -75,16 +76,12 @@ def z_slab_bounds(cfg: SimConfig, n_devices: int) -> np.ndarray:
 
 
 def _hash_ids(pos, active, cfg: SimConfig):
-    """Axis-permuted linear hash (matches sweep_bookkeeping3's sort key),
-    num_cells sentinel for out-of-grid / inactive rows."""
-    fa, ma, sa = hash_axis_perm(cfg)
-    gf, gm = cfg.grid_size[fa], cfg.grid_size[ma]
-    coords = (pos / cfg.cell_size).astype(jnp.int32)
-    gxyz = jnp.asarray(cfg.grid_size)
-    inside = jnp.all((coords >= 0) & (coords < gxyz[None, :]), axis=-1)
-    cf, cm, cs = coords[..., fa], coords[..., ma], coords[..., sa]
-    return jnp.where(inside & active, cf + gf * (cm + gm * cs),
-                     cfg.num_cells)
+    """Slab-ownership sort key == the sweeps' window sort key, by
+    construction: both call ops.pallas_sweeps.hash_cells_perm (migrating a
+    row to a device whose windows hash it elsewhere would silently corrupt
+    boundary physics)."""
+    from ..ops.pallas_sweeps import hash_cells_perm
+    return hash_cells_perm(pos, active, cfg)[4]
 
 
 def shard_state_halo(state: ParticleState, mesh: Mesh, cfg: SimConfig,
@@ -313,16 +310,23 @@ def _halo_body(state: ParticleState, cfg: SimConfig, q_block: int,
         tail_ok = hiota < act_end2 - tail_lo
         tail_ids = jnp.where(tail_ok, jnp.minimum(tail_ids_raw, my_hi - 1),
                              my_hi - 1)
+        # the int32 id column rides the float matrix through ppermute as a
+        # BITCAST (not a value cast): ids can reach num_cells, which passes
+        # 2^24 around ~12.3M-cell worlds — a value round-trip through f32
+        # would silently collide adjacent planes' ids there and corrupt the
+        # merged window bounds with overflow == 0
+        bc_f = lambda i: jax.lax.bitcast_convert_type(i, jnp.float32)
+        bc_i = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
         left_halo = _shift(jnp.concatenate(
-            [tail, tail_ids[:, None].astype(jnp.float32)], axis=1),
+            [tail, bc_f(tail_ids)[:, None]], axis=1),
             axis, +1, n_devices)                            # from d-1
         right_halo = _shift(jnp.concatenate(
-            [head, head_ids[:, None].astype(jnp.float32)], axis=1),
+            [head, bc_f(head_ids)[:, None]], axis=1),
             axis, -1, n_devices)                            # from d+1
         # edge devices receive zeros: mark those ids inert
-        l_ids = jnp.where(d > 0, left_halo[:, -1].astype(jnp.int32), 0)
+        l_ids = jnp.where(d > 0, bc_i(left_halo[:, -1]), 0)
         r_ids = jnp.where(d < n_devices - 1,
-                          right_halo[:, -1].astype(jnp.int32), num_cells)
+                          bc_i(right_halo[:, -1]), num_cells)
         l_mat = jnp.where(d > 0, left_halo[:, :-1], _SENTINEL)
         r_mat = jnp.where(d < n_devices - 1, right_halo[:, :-1], _SENTINEL)
         return l_mat, l_ids, r_mat, r_ids
@@ -371,15 +375,7 @@ def _halo_body(state: ParticleState, cfg: SimConfig, q_block: int,
                      cfg, sub_q=sub_q, stencil="xyz3")
 
     # ---- 6. final state (device-sorted layout, no unsort) -----------------
-    ou = jnp.concatenate([out_b, out_a[:, 3:6]], axis=1)
-    act = state.active
-    upd = act & ~state.fixed
-    state = state.replace(
-        pos=jnp.where(upd[:, None], ou[:, 0:3], state.pos),
-        vel=jnp.where(upd[:, None], ou[:, 3:6], state.vel),
-        vm=jnp.where(act, ou[:, 6], state.vm),
-        dens=ou[:, 7], pres=ou[:, 8], iion=ou[:, 9], w=ou[:, 10],
-        inter_vm=ou[:, 11], acc=ou[:, 12:15], inter_vel=ou[:, 16:19])
+    state = apply_out_fused(state, out_a, out_b)
     # overflow sums three failure modes across the mesh: emigrants beyond
     # mig_cap, active rows beyond the slab capacity, boundary-plane rows
     # beyond halo_cap (non-edge devices only)

@@ -41,6 +41,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import SimConfig
 from ..state import ParticleState
 from ..ops.grid import build_neighbor_table
+from ..ops.fused_step import apply_out_fused, feats_from_out_a, sweep_a3, \
+    sweep_b3
+from ..ops.pallas_sweeps import sweep_bookkeeping3
 from ..ops.shape_matching import corrected_velocity, sm_invariants
 from ..ops.sph import (density_pressure_arrays, force_diffusion_arrays,
                        xsph_arrays)
@@ -81,7 +84,7 @@ def shard_state(state: ParticleState, mesh: Mesh,
 
 def _sharded_step_body(state: ParticleState, cfg: SimConfig,
                        cell_capacity: int, neighbor_capacity: int,
-                       axis: str = AXIS):
+                       axis: str = AXIS, sm_inv=None):
     """One coupled step on LOCAL shards (runs inside shard_map)."""
     def ag(x):
         return jax.lax.all_gather(x, axis, tiled=True)
@@ -94,8 +97,9 @@ def _sharded_step_body(state: ParticleState, cfg: SimConfig,
     nbr = build_neighbor_table(state.pos, g_pos, g_active, cfg,
                                cell_capacity, neighbor_capacity)
 
-    # 2. shape matching: local moments + psum (ops/shape_matching.py)
-    state = corrected_velocity(state, cfg, axis_name=axis)
+    # 2. shape matching: local moments + psum (ops/shape_matching.py);
+    #    scan drivers hoist the step-invariant rest moments (sm_inv)
+    state = corrected_velocity(state, cfg, axis_name=axis, sm_inv=sm_inv)
 
     # 3. XSPH (needs previous-step global densities + fresh corrected vel)
     g_cvel, g_dens_prev = ag(state.corrected_vel), ag(state.dens)
@@ -159,6 +163,10 @@ def make_sharded_simulate(mesh: Mesh, cfg: SimConfig, cell_capacity: int,
     @partial(jax.shard_map, mesh=mesh, in_specs=(spec,),
              out_specs=(spec, P()))
     def sharded_simulate(state):
+        # rows never migrate on this path: hoist the step-invariant SM
+        # rest moments (psums + 3x3/9x9 inversions) out of the scan
+        sm_inv = sm_invariants(state, cfg, axis_name=axis)
+
         def body(carry, i):
             st, ovf = carry
             if stim_off_step >= 0:
@@ -166,7 +174,8 @@ def make_sharded_simulate(mesh: Mesh, cfg: SimConfig, cell_capacity: int,
                                   lambda s: turn_off_stim(s, cfg),
                                   lambda s: s, st)
             st, o = _sharded_step_body(st, cfg, cell_capacity,
-                                       neighbor_capacity, axis)
+                                       neighbor_capacity, axis,
+                                       sm_inv=sm_inv)
             return (st, jnp.maximum(ovf, o)), None
 
         (state, overflow), _ = jax.lax.scan(
@@ -177,21 +186,20 @@ def make_sharded_simulate(mesh: Mesh, cfg: SimConfig, cell_capacity: int,
 
 
 def _sharded_fused_body(state: ParticleState, cfg: SimConfig, q_block: int,
-                        w_chunk: int, sub_q: int, axis: str = AXIS):
+                        w_chunk: int, sub_q: int, axis: str = AXIS,
+                        sm_inv=None):
     """One fused-Pallas coupled step on LOCAL shards (inside shard_map).
 
-    Strategy: all_gather the per-particle fields once per phase group,
-    compute global sort/window bookkeeping redundantly on every device
-    (cheap), and run the v4 fused kernels (ops/fused_step.py, merged
-    z-plane windows) over THIS device's contiguous slab of sorted query
-    rows — compute scales 1/D while candidates come from the full gathered
-    arrays. Slab outputs are all_gathered (sorted order) and mapped back
-    to each device's original-order shard.
+    Strategy: all_gather the per-particle fields once per phase group
+    (each group packed locally into ONE matrix so a phase costs one ICI
+    collective, not one per field), compute global sort/window bookkeeping
+    redundantly on every device (cheap), and run the v4 fused kernels
+    (ops/fused_step.py, merged z-plane windows) over THIS device's
+    contiguous slab of sorted query rows — compute scales 1/D while
+    candidates come from the full gathered arrays. Slab outputs are
+    all_gathered (sorted order) and mapped back to each device's
+    original-order shard.
     """
-    import jax.numpy as jnp
-    from ..ops.fused_step import feats_from_out_a, sweep_a3, sweep_b3
-    from ..ops.pallas_sweeps import sweep_bookkeeping3
-
     def ag(x):
         return jax.lax.all_gather(x, axis, tiled=True)
 
@@ -199,22 +207,28 @@ def _sharded_fused_body(state: ParticleState, cfg: SimConfig, q_block: int,
     n_loc = state.pos.shape[0]
     lo = d * n_loc  # this device's sorted-row slab
 
-    g_pos, g_active = ag(state.pos), ag(state.active)
+    # gather #1: positions + active mask (bookkeeping inputs), one packed
+    # (n_loc, 4) block instead of two collectives
+    g_pa = ag(jnp.concatenate(
+        [state.pos, state.active.astype(jnp.float32)[:, None]], axis=1))
+    g_pos, g_active = g_pa[:, 0:3], g_pa[:, 3] > 0.5
     order, inv, blk_lo, blk_hi, cx, cyz = sweep_bookkeeping3(
         g_pos, g_active, cfg, sub_q)
     my_inv = jax.lax.dynamic_slice(inv, (lo,), (n_loc,))
 
-    # shape matching: local moments + psum
-    state = corrected_velocity(state, cfg, axis_name=axis)
+    # shape matching: local moments + psum (scan drivers hoist sm_inv)
+    state = corrected_velocity(state, cfg, axis_name=axis, sm_inv=sm_inv)
 
     n = g_pos.shape[0]
+    # gather #2: the remaining QM_A columns as one packed (n_loc, 9) block
+    g_rest = ag(jnp.concatenate(
+        [state.corrected_vel, state.mass[:, None], state.dens[:, None],
+         state.vm[:, None], state.stim[:, None], state.iion[:, None],
+         state.w[:, None]], axis=1))
     # QM_A column contract: ops/fused_step.build_qm_feats (per-shard
     # rows here, so the arrays are sliced differently)
     fields = jnp.concatenate([
-        g_pos, ag(state.corrected_vel), ag(state.mass)[:, None],
-        ag(state.dens)[:, None], ag(state.vm)[:, None],
-        ag(state.stim)[:, None], ag(state.iion)[:, None],
-        ag(state.w)[:, None], cx[:, None], cyz[:, None],
+        g_pos, g_rest, cx[:, None], cyz[:, None],
         jnp.zeros((n, 2), jnp.float32)], axis=1)            # QM_A layout
     fs = fields[order]
 
@@ -235,15 +249,7 @@ def _sharded_fused_body(state: ParticleState, cfg: SimConfig, q_block: int,
                           stencil="xyz3")
     out_b = ag(out_b_slab)
 
-    ou = jnp.concatenate([out_b, out_a[:, 3:6]], axis=1)[my_inv]
-    act = state.active
-    upd = act & ~state.fixed
-    state = state.replace(
-        pos=jnp.where(upd[:, None], ou[:, 0:3], state.pos),
-        vel=jnp.where(upd[:, None], ou[:, 3:6], state.vel),
-        vm=jnp.where(act, ou[:, 6], state.vm),
-        dens=ou[:, 7], pres=ou[:, 8], iion=ou[:, 9], w=ou[:, 10],
-        inter_vm=ou[:, 11], acc=ou[:, 12:15], inter_vel=ou[:, 16:19])
+    state = apply_out_fused(state, out_a, out_b, my_inv)
     return state, jnp.zeros((), jnp.int32)
 
 
@@ -261,13 +267,18 @@ def make_sharded_simulate_fused(mesh: Mesh, cfg: SimConfig, num_steps: int,
     @partial(jax.shard_map, mesh=mesh, in_specs=(spec,),
              out_specs=(spec, P()), check_vma=False)
     def sharded_simulate(state):
+        # rows never migrate on this path: hoist the step-invariant SM
+        # rest moments (psums + 3x3/9x9 inversions) out of the scan — the
+        # same hoist run_protocol and make_halo_simulate already do
+        sm_inv = sm_invariants(state, cfg, axis_name=axis)
+
         def body(st, i):
             if stim_off_step >= 0:
                 st = jax.lax.cond(i == stim_off_step,
                                   lambda s: turn_off_stim(s, cfg),
                                   lambda s: s, st)
             st, _ = _sharded_fused_body(st, cfg, q_block, w_chunk, sub_q,
-                                        axis)
+                                        axis, sm_inv=sm_inv)
             return st, None
 
         state, _ = jax.lax.scan(body, state, jnp.arange(num_steps))
