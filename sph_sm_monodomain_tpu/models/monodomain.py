@@ -79,14 +79,25 @@ def step_fused(state: ParticleState, cfg: SimConfig, q_block: int,
     if impl == "v2":
         return _step_fused_v2(state, cfg, q_block, w_window, sub_q or 32,
                               sm_inv)
-    from ..ops import kernels as K
+    if impl != "v1":
+        raise ValueError(f"unknown fused impl {impl!r} "
+                         "(expected v1/v2/v3/v4/v5/v5s)")
+    return _step_fused_v1(state, cfg, q_block, w_window, sub_q, sm_inv)
+
+
+def _step_fused_v1(state: ParticleState, cfg: SimConfig, q_block: int,
+                   w_window: int, sub_q: int | None,
+                   sm_inv=None) -> tuple[ParticleState, StepAux]:
+    """v1 fused step: per-query bound arrays + MXU-contraction kernels
+    (superseded by v2-v4; kept as the measured baseline)."""
+    from ..ops.fused_step import _a_epilogue
     from ..ops.pallas_sweeps import sweep_a, sweep_b, sweep_bookkeeping
 
     order, inv, qstart, qend, blk_start, blk_len = sweep_bookkeeping(
         state.pos, state.active, cfg, sub_q or q_block)
 
     # phase 2: shape matching (original order; MXU reductions)
-    state = corrected_velocity(state, cfg)
+    state = corrected_velocity(state, cfg, sm_inv=sm_inv)
 
     # sorted views: ONE (N, 16) gather instead of nine (N,) gathers — the
     # index traffic amortizes over the row
@@ -105,42 +116,30 @@ def step_fused(state: ParticleState, cfg: SimConfig, q_block: int,
     iion_s = fs[:, 10]
     w_rec_s = fs[:, 11]
 
-    # phases 3+4: fused XSPH + density (prev-step densities for volumes)
-    vol_prev = mass_s / fs[:, 7]
+    # phases 3+4: fused XSPH + density (prev-step densities for volumes;
+    # inactive padding carries dens == 0 after the first step — zero those
+    # volumes so masked-lane products stay finite)
+    vol_prev = jnp.where(fs[:, 7] > 0.0, mass_s / fs[:, 7], 0.0)
     dens_s, xsph_s = sweep_a(pos_s, cvel_s, vol_prev, mass_s, qstart, qend,
                              blk_start, blk_len, q_block, w_window, cfg,
                              sub_q=sub_q)
     inter_vel_s = cvel_s + xsph_s * cfg.velocity_mixing     # cpp:699
-    if cfg.quirk_double_self_density:                       # cpp:483
-        dens_s = dens_s + mass_s * K.poly6(jnp.zeros_like(dens_s), cfg)
-    pres_s = cfg.k_stiffness * (dens_s - cfg.stand_density) \
-        - vm_s * cfg.voltage_constant                       # cpp:486-491
-    clamped = jnp.clip(pres_s, -cfg.max_pressure, cfg.max_pressure)
-    if cfg.quirk_pressure_stim_gate:                        # cpp:493-503
-        pres_s = jnp.where(stim_s > 0.0, clamped,
-                           jnp.asarray(-0.0, pres_s.dtype))
-    else:
-        pres_s = clamped
 
-    # phase 5: FHN reaction (pointwise, sorted space; cpp:575-593)
-    denom = cfg.fh_vp - cfg.fh_vr
-    asd = (cfg.fh_vt - cfg.fh_vr) / denom
-    u = (vm_s - cfg.fh_vr) / denom
-    d_iion = cfg.time_delta * (cfg.fh_c1 * u * (u - asd) * (u - 1.0)
-                               + cfg.fh_c2 * w_rec_s) / mass_s
-    iion_s = (iion_s + d_iion) if cfg.quirk_iion_accumulate else d_iion
-    w_rec_s = w_rec_s + cfg.time_delta * cfg.fh_c3 \
-        * (u - cfg.fh_c4 * w_rec_s) / mass_s
+    # phases 4b+5: EOS + stim gate + FHN reaction — the SAME pointwise
+    # block the fully-fused kernels run in their epilogue (cpp:483-593)
+    dens_s, pres_s, react_s, iion_s, w_rec_s = _a_epilogue(
+        cfg, True, mass_s, vm_s, stim_s, iion_s, w_rec_s, dens_s)
 
     # phase 6: fused force + Vm Laplacian (current densities)
-    vol_now = mass_s / dens_s
+    dens_guard = jnp.where(dens_s > 0.0, dens_s, 1.0)
+    vol_now = mass_s / dens_guard
     acc_raw_s, lap_s = sweep_b(pos_s, inter_vel_s, vol_now, pres_s, vm_s,
                                qstart, qend, blk_start, blk_len, q_block,
                                w_window, cfg, sub_q=sub_q)
-    acc_s = acc_raw_s / dens_s[:, None]                     # cpp:568
+    acc_s = acc_raw_s / dens_guard[:, None]                 # cpp:568
     inter_vm_s = lap_s + (cfg.sigma / (cfg.beta_sv_ratio
                                        * cfg.cm_capacitance)) * lap_s \
-        - (iion_s - stim_s * cfg.time_delta / mass_s) / cfg.cm_capacitance
+        - react_s                                           # cpp:571
 
     # unsort in ONE (N, 16) gather and integrate (phase 7)
     outs = jnp.stack([
@@ -262,7 +261,7 @@ def _step_fused_v2(state: ParticleState, cfg: SimConfig, q_block: int,
                    w_window: int, sub_q: int,
                    sm_inv=None) -> tuple[ParticleState, StepAux]:
     """v2 fused step: lean bookkeeping + coordinate-mask sweep kernels."""
-    from ..ops import kernels as K
+    from ..ops.fused_step import _a_epilogue
     from ..ops.pallas_sweeps import sweep_a2, sweep_b2, sweep_bookkeeping2
 
     order, inv, blk_lo, blk_hi, chash = sweep_bookkeeping2(
@@ -298,26 +297,11 @@ def _step_fused_v2(state: ParticleState, cfg: SimConfig, q_block: int,
                               blk_lo, blk_hi, q_block, w_window, cfg,
                               sub_q=sub_q)
     inter_vel_s = cvel_s + xsph_s * cfg.velocity_mixing     # cpp:699
-    if cfg.quirk_double_self_density:                       # cpp:483
-        dens_s = dens_s + mass_s * K.poly6(jnp.zeros_like(dens_s), cfg)
-    pres_s = cfg.k_stiffness * (dens_s - cfg.stand_density) \
-        - vm_s * cfg.voltage_constant                       # cpp:486-491
-    clamped = jnp.clip(pres_s, -cfg.max_pressure, cfg.max_pressure)
-    if cfg.quirk_pressure_stim_gate:                        # cpp:493-503
-        pres_s = jnp.where(stim_s > 0.0, clamped,
-                           jnp.asarray(-0.0, pres_s.dtype))
-    else:
-        pres_s = clamped
 
-    # phase 5: FHN reaction (pointwise, sorted space; cpp:575-593)
-    denom = cfg.fh_vp - cfg.fh_vr
-    asd = (cfg.fh_vt - cfg.fh_vr) / denom
-    u = (vm_s - cfg.fh_vr) / denom
-    d_iion = cfg.time_delta * (cfg.fh_c1 * u * (u - asd) * (u - 1.0)
-                               + cfg.fh_c2 * w_rec_s) / mass_s
-    iion_s = (iion_s + d_iion) if cfg.quirk_iion_accumulate else d_iion
-    w_rec_s = w_rec_s + cfg.time_delta * cfg.fh_c3 \
-        * (u - cfg.fh_c4 * w_rec_s) / mass_s
+    # phases 4b+5: EOS + stim gate + FHN reaction — the SAME pointwise
+    # block the fully-fused kernels run in their epilogue (cpp:483-593)
+    dens_s, pres_s, react_s, iion_s, w_rec_s = _a_epilogue(
+        cfg, True, mass_s, vm_s, stim_s, iion_s, w_rec_s, dens_s)
 
     # phase 6: fused force + Vm Laplacian (current densities)
     dens_guard = jnp.where(dens_s > 0.0, dens_s, 1.0)
@@ -328,7 +312,7 @@ def _step_fused_v2(state: ParticleState, cfg: SimConfig, q_block: int,
     acc_s = acc_raw_s / dens_guard[:, None]                 # cpp:568
     inter_vm_s = lap_s + (cfg.sigma / (cfg.beta_sv_ratio
                                        * cfg.cm_capacitance)) * lap_s \
-        - (iion_s - stim_s * cfg.time_delta / mass_s) / cfg.cm_capacitance
+        - react_s                                           # cpp:571
 
     # unsort in ONE (N, 16) gather and integrate (phase 7)
     outs = jnp.stack([

@@ -68,29 +68,20 @@ def step_sph_only_fused(state: ParticleState, cfg: SimConfig,
     gravity -> XSPH + density + EOS -> pressure/viscosity forces ->
     integrate). Physics-equivalent to `step_sph_only`."""
     from ..ops.pallas_sweeps import sweep_bookkeeping3
-    from ..ops.fused_step import feats_from_out_a, sweep_a3, sweep_b3
+    from ..ops.fused_step import (build_qm_feats, feats_from_out_a,
+                                  sweep_a3, sweep_b3)
 
     order, inv, blk_lo, blk_hi, cx, cyz = sweep_bookkeeping3(
         state.pos, state.active, cfg, sub_q)
     state = apply_external_forces(state, cfg)
     state = state.replace(corrected_vel=state.predicted_vel)
 
-    # QM_A column contract: ops/fused_step.build_qm_feats (this variant
-    # zeroes the EP columns instead of reading them — with_ep=False)
-    n = state.capacity
-    fields = jnp.concatenate([
-        state.pos, state.corrected_vel, state.mass[:, None],
-        state.dens[:, None], jnp.zeros((n, 1), jnp.float32),  # vm = 0
-        state.stim[:, None], jnp.zeros((n, 2), jnp.float32),  # iion, w
-        cx[:, None], cyz[:, None],
-        jnp.zeros((n, 2), jnp.float32)], axis=1)            # QM_A layout
-    fs = fields[order]
-
-    z = jnp.zeros((n,), jnp.float32)
-    vol_prev = jnp.where(fs[:, 7] > 0.0, fs[:, 6] / fs[:, 7], 0.0)
-    feats_a = jnp.stack([fs[:, 0], fs[:, 1], fs[:, 2], fs[:, 3], fs[:, 4],
-                         fs[:, 5], vol_prev, fs[:, 6], z, z, z, z,
-                         fs[:, 12], fs[:, 13], z, z], axis=0)
+    # single source of the QM_A column contract; with_ep=False reads the
+    # EP columns as zeros (vm feeds the EOS coupling, iion/w the FHN
+    # epilogue — all dropped by the kernels' with_ep switch anyway)
+    zeros1 = jnp.zeros_like(state.mass)
+    fs, feats_a = build_qm_feats(
+        state.replace(vm=zeros1, iion=zeros1, w=zeros1), cx, cyz, order)
     out_a = sweep_a3(fs, feats_a, blk_lo, blk_hi, q_block, w_window, cfg,
                      with_ep=False, sub_q=sub_q, stencil="xyz3")
 
@@ -226,14 +217,27 @@ def step_monodomain_only(state: ParticleState, tables: MonodomainTables,
 def simulate_monodomain_only(state: ParticleState, tables: MonodomainTables,
                              cfg: SimConfig, num_steps: int,
                              record_every: int = 0):
-    """Scan driver for the frozen-cloud FHN wave (BASELINE config 3)."""
-    def body(st, _):
-        st = step_monodomain_only(st, tables, cfg)
-        return st, (st.vm if record_every else ())
+    """Scan driver for the frozen-cloud FHN wave (BASELINE config 3).
 
-    state, vms = jax.lax.scan(body, state, None, length=num_steps)
+    Frames are recorded INSIDE the scan, one vm snapshot after each block
+    of `record_every` steps (the _scan_with_frames convention), so memory
+    scales with num_steps / record_every, not num_steps."""
+    def body(st, _):
+        return step_monodomain_only(st, tables, cfg), ()
+
     if record_every:
-        return state, vms[::record_every]
+        blocks = num_steps // record_every
+        rest = num_steps - blocks * record_every
+
+        def block(st, _):
+            st, _out = jax.lax.scan(body, st, None, length=record_every)
+            return st, st.vm
+
+        state, vms = jax.lax.scan(block, state, None, length=blocks)
+        if rest:
+            state, _ = jax.lax.scan(body, state, None, length=rest)
+        return state, vms
+    state, _ = jax.lax.scan(body, state, None, length=num_steps)
     return state
 
 
@@ -290,7 +294,9 @@ def simulate_monodomain_only_fused(state: ParticleState,
                                    q_block: int = 128, w_chunk: int = 128,
                                    record_every: int = 0, sub_q: int = 128):
     """Fused frozen-cloud FHN wave: per step only the reaction ODEs and one
-    Laplacian sweep run — all geometry is static (BASELINE config 3)."""
+    Laplacian sweep run — all geometry is static (BASELINE config 3).
+    Frame recording follows the _scan_with_frames convention (one snapshot
+    after each `record_every`-step block, recorded inside the scan)."""
     from ..ops.pallas_sweeps import sweep_b2
 
     zeros3 = jnp.zeros_like(tables.pos_s)
@@ -311,9 +317,19 @@ def simulate_monodomain_only_fused(state: ParticleState,
         vm = jnp.clip(vm, -cfg.max_voltage, cfg.max_voltage)
         st = st.replace(vm=jnp.where(st.active, vm, st.vm),
                         inter_vm=inter_vm, dens=tables.dens)
-        return st, (st.vm if record_every else ())
+        return st, ()
 
-    state, vms = jax.lax.scan(body, state, None, length=num_steps)
     if record_every:
-        return state, vms[::record_every]
+        blocks = num_steps // record_every
+        rest = num_steps - blocks * record_every
+
+        def block(st, _):
+            st, _out = jax.lax.scan(body, st, None, length=record_every)
+            return st, st.vm
+
+        state, vms = jax.lax.scan(block, state, None, length=blocks)
+        if rest:
+            state, _ = jax.lax.scan(body, state, None, length=rest)
+        return state, vms
+    state, _ = jax.lax.scan(body, state, None, length=num_steps)
     return state

@@ -626,7 +626,7 @@ def _kernel_a5(trips_ref, qm_ref, packed_ref, out_ref, *, cfg: SimConfig,
         def chunk(c, carry, sb=sb, qx=qx, qy=qy, qz=qz, qcv=qcv,
                   qcf=qcf, qcm=qcm, qcs=qcs):
             off = pl.multiple_of(c * w_chunk, 128)
-            cand = packed_ref[sb, :, pl.ds(off, w_chunk)]    # (12, Wc)
+            cand = packed_ref[sb, :, pl.ds(off, w_chunk)]    # (16, Wc)
             m = ((jnp.abs(qcf - cand[12:13, :]) <= 1.0)
                  & (jnp.abs(qcm - cand[13:14, :]) <= 1.0)
                  & (jnp.abs(qcs - cand[14:15, :]) <= 1.0))
@@ -702,7 +702,7 @@ def _kernel_b5(trips_ref, qm_ref, packed_ref, out_ref, *, cfg: SimConfig,
         def chunk(c, carry, sb=sb, qx=qx, qy=qy, qz=qz, qp=qp, qiv=qiv,
                   qvm=qvm, qcf=qcf, qcm=qcm, qcs=qcs):
             off = pl.multiple_of(c * w_chunk, 128)
-            cand = packed_ref[sb, :, pl.ds(off, w_chunk)]    # (12, Wc)
+            cand = packed_ref[sb, :, pl.ds(off, w_chunk)]    # (16, Wc)
             m = ((jnp.abs(qcf - cand[12:13, :]) <= 1.0)
                  & (jnp.abs(qcm - cand[13:14, :]) <= 1.0)
                  & (jnp.abs(qcs - cand[14:15, :]) <= 1.0))
@@ -762,6 +762,17 @@ def _call_kernel5(kernel, packed, qmat, trips, q_block, w_chunk, sub_q,
         raise ValueError(f"kb={kb} must be a multiple of w_chunk={w_chunk}")
     if b * sub_q != n:
         raise ValueError(f"packed blocks {b} x sub_q={sub_q} != rows {n}")
+    # the (B,) trips array is scalar-prefetched whole into SMEM: same
+    # ~900 kB honest budget as _call_kernel3's window bounds (1 MB SMEM
+    # minus headroom). Multi-million-particle scenes at small sub_q
+    # overflow it — fail here with guidance instead of an opaque Mosaic
+    # compile error.
+    if b * 4 > 900_000:
+        raise ValueError(
+            f"v5 trips array ({b} blocks x 4 B = {b * 4 / 1e6:.2f} MB) "
+            "exceeds the SMEM scalar-prefetch budget; use a larger sub_q "
+            f"(>= {int((n * 4 // 900_000 // 128 + 1) * 128)}) or the v4 "
+            "impl for this capacity")
     nsub = q_block // sub_q
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,                               # trips (B,)
@@ -822,7 +833,7 @@ def build_qm_feats5(state, cf, cm, cs, order):
 
 
 def _pack_candidates(cols, src, kb):
-    """Row-gather candidate features into per-block slabs (B, 12, kb).
+    """Row-gather candidate features into per-block slabs (B, 16, kb).
 
     `cols`: _PACK_ROWS (N,) arrays in SORTED order; `src`: (B*kb,) sorted-
     row indices from sweep_bookkeeping5, sentinel N for empty slots. The

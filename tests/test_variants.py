@@ -145,3 +145,30 @@ def test_monodomain_fused_matches_unfused(rng):
                                err_msg="fused monodomain diverged")
     np.testing.assert_allclose(np.asarray(out.dens)[:200],
                                np.asarray(ref.dens)[:200], rtol=1e-5)
+
+
+def test_monodomain_record_every_blocks(rng):
+    """record_every frames are recorded INSIDE the scan, one per block
+    (the _scan_with_frames convention) — num_steps//k frames, the last one
+    equal to the final state (not every-step stacking downsampled)."""
+    pts = _blob(rng, 150)
+    st = init_fluid(pts, CFG)
+    st = set_stim(st, tuple(pts[0]), 0.001, CFG.stim_strength, CFG)
+    tab = variants.monodomain_prepare(st, CFG, 32, 9 * 64)
+    full = variants.simulate_monodomain_only(st, tab, CFG, num_steps=10)
+    out, vms = variants.simulate_monodomain_only(st, tab, CFG, num_steps=10,
+                                                 record_every=5)
+    assert vms.shape[0] == 2
+    # nested-scan compilation reorders fp slightly vs the flat scan
+    np.testing.assert_allclose(np.asarray(vms[-1]), np.asarray(full.vm),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.vm), np.asarray(full.vm),
+                               atol=1e-6)
+
+
+def test_step_fused_unknown_impl_raises(rng):
+    from sph_sm_monodomain_tpu.models.monodomain import step_fused
+    pts = _blob(rng, 150)
+    st = init_fluid(pts, CFG)
+    with pytest.raises(ValueError, match="unknown fused impl"):
+        step_fused(st, CFG, 64, 128, 32, impl="v6")
