@@ -237,6 +237,21 @@ def build_neighbor_table(pos_q: jax.Array, pos_g: jax.Array,
                          overflow=overflow)
 
 
+def _occupancy(positions: np.ndarray, cfg: SimConfig):
+    """Shared host-side occupancy preamble for the auto_*_capacity sizers:
+    in-grid cell coords `c` and the full occupancy histogram (num_cells,)
+    — one implementation so the truncation/hash semantics cannot drift
+    between the three sizers."""
+    gx, gy, gz = cfg.grid_size
+    coords = (np.asarray(positions) / cfg.cell_size).astype(np.int64)
+    inside = ((coords >= 0).all(1)
+              & (coords[:, 0] < gx) & (coords[:, 1] < gy) & (coords[:, 2] < gz))
+    c = coords[inside]
+    occ = np.bincount(c[:, 0] + gx * (c[:, 1] + gy * c[:, 2]),
+                      minlength=cfg.num_cells)
+    return c, occ
+
+
 def auto_cell_capacity(positions: np.ndarray, cfg: SimConfig,
                        headroom: float = 2.0, minimum: int = 8) -> int:
     """Pick a static bucket capacity from the initial occupancy histogram.
@@ -244,12 +259,7 @@ def auto_cell_capacity(positions: np.ndarray, cfg: SimConfig,
     Host-side (runs once at scene build). Returns max initial cell occupancy
     times `headroom`, rounded up to a multiple of 4.
     """
-    gx, gy, gz = cfg.grid_size
-    coords = (np.asarray(positions) / cfg.cell_size).astype(np.int64)
-    inside = ((coords >= 0).all(1)
-              & (coords[:, 0] < gx) & (coords[:, 1] < gy) & (coords[:, 2] < gz))
-    h = coords[inside, 0] + gx * (coords[inside, 1] + gy * coords[inside, 2])
-    occ = np.bincount(h, minlength=cfg.num_cells)
+    _, occ = _occupancy(positions, cfg)
     cap = int(np.ceil(occ.max() * headroom)) if occ.size else minimum
     cap = max(cap, minimum)
     return ((cap + 3) // 4) * 4
@@ -265,12 +275,8 @@ def auto_neighbor_capacity(positions: np.ndarray, cfg: SimConfig,
     of 8.
     """
     gx, gy, gz = cfg.grid_size
-    coords = (np.asarray(positions) / cfg.cell_size).astype(np.int64)
-    inside = ((coords >= 0).all(1)
-              & (coords[:, 0] < gx) & (coords[:, 1] < gy) & (coords[:, 2] < gz))
-    c = coords[inside]
-    h = c[:, 0] + gx * (c[:, 1] + gy * c[:, 2])
-    occ = np.bincount(h, minlength=cfg.num_cells).reshape(gz, gy, gx)
+    c, occ = _occupancy(positions, cfg)
+    occ = occ.reshape(gz, gy, gx)
     padded = np.zeros((gz + 2, gy + 2, gx + 2), np.int64)
     padded[1:-1, 1:-1, 1:-1] = occ
     stencil = sum(padded[1 + dz:gz + 1 + dz, 1 + dy:gy + 1 + dy,
@@ -291,12 +297,8 @@ def auto_window_capacity(positions: np.ndarray, cfg: SimConfig,
     width K = 9 * W (what build_neighbor_table expects as
     neighbor_capacity). Host-side, runs once at scene build."""
     gx, gy, gz = cfg.grid_size
-    coords = (np.asarray(positions) / cfg.cell_size).astype(np.int64)
-    inside = ((coords >= 0).all(1)
-              & (coords[:, 0] < gx) & (coords[:, 1] < gy) & (coords[:, 2] < gz))
-    c = coords[inside]
-    occ = np.bincount(c[:, 0] + gx * (c[:, 1] + gy * c[:, 2]),
-                      minlength=cfg.num_cells).reshape(gz, gy, gx)
+    _, occ = _occupancy(positions, cfg)
+    occ = occ.reshape(gz, gy, gx)
     padded = np.zeros((gz, gy, gx + 2), np.int64)
     padded[:, :, 1:-1] = occ
     run3 = padded[:, :, :-2] + padded[:, :, 1:-1] + padded[:, :, 2:]

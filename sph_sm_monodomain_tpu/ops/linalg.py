@@ -58,8 +58,16 @@ def jacobi_eigh(A: jax.Array, iterations: int = 20):
         p, q = idx // n, idx % n
         apq = A[p, q]
         live = jnp.abs(apq) > 0.0        # `if (max <= 0) break;`
-        apq_safe = jnp.where(live, apq, 1.0)
-        d = (A[p, p] - A[q, q]) / (2.0 * apq_safe)
+        diff = A[p, p] - A[q, q]
+        # floor the divisor magnitude so |d| stays finite BY CONSTRUCTION
+        # (same guard as jacobi_eigh3_cyclic): dividing by a tiny pivot
+        # overflows d — and its gradient — to inf, poisoning autodiff even
+        # when masked afterwards; beyond |d| ~ 1e6 the rotation angle is
+        # below fp32 resolution anyway
+        mag = jnp.maximum(jnp.abs(apq),
+                          jnp.maximum(jnp.abs(diff) * 5e-7, 1e-30))
+        apq_safe = jnp.where(live, jnp.where(apq < 0.0, -mag, mag), 1.0)
+        d = diff / (2.0 * apq_safe)
         t = 1.0 / (jnp.abs(d) + jnp.sqrt(d * d + 1.0))
         t = jnp.where(d < 0.0, -t, t)
         c = 1.0 / jnp.sqrt(t * t + 1.0)

@@ -379,10 +379,15 @@ def project_positions(state: ParticleState, cfg: SimConfig,
 
 def corrected_velocity(state: ParticleState, cfg: SimConfig,
                        axis_name: str | None = None,
-                       sm_inv: SMInvariants | None = None) -> ParticleState:
+                       sm_inv: SMInvariants | None = None,
+                       external_forces=None) -> ParticleState:
     """Full SM velocity-correction phase (calculate_corrected_velocity,
-    cpp:653-667): external forces -> goal positions -> corrected_vel."""
-    state = apply_external_forces(state, cfg)
+    cpp:653-667): external forces -> goal positions -> corrected_vel.
+
+    `external_forces` (N,3) is forwarded to apply_external_forces — the
+    reference's forcesArray API; honored only outside strict mode (in
+    strict mode gravity overwrites it, cpp:229, like the reference)."""
+    state = apply_external_forces(state, cfg, external_forces)
     goal = project_positions(state, cfg, axis_name=axis_name, sm_inv=sm_inv)
     cv = state.predicted_vel + (goal - state.pos) * (
         (1.0 / cfg.time_delta) * cfg.sm_alpha)             # cpp:661-666

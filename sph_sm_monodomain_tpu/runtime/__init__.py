@@ -75,13 +75,24 @@ def parse_cloud_csv(path, subsample_freq: int = 0,
     lib = _load()
     if lib is None:
         return None
-    out = np.empty((capacity, 3), dtype=np.float32)
     total = ctypes.c_longlong(0)
-    n = lib.sphsm_parse_cloud_csv(
-        str(path).encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        capacity, subsample_freq, subsample_after, ctypes.byref(total))
-    if n < 0:
-        raise FileNotFoundError(path)
+
+    def parse(cap):
+        out = np.empty((cap, 3), dtype=np.float32)
+        n = lib.sphsm_parse_cloud_csv(
+            str(path).encode(),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            cap, subsample_freq, subsample_after, ctypes.byref(total))
+        if n < 0:
+            raise FileNotFoundError(path)
+        return out, n
+
+    out, n = parse(capacity)
+    if n >= capacity and total.value > capacity:
+        # the default capacity truncated the kept rows (the Python fallback
+        # has no cap, so silent truncation would make physics depend on the
+        # build environment); total data rows is an exact upper bound
+        out, n = parse(int(total.value))
     return out[:n].copy()
 
 
@@ -128,6 +139,11 @@ class TrajectoryWriter:
             n = int(self._lib.sphsm_traj_close(self._handle))
             self._handle = None
             self._lib = None
+            if n < 0:
+                raise IOError(
+                    f"trajectory writer hit a disk write error on "
+                    f"{self.path} ({-n - 1} frames written before it); "
+                    "the file is truncated/corrupt")
             return n
         if self._file:
             self._file.close()

@@ -162,7 +162,11 @@ def save_checkpoint(path: str, state: ParticleState, step: int = 0,
     if cfg is not None:
         arrays["__config__"] = np.frombuffer(
             json.dumps(dc.asdict(cfg)).encode(), dtype=np.uint8)
-    np.savez_compressed(path, **arrays)
+    # write through a file handle: np.savez_compressed(str) appends '.npz'
+    # to suffix-less paths, which would break a same-string save/resume
+    # round trip (the loader opens the literal path)
+    with open(path, "wb") as f:
+        np.savez_compressed(f, **arrays)
 
 
 def load_checkpoint(path: str, with_config: bool = False):
@@ -203,8 +207,10 @@ def load_checkpoint(path: str, with_config: bool = False):
                 f"leaves, file has {have} (incompatible version)")
         leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(n)]
         state = jax.tree_util.tree_unflatten(template, leaves)
-    # shape sanity: every per-particle leaf shares the capacity axis, and
-    # the capacity is lane-aligned the way init_fluid/pad_to guarantee
+    # shape sanity: every per-particle leaf shares the capacity axis.
+    # Capacity lane alignment is NOT enforced — init_fluid accepts any
+    # pad_to >= n, so a checkpoint of such a state must stay loadable
+    # (the by-name field validation above is the real schema gate).
     cap = state.pos.shape[0]
     bad = [f.name for f in dc.fields(state)
            if getattr(state, f.name).ndim >= 1
@@ -213,11 +219,6 @@ def load_checkpoint(path: str, with_config: bool = False):
         raise ValueError(
             f"{path}: inconsistent leaf shapes (capacity axis {cap}, "
             f"pos {state.pos.shape}, mismatched fields {bad})")
-    if cap % PAD_MULTIPLE:
-        raise ValueError(
-            f"{path}: capacity {cap} is not a multiple of {PAD_MULTIPLE} "
-            "(lane alignment) — was this checkpoint written by this "
-            "framework?")
     if not with_config:
         return state, step
     cfg = None

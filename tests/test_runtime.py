@@ -47,6 +47,20 @@ def test_native_csv_missing_file(tmp_path):
         runtime.parse_cloud_csv(tmp_path / "nope.csv")
 
 
+@needs_native
+def test_native_csv_capacity_regrow():
+    """An undersized capacity must not silently truncate (the Python
+    fallback has no cap, so truncation would make physics depend on the
+    build environment): the wrapper reparses with the exact row total."""
+    path = ASSETS_DIR / "biceps_simple_out_18475.csv"
+    if not path.exists():
+        pytest.skip("assets missing")
+    full = runtime.parse_cloud_csv(path)
+    small = runtime.parse_cloud_csv(path, capacity=4)
+    assert small.shape == full.shape == (18475, 3)
+    np.testing.assert_array_equal(small, full)
+
+
 def test_trajectory_roundtrip(tmp_path, rng):
     path = tmp_path / "traj.bin"
     n, fields, frames = 64, 4, 5
