@@ -119,16 +119,26 @@ def turn_on_stim_mesh(state: ParticleState, positions,
 
 
 def turn_on_stim_cube(state: ParticleState, positions,
-                      cfg: SimConfig) -> ParticleState:
+                      cfg: SimConfig,
+                      tile_width: float | None = None) -> ParticleState:
     """Stimulate two x-slabs + pin two floor strips (turnOnStim_Cube,
-    cpp:719-743)."""
+    cpp:719-743).
+
+    `tile_width`: for replicated multi-muscle worlds, evaluate the x
+    predicates on the TILE-LOCAL x (x mod tile_width) so every tile gets
+    the reference's two slabs/strips — absolute x would select essentially
+    the whole of every tile past the first (same convention as
+    turn_on_stim_mesh's tile-aware anchors)."""
     positions = np.asarray(positions, dtype=np.float32)
-    sel = (((positions[:, 0] >= 0.45) & (positions[:, 0] <= 0.48))
-           | ((positions[:, 0] > 1.0) & (positions[:, 2] <= 1.05)))
+    px = positions[:, 0] % tile_width if tile_width else positions[:, 0]
+    sel = (((px >= 0.45) & (px <= 0.48))
+           | ((px > 1.0) & (positions[:, 2] <= 1.05)))
     hit = stim_hits_from_centers(state.pos, state.active, positions[sel],
                                  0.001, cfg)
     stim = jnp.where(hit, cfg.stim_strength, state.stim)
     x, y = state.pos[:, 0], state.pos[:, 1]
+    if tile_width:
+        x = jnp.mod(x, tile_width)
     floor = ((y == 0.0) & (x <= 0.48)) | ((y == 0.0) & (x >= 1.0))  # cpp:738
     fixed = state.fixed | (floor & state.active)
     return state.replace(stim=stim, fixed=fixed, is_stim_on=jnp.asarray(True))

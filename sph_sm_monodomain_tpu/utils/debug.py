@@ -7,7 +7,6 @@ neighbor-table overflow, and nondeterministic reductions, not data races).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -65,16 +64,18 @@ def check_step_determinism(step_fn, state: ParticleState, reps: int = 3,
 
 
 def nan_guard(fn):
-    """Wrap a step function to raise on non-finite positions/voltages
-    (jax.debug-style check compiled into the step; costs one reduction)."""
+    """Wrap a step function to raise FloatingPointError on non-finite
+    positions/voltages. The check is one compiled reduction; the verdict is
+    FETCHED host-side so the raise happens synchronously at the call site
+    (an async jax.debug.callback raise would surface — if at all — as an
+    unrelated XlaRuntimeError at a later sync point, uncatchable by the
+    caller). Debug tool: the per-call device->host sync is the point."""
     def wrapped(state, *args, **kw):
         out = fn(state, *args, **kw)
         st = out[0] if isinstance(out, tuple) else out
         ok = jnp.all(jnp.isfinite(jnp.where(st.active[:, None], st.pos, 0.0)))
         ok &= jnp.all(jnp.isfinite(jnp.where(st.active, st.vm, 0.0)))
-        jax.debug.callback(
-            lambda ok_: (_ for _ in ()).throw(
-                FloatingPointError("non-finite state after step"))
-            if not bool(ok_) else None, ok)
+        if not bool(ok):
+            raise FloatingPointError("non-finite state after step")
         return out
     return wrapped

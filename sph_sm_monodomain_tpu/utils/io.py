@@ -211,7 +211,9 @@ def build_scene(name: str, cfg: SimConfig | None = None, replicate: int = 1,
     state = init_fluid(pts, cfg, pad_to=pad_to)
     if stim:
         if name == "cube":
-            state = ep.turn_on_stim_cube(state, pts, cfg)   # main.cpp:476
+            state = ep.turn_on_stim_cube(state, pts, cfg,   # main.cpp:476
+                                         tile_width=(tile_w if replicate > 1
+                                                     else None))
         else:
             state = ep.turn_on_stim_mesh(state, pts, cfg,   # main.cpp:487
                                          tile_width=(tile_w if replicate > 1

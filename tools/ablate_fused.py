@@ -50,10 +50,12 @@ def timeit(fn, args):
 def main():
     scene_name = sys.argv[1] if len(sys.argv) > 1 else "biceps_full"
     only = set(sys.argv[2:])
+    # the q_block scans include blocks up to 1024, and the default
+    # (no-filter) run executes ALL configs — pad the capacity
+    # unconditionally so every config's divisibility check passes
     sc = smt.build_scene(scene_name)
-    if any(c.startswith(("v3q_", "v4_")) for c in only):
-        # q_block scan needs capacity divisible by the largest q_block
-        cap = -(-sc.state.capacity // 1024) * 1024
+    cap = -(-sc.state.capacity // 1024) * 1024
+    if cap != sc.state.capacity:
         sc = smt.build_scene(scene_name, pad_to=cap)
     st, cfg = sc.state, sc.cfg
     qb, wc = sc.q_block, sc.block_window

@@ -113,9 +113,12 @@ def measure_vpu_peak(reps: int = 3) -> float:
 
 
 def scene_slot_stats(pts: np.ndarray, cfg, impl: str, sub_q: int,
-                     kb: int = 0) -> dict:
+                     kb: int = 0, w_chunk: int = 128) -> dict:
     """Host-side recount of tested/true candidate lanes (the same window
-    math as sweep_bookkeeping3/5 over the initial cloud)."""
+    math as sweep_bookkeeping3/5 over the initial cloud). `w_chunk` must be
+    the scene's tuned chunk width — the kernels sweep whole w_chunk-wide
+    chunks, so trips/slots are counted in those units (a hard-coded 128
+    under-reported tested slots on scenes the tuner widens to 256+)."""
     from sph_sm_monodomain_tpu.ops.pallas_sweeps import hash_axis_perm
 
     fa, ma, sa = hash_axis_perm(cfg)
@@ -145,18 +148,19 @@ def scene_slot_stats(pts: np.ndarray, cfg, impl: str, sub_q: int,
         for r in range(1, 9):
             lo2[:, r] = np.maximum(lo2[:, r], hi[:, r - 1])
         tot = np.maximum(hi - lo2, 0).sum(1)
-        trips = np.maximum((np.minimum(tot, kb or 10 ** 9) + 127) // 128, 1)
-        slots = int((trips * 128).sum()) * sub_q
-        pool = b * (kb or int(trips.max() * 128))
+        trips = np.maximum(
+            (np.minimum(tot, kb or 10 ** 9) + w_chunk - 1) // w_chunk, 1)
+        slots = int((trips * w_chunk).sum()) * sub_q
+        pool = b * (kb or int(trips.max() * w_chunk))
     else:  # v4 merged windows
         d = (np.array([-1, 0, 1], np.int64) * (gf * gm))[None, :]
         lo = np.searchsorted(s, np.clip(h_lo[:, None] + d - (gf + 1),
                                         0, num_cells))
         hi = np.searchsorted(s, np.clip(h_hi[:, None] + d + (gf + 2),
                                         0, num_cells))
-        start = (lo // 128) * 128
-        trips = np.maximum(0, -(-(hi - start) // 128))
-        slots = int((trips * 128).sum()) * sub_q
+        start = (lo // 128) * 128      # kernel starts stay 128-aligned
+        trips = np.maximum(0, -(-(hi - start) // w_chunk))
+        slots = int((trips * w_chunk).sum()) * sub_q
         pool = 0
 
     # stencil-true + within-2h counts via cell occupancy
@@ -201,7 +205,7 @@ def main():
     cfg = sc.cfg
     pts = scene_positions(args.scene, cfg, args.replicate)
     stats = scene_slot_stats(pts, cfg, sc.fused_impl, sc.sub_block or 128,
-                             sc.pack_cap)
+                             sc.pack_cap, w_chunk=sc.block_window)
 
     # within-2h / within-h pair fractions on a subsample
     pts_in, sel = stats.pop("_sample")
