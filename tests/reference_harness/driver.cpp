@@ -19,13 +19,15 @@ int main(int argc, char** argv) {
     if (argc < 4) {
         std::fprintf(stderr,
                      "usage: driver cloud.txt num_steps stim_off_step "
-                     "[quadratic]\n");
+                     "[quadratic] [flip_volume] [add_visc]\n");
         return 2;
     }
     const char* cloud_path = argv[1];
     int num_steps = std::atoi(argv[2]);
     int stim_off = std::atoi(argv[3]);
     int quadratic = argc > 4 ? std::atoi(argv[4]) : 0;
+    int flip_volume = argc > 5 ? std::atoi(argv[5]) : 0;
+    float add_visc = argc > 6 ? std::atof(argv[6]) : 0.0f;
 
     std::vector<m3Vector> positions;
     {
@@ -39,6 +41,8 @@ int main(int argc, char** argv) {
 
     SPH_SM_monodomain* sph = new SPH_SM_monodomain();
     if (quadratic) sph->flip_quadratic();
+    if (flip_volume) sph->flip_volume();        // h:155 runtime toggle
+    if (add_visc != 0.0f) sph->add_viscosity(add_visc);  // cpp:87-91
     sph->Init_Fluid(positions);
     sph->turnOnStim_Mesh(positions);
 

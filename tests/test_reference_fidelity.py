@@ -128,11 +128,13 @@ def test_matches_reference_with_anchored_particles(ref_driver, rng):
     _compare(ref, ours, steps)
 
 
-def _run_reference_q(exe, positions, steps, stim_off=-1, quadratic=0):
+def _run_reference_q(exe, positions, steps, stim_off=-1, quadratic=0,
+                     flip_volume=0, add_visc=0.0):
     cloud = BUILD / "cloud.txt"
     np.savetxt(cloud, positions, fmt="%.9g")
     out = subprocess.run([str(exe), str(cloud), str(steps), str(stim_off),
-                          str(quadratic)],
+                          str(quadratic), str(flip_volume),
+                          repr(float(add_visc))],
                          check=True, capture_output=True, text=True).stdout
     lines = out.strip().splitlines()
     while lines and not lines[0].startswith("n "):
@@ -178,6 +180,64 @@ def test_matches_reference_quadratic_match(ref_driver, rng):
                                    atol=2e-4, err_msg=f"pos step {i}")
         np.testing.assert_allclose(ours[i][:, 6], ref[i][:, 6], atol=2e-2,
                                    err_msg=f"Vm step {i}")
+
+
+def _run_ours_cfg(cfg, positions, steps, stim_off=-1):
+    import numpy as np
+    from sph_sm_monodomain_tpu import init_fluid, step
+    from sph_sm_monodomain_tpu.ops.electrophysiology import (
+        turn_on_stim_mesh, turn_off_stim)
+    st = init_fluid(positions, cfg)
+    st = turn_on_stim_mesh(st, positions, cfg)
+    frames = []
+    n = positions.shape[0]
+    for i in range(steps):
+        if i == stim_off:
+            st = turn_off_stim(st, cfg)
+        st, _ = step(st, cfg, 64, 9 * 64)
+        frames.append(np.concatenate([
+            np.asarray(st.pos, np.float64)[:n],
+            np.asarray(st.vel, np.float64)[:n],
+            np.asarray(st.vm, np.float64)[:n, None],
+            np.asarray(st.dens, np.float64)[:n, None],
+            np.asarray(st.pres, np.float64)[:n, None]], axis=1))
+    return frames
+
+
+@pytest.mark.slow
+def test_matches_reference_volume_flip_off(ref_driver, rng):
+    # flip_volume (h:155) turns OFF the det-normalize volume-conservation
+    # clamp in the linear match (cpp:304-330); trajectories must track the
+    # reference's no-clamp dynamics, which diverge from the default path
+    from sph_sm_monodomain_tpu import SimConfig
+    pts = _blob(rng, 130)
+    steps = 12
+    ref = _run_reference_q(ref_driver, pts, steps, flip_volume=1)
+    cfg = SimConfig().flip_volume()
+    assert cfg.volume_conservation is False
+    ours = _run_ours_cfg(cfg, pts, steps)
+    _compare(ref, ours, steps)
+    # sanity: the toggle actually changes the dynamics vs the default run
+    base = _run_ours(pts, steps)
+    assert np.abs(base[-1][:, 0:3] - ours[-1][:, 0:3]).max() > 1e-6
+
+
+@pytest.mark.slow
+def test_matches_reference_viscosity_off(ref_driver, rng):
+    # add_viscosity(-mu) zeroes mu through the reference's exact guard
+    # (cpp:87-91: mu += (mu+value)>=0 ? value : 0) — the viscosity force
+    # term (cpp:556-560) goes dead; trajectories must track that regime
+    from sph_sm_monodomain_tpu import SimConfig
+    pts = _blob(rng, 130)
+    steps = 12
+    base_mu = SimConfig().mu_viscosity
+    ref = _run_reference_q(ref_driver, pts, steps, add_visc=-base_mu)
+    cfg = SimConfig().add_viscosity(-base_mu)
+    assert cfg.mu_viscosity == 0.0
+    ours = _run_ours_cfg(cfg, pts, steps)
+    _compare(ref, ours, steps)
+    base = _run_ours(pts, steps)
+    assert np.abs(base[-1][:, 0:3] - ours[-1][:, 0:3]).max() > 1e-6
 
 
 @pytest.mark.slow
