@@ -109,6 +109,36 @@ def test_monodomain_only_wave_propagates(rng):
     assert (np.abs(vm) > 1e-3).sum() > n_stim
 
 
+def test_monodomain_influence_propagates_at_most_h_per_step():
+    """Causality of the SPH-discretized monodomain operator: the voltage
+    diffusion couples only particles within the kernel support h
+    (B_spline_2, cpp:562-563), so a local stimulus perturbation can
+    influence AT MOST one support radius per step. Differencing a
+    stimulated run against an unstimulated one must be bit-zero outside
+    radius + k*h after k steps, and visibly nonzero inside."""
+    xs = 0.1 + 0.02 * np.arange(60)
+    ys = 0.6 + 0.02 * np.arange(3)
+    pts = np.stack(np.meshgrid(xs, ys, ys, indexing="ij"),
+                   -1).reshape(-1, 3).astype(np.float32)
+    n = pts.shape[0]
+    base = init_fluid(pts, CFG)
+    stim = set_stim(base, (0.1, 0.62, 0.62), 0.001, CFG.stim_strength, CFG)
+    hit = np.asarray(stim.stim)[:n] > 0
+    assert 0 < hit.sum() < n / 4, "stimulus should be local to the rod end"
+    tables = variants.monodomain_prepare(base, CFG, 32, 9 * 64)
+    dist = np.linalg.norm(pts[:, None, :] - pts[None, hit, :],
+                          axis=-1).min(axis=1)
+    sa, sb = base, stim
+    for k in range(1, 9):
+        sa = variants.step_monodomain_only(sa, tables, CFG)
+        sb = variants.step_monodomain_only(sb, tables, CFG)
+        dv = np.abs(np.asarray(sb.vm)[:n] - np.asarray(sa.vm)[:n])
+        far = dist > (k + 0.5) * CFG.kernel_h
+        assert far.any() and dv[far].max() == 0.0, \
+            f"influence escaped the {k}-step light cone"
+        assert dv[~far].max() > 1e-3, f"no influence inside cone at step {k}"
+
+
 def test_monodomain_only_scan_driver(rng):
     pts = _blob(rng, 150)
     st = init_fluid(pts, CFG)
