@@ -79,6 +79,37 @@ def test_step_matches_oracle_after_stim_off(rng):
         _compare(state, o, n, i, atol_pos=5e-5)
 
 
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_step_matches_oracle_randomized_config(seed):
+    """Config plumbing: every physics constant must reach the kernels.
+    Random draws over the reference's sweep ranges (results_171114.csv
+    campaign axes: K, alpha, beta, mu, sigma, stim) plus the runtime
+    toggles, diffed against the config-driven oracle."""
+    r = np.random.default_rng(seed)
+    cfg = CFG.replace(
+        k_stiffness=float(r.uniform(0.3, 1.0)),
+        sm_alpha=float(r.uniform(0.1, 0.6)),
+        sm_beta=float(r.uniform(0.1, 0.6)),
+        mu_viscosity=float(r.uniform(20.0, 300.0)),
+        sigma_i=float(r.uniform(0.3, 2.0)),   # sigma is derived (cpp:26)
+        stim_strength=float(r.uniform(100.0, 800.0)),
+        velocity_mixing=float(r.uniform(0.05, 0.6)),
+        volume_conservation=bool(r.integers(0, 2)),
+        quirk_double_self_density=bool(r.integers(0, 2)),
+        quirk_pressure_stim_gate=bool(r.integers(0, 2)),
+    )
+    pts = _cloud(r, 180)
+    n = pts.shape[0]
+    state = init_fluid(pts, cfg)
+    state = set_stim(state, (0.55, 0.55, 0.55), 0.5, cfg.stim_strength, cfg)
+    o = state_to_oracle(state, n)
+    for i in range(3):
+        state, aux = step(state, cfg, 32, 9 * 64)
+        assert int(aux.overflow) == 0
+        o = oracle_step(o, cfg)
+        _compare(state, o, n, i)
+
+
 @pytest.mark.slow
 def test_step_matches_oracle_quadratic_match(rng):
     cfg = CFG.replace(quadratic_match=True)
