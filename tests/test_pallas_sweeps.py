@@ -135,6 +135,40 @@ def test_step_fused_v4_matches_step(rng):
                                np.asarray(b.dens)[:200], rtol=1e-5)
 
 
+def test_step_fused_v4_randomized_config(rng):
+    """Config plumbing through the fused kernels: the Pallas sweeps bake
+    cfg constants at trace time (SMEM scalars / inlined literals), so a
+    non-default config must reproduce the XLA step exactly like the
+    default one does."""
+    r = np.random.default_rng(7)
+    cfg = CFG.replace(
+        k_stiffness=float(r.uniform(0.3, 1.0)),
+        sm_alpha=float(r.uniform(0.1, 0.6)),
+        sm_beta=float(r.uniform(0.1, 0.6)),
+        mu_viscosity=float(r.uniform(20.0, 300.0)),
+        sigma_i=float(r.uniform(0.3, 2.0)),
+        stim_strength=float(r.uniform(100.0, 800.0)),
+        velocity_mixing=float(r.uniform(0.05, 0.6)),
+    )
+    pts = np.clip(r.normal(size=(200, 3)).astype(np.float32) * 0.05 + 0.6,
+                  0.05, 1.2)
+    a = init_fluid(pts, cfg)
+    a = set_stim(a, (0.6, 0.6, 0.6), 0.5, cfg.stim_strength, cfg)
+    b = a
+    for i in range(3):
+        a, _ = step(a, cfg, 64, 9 * 64)
+        b, aux_b = step_fused(b, cfg, 64, 128, 64, impl="v4")
+        assert int(aux_b.overflow) == 0
+    for name, atol in (("pos", 5e-5), ("vel", 5e-3), ("vm", 5e-3),
+                       ("iion", 1e-5), ("w", 1e-6)):
+        np.testing.assert_allclose(
+            np.asarray(getattr(a, name))[:200],
+            np.asarray(getattr(b, name))[:200], atol=atol,
+            err_msg=f"{name} diverged v4-fused vs unfused (random cfg)")
+    np.testing.assert_allclose(np.asarray(a.dens)[:200],
+                               np.asarray(b.dens)[:200], rtol=1e-5)
+
+
 def test_step_fused_v4_world_boundary_cells(rng):
     """Clouds hugging the world box exercise the v4 mask's wrap-pair
     argument (y=0 / y=Gy-1 cells): wrap pairs are accepted by the cyz test
