@@ -19,7 +19,7 @@ int main(int argc, char** argv) {
     if (argc < 4) {
         std::fprintf(stderr,
                      "usage: driver cloud.txt num_steps stim_off_step "
-                     "[quadratic] [flip_volume] [add_visc]\n");
+                     "[quadratic] [flip_volume] [add_visc] [summary]\n");
         return 2;
     }
     const char* cloud_path = argv[1];
@@ -28,6 +28,10 @@ int main(int argc, char** argv) {
     int quadratic = argc > 4 ? std::atoi(argv[4]) : 0;
     int flip_volume = argc > 5 ? std::atoi(argv[5]) : 0;
     float add_visc = argc > 6 ? std::atof(argv[6]) : 0.0f;
+    // summary mode: one "S step mean_displacement mean_vm" line per step
+    // instead of the full per-particle dump (keeps 500-step runs on the
+    // 18k cloud at KB of output instead of hundreds of MB)
+    int summary = argc > 7 && std::atoi(argv[7]) != 0;
 
     std::vector<m3Vector> positions;
     {
@@ -52,6 +56,15 @@ int main(int argc, char** argv) {
         if (step == stim_off) sph->turnOffStim();
         sph->Animation();
         Particle* p = sph->Get_Paticles();
+        if (summary) {
+            double disp = 0.0, vm = 0.0;
+            for (int i = 0; i < n; ++i) {
+                disp += (double)p[i].getDisplacement();
+                vm += (double)p[i].Vm;
+            }
+            std::printf("S %d %.9g %.9g\n", step, disp / n, vm / n);
+            continue;
+        }
         std::printf("step %d\n", step);
         for (int i = 0; i < n; ++i) {
             std::printf("%.9g %.9g %.9g %.9g %.9g %.9g %.9g %.9g %.9g\n",
