@@ -60,6 +60,65 @@ def test_step_is_deterministic(rng):
     assert check_step_determinism(lambda s: step(s, CFG, 32, 9 * 32), st)
 
 
+def test_nan_guard_raises_on_nonfinite_step(rng):
+    from sph_sm_monodomain_tpu.utils.debug import nan_guard
+    pts = np.clip(rng.random((24, 3)).astype(np.float32), 0.1, 1.4)
+    st = init_fluid(pts, CFG)
+
+    healthy = nan_guard(lambda s: step(s, CFG, 32, 9 * 32))
+    out, _ = healthy(st)  # clean step passes through
+
+    def poisoned(s):
+        s2, aux = step(s, CFG, 32, 9 * 32)
+        return s2.replace(pos=s2.pos.at[0, 0].set(jnp.nan)), aux
+
+    with pytest.raises(FloatingPointError):
+        nan_guard(poisoned)(st)
+    # non-finite values on INACTIVE lanes are not an error
+    def pad_poisoned(s):
+        s2, aux = step(s, CFG, 32, 9 * 32)
+        return s2.replace(pos=s2.pos.at[-1, 0].set(jnp.nan)), aux
+    nan_guard(pad_poisoned)(st)
+
+
+@pytest.mark.slow
+def test_profile_phases_fused_schema_and_reconciliation():
+    """The fused-path phase profiler must emit the 7 print_report phase
+    columns plus the raw pipeline times, with the attributed columns
+    summing to the measured full step (clamped differences, VERDICT r2
+    §6/§7)."""
+    from sph_sm_monodomain_tpu import build_scene
+    from sph_sm_monodomain_tpu.utils.report import profile_phases_fused
+    sc = build_scene("susane")
+    ph = profile_phases_fused(sc, length=2)
+    for k in ("find_neighbors", "corrected_velocity",
+              "intermediate_velocity", "density_pressure", "cell_model",
+              "compute_force", "update_properties", "total_step"):
+        assert k in ph, f"missing column {k}"
+    assert ph["total_step"] > 0.0
+    attributed = (ph["find_neighbors"] + ph["corrected_velocity"]
+                  + ph["intermediate_velocity"] + ph["density_pressure"]
+                  + ph["cell_model"] + ph["compute_force"]
+                  + ph["update_properties"])
+    # exact when no stage delta clamped to zero; generous bound otherwise
+    assert attributed <= ph["total_step"] * 1.5 + 1e-9
+    assert attributed >= ph["total_step"] * 0.5
+
+
+def test_time_chained_measures_dependent_calls(rng):
+    from sph_sm_monodomain_tpu.utils.profiling import time_chained
+    pts = np.clip(rng.random((24, 3)).astype(np.float32), 0.1, 1.4)
+    st = init_fluid(pts, CFG)
+    per_step, final = time_chained(lambda s: step(s, CFG, 32, 9 * 32),
+                                   st, steps=3)
+    assert per_step > 0.0
+    # the returned state really is 3 steps downstream of the warmup input
+    ref = st
+    for _ in range(3):
+        ref, _ = step(ref, CFG, 32, 9 * 32)
+    np.testing.assert_array_equal(np.asarray(final.pos), np.asarray(ref.pos))
+
+
 @pytest.mark.slow
 def test_cli_traj_streaming(tmp_path):
     from sph_sm_monodomain_tpu.cli import main
