@@ -64,6 +64,43 @@ def test_halo_matches_single_chip(rng, mesh):
 
 
 @pytest.mark.slow
+def test_halo_empty_devices_match_single_chip(rng, mesh):
+    """A cloud concentrated in ONE slab: most devices own zero particles.
+    Empty-slab bookkeeping, zero-contribution SM psums, and empty halo
+    planes must all be inert — the step must still match single-chip and
+    conserve particles."""
+    n = 400
+    pts = rng.uniform(0.05, 0.15, size=(n, 3)).astype(np.float32)
+    pts[:, :2] = rng.uniform(0.4, 1.1, size=(n, 2)).astype(np.float32)
+    st = init_fluid(pts, CFG)
+    st = turn_on_stim_mesh(st, pts, CFG)
+
+    halo, s_cap, mig_cap, halo_cap = H.shard_state_halo(st, mesh, CFG)
+    # the blob spans ~3 cells along the slab axis of 8+ slabs: at least
+    # half the devices must start empty for this test to mean anything
+    owners = np.asarray(halo.active).reshape(8, -1).any(axis=1)
+    assert owners.sum() <= 4, "cloud unexpectedly spread across slabs"
+
+    step_fn = H.make_halo_step(mesh, CFG, mig_cap, halo_cap, q_block=128,
+                               w_chunk=128, sub_q=64)
+    ref = st
+    ovf = None
+    for _ in range(3):
+        ref, _ = step_fused(ref, CFG, 128, 128, 64, impl="v3")
+        halo, ovf = step_fn(halo)
+    assert int(ovf) == 0
+
+    fields = ("pos", "vel", "vm", "dens")
+    r, n_r = _sorted_by_identity(ref, fields)
+    h, n_h = _sorted_by_identity(halo, fields)
+    assert n_r == n_h == n, "particles lost or duplicated"
+    tol = {"pos": 2e-5, "vel": 5e-3, "vm": 1e-3, "dens": 1.0}
+    for f in fields:
+        np.testing.assert_allclose(h[f], r[f], atol=tol[f],
+                                   err_msg=f"{f} diverged (empty devices)")
+
+
+@pytest.mark.slow
 def test_halo_migration_moves_particles(rng, mesh):
     """Particles given z-velocity must cross slab boundaries without loss."""
     n = 600
