@@ -32,6 +32,9 @@ int main(int argc, char** argv) {
     // instead of the full per-particle dump (keeps 500-step runs on the
     // 18k cloud at KB of output instead of hundreds of MB)
     int summary = argc > 7 && std::atoi(argv[7]) != 0;
+    // stimulus protocol: 0 = turnOnStim_Mesh (init_mesh, main.cpp:487),
+    // 1 = turnOnStim_Cube (init_cube, main.cpp:476)
+    int stim_cube = argc > 8 && std::atoi(argv[8]) != 0;
 
     std::vector<m3Vector> positions;
     {
@@ -48,7 +51,8 @@ int main(int argc, char** argv) {
     if (flip_volume) sph->flip_volume();        // h:155 runtime toggle
     if (add_visc != 0.0f) sph->add_viscosity(add_visc);  // cpp:87-91
     sph->Init_Fluid(positions);
-    sph->turnOnStim_Mesh(positions);
+    if (stim_cube) sph->turnOnStim_Cube(positions);
+    else sph->turnOnStim_Mesh(positions);
 
     int n = sph->Get_Particle_Number();
     std::printf("n %d\n", n);

@@ -129,12 +129,12 @@ def test_matches_reference_with_anchored_particles(ref_driver, rng):
 
 
 def _run_reference_q(exe, positions, steps, stim_off=-1, quadratic=0,
-                     flip_volume=0, add_visc=0.0):
+                     flip_volume=0, add_visc=0.0, stim_cube=0):
     cloud = BUILD / "cloud.txt"
     np.savetxt(cloud, positions, fmt="%.9g")
     out = subprocess.run([str(exe), str(cloud), str(steps), str(stim_off),
                           str(quadratic), str(flip_volume),
-                          repr(float(add_visc))],
+                          repr(float(add_visc)), "0", str(stim_cube)],
                          check=True, capture_output=True, text=True).stdout
     lines = out.strip().splitlines()
     while lines and not lines[0].startswith("n "):
@@ -238,6 +238,38 @@ def test_matches_reference_viscosity_off(ref_driver, rng):
     _compare(ref, ours, steps)
     base = _run_ours(pts, steps)
     assert np.abs(base[-1][:, 0:3] - ours[-1][:, 0:3]).max() > 1e-6
+
+
+@pytest.mark.slow
+def test_matches_reference_cube_stim_protocol(ref_driver):
+    # the OTHER app protocol: init_cube + turnOnStim_Cube (main.cpp:464-477,
+    # cpp:719-743) — stim slabs at x in [0.45,0.48] / x>1.0 with z<=1.05,
+    # floor-strip tendon pins at y==0. Uses the procedural cube cloud so
+    # every predicate engages (289 exact-y==0 rows).
+    from sph_sm_monodomain_tpu import SimConfig, init_fluid, step
+    from sph_sm_monodomain_tpu.utils.io import cube_positions
+    from sph_sm_monodomain_tpu.ops.electrophysiology import turn_on_stim_cube
+    cfg = SimConfig()
+    pts = cube_positions(cfg)[::3]  # 1,638 of 4,913: keep the C++ side quick
+    steps = 8
+    ref = _run_reference_q(ref_driver, pts, steps, stim_cube=1)
+
+    st = init_fluid(pts, cfg)
+    st = turn_on_stim_cube(st, pts, cfg)
+    n = pts.shape[0]
+    assert 0 < int(np.asarray(st.stim)[:n].max()) and \
+        int((np.asarray(st.stim)[:n] > 0).sum()) < n, "stim should be partial"
+    assert int(np.asarray(st.fixed)[:n].sum()) > 0, "floor pins missing"
+    ours = []
+    for _ in range(steps):
+        st, _ = step(st, cfg, 64, 9 * 64)
+        ours.append(np.concatenate([
+            np.asarray(st.pos, np.float64)[:n],
+            np.asarray(st.vel, np.float64)[:n],
+            np.asarray(st.vm, np.float64)[:n, None],
+            np.asarray(st.dens, np.float64)[:n, None],
+            np.asarray(st.pres, np.float64)[:n, None]], axis=1))
+    _compare(ref, ours, steps)
 
 
 @pytest.mark.slow
