@@ -49,14 +49,14 @@ def build_reference_driver() -> Path:
 
 
 def run_reference(exe: Path, positions: np.ndarray, steps: int,
-                  stim_off: int):
+                  stim_off: int, stim_cube: bool = False):
     """(mean_displacement[steps], mean_vm[steps], wall_seconds)."""
     cloud = BUILD / "cloud.txt"
     np.savetxt(cloud, positions, fmt="%.9g")
     t0 = time.time()
     out = subprocess.run(
         [str(exe), str(cloud), str(steps), str(stim_off),
-         "0", "0", "0", "1"],  # summary mode
+         "0", "0", "0", "1", str(int(stim_cube))],  # summary mode
         check=True, capture_output=True, text=True).stdout
     wall = time.time() - t0
     disp, vm = [], []
@@ -118,7 +118,10 @@ def main():
           f"stim off at {stim_off}")
 
     exe = build_reference_driver()
-    r_disp, r_vm, r_wall = run_reference(exe, pts, args.steps, stim_off)
+    # build_scene applies the cube stim protocol (turnOnStim_Cube) to the
+    # cube scene and the mesh protocol to every cloud scene — mirror that
+    r_disp, r_vm, r_wall = run_reference(exe, pts, args.steps, stim_off,
+                                         stim_cube=(args.scene == "cube"))
     print(f"reference C++: {r_wall:.1f}s "
           f"({1e3 * r_wall / args.steps:.1f} ms/step)")
 
