@@ -201,12 +201,13 @@ def test_run_protocol_record_and_regrow(rng, monkeypatch):
 
 
 @pytest.mark.slow
-def test_cli_multi_device():
+@pytest.mark.parametrize("parallel", ["gather", "fused"])
+def test_cli_multi_device(parallel):
     import jax
     from sph_sm_monodomain_tpu.cli import main
     assert jax.device_count() >= 8
     rc = main(["--scene", "cube", "--steps", "4", "--chunk", "2",
-               "--devices", "8"])
+               "--devices", "8", "--parallel", parallel])
     assert rc == 0
 
 
