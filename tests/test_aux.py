@@ -105,6 +105,30 @@ def test_profile_phases_fused_schema_and_reconciliation():
     assert attributed >= ph["total_step"] * 0.5
 
 
+def test_sweep_summarize_committed_campaign(tmp_path):
+    """tools/sweep.py --summarize (the results.ods analog) must analyze
+    the committed campaign CSV: sensitivity table per parameter and a
+    phase-column reconciliation near 100%."""
+    import subprocess
+    import sys
+    from pathlib import Path
+    repo = Path(__file__).parent.parent
+    out_md = tmp_path / "summary.md"
+    r = subprocess.run(
+        [sys.executable, str(repo / "tools" / "sweep.py"), "--summarize",
+         "--out", str(repo / "results_tpu_sweep.csv"),
+         "--summary-out", str(out_md)],
+        capture_output=True, text=True, cwd=repo, timeout=300)
+    assert r.returncode == 0, r.stderr
+    text = out_md.read_text()
+    for param in ("| K |", "| alpha |", "| beta |", "| mu |"):
+        assert param in text
+    # reconciliation: phases sum to ~100% of each row's step
+    import re
+    m = re.search(r"phases sum to ([\d.]+)% ", text)
+    assert m and 90.0 <= float(m.group(1)) <= 110.0, text[-300:]
+
+
 def test_time_chained_measures_dependent_calls(rng):
     from sph_sm_monodomain_tpu.utils.profiling import time_chained
     pts = np.clip(rng.random((24, 3)).astype(np.float32), 0.1, 1.4)
