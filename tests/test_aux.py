@@ -81,6 +81,21 @@ def test_nan_guard_raises_on_nonfinite_step(rng):
     nan_guard(pad_poisoned)(st)
 
 
+def test_profile_phases_xla_covers_all_seven(rng):
+    """The unfused profiler must time each of the reference's 7 phases
+    (cpp:794-824) independently and return positive seconds for each."""
+    from sph_sm_monodomain_tpu.utils.report import profile_phases
+    pts = np.clip(rng.normal(size=(96, 3)).astype(np.float32) * 0.05 + 0.6,
+                  0.1, 1.3)
+    st = init_fluid(pts, CFG)
+    ph = profile_phases(st, CFG, 32, 9 * 32, length=2)
+    expected = {"find_neighbors", "corrected_velocity",
+                "intermediate_velocity", "density_pressure", "cell_model",
+                "compute_force", "update_properties"}
+    assert set(ph) == expected
+    assert all(v > 0 for v in ph.values()), ph
+
+
 @pytest.mark.slow
 def test_profile_phases_fused_schema_and_reconciliation():
     """The fused-path phase profiler must emit the 7 print_report phase
