@@ -19,7 +19,8 @@ int main(int argc, char** argv) {
     if (argc < 4) {
         std::fprintf(stderr,
                      "usage: driver cloud.txt num_steps stim_off_step "
-                     "[quadratic] [flip_volume] [add_visc] [summary]\n");
+                     "[quadratic] [flip_volume] [add_visc] [summary] "
+                     "[stim_cube]\n");
         return 2;
     }
     const char* cloud_path = argv[1];

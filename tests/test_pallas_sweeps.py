@@ -135,7 +135,7 @@ def test_step_fused_v4_matches_step(rng):
                                np.asarray(b.dens)[:200], rtol=1e-5)
 
 
-def test_step_fused_v4_randomized_config(rng):
+def test_step_fused_v4_randomized_config():
     """Config plumbing through the fused kernels: the Pallas sweeps bake
     cfg constants at trace time (SMEM scalars / inlined literals), so a
     non-default config must reproduce the XLA step exactly like the

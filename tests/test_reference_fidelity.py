@@ -8,36 +8,22 @@ voltages / densities against the JAX engine in strict-reference mode.
 Skipped when the reference tree or a C++ toolchain is unavailable.
 """
 
-import shutil
 import subprocess
 from pathlib import Path
 
 import numpy as np
 import pytest
 
-REFERENCE = Path("/root/reference")
-HARNESS = Path(__file__).parent / "reference_harness"
-BUILD = Path("/tmp/sphsm_ref_harness")
+from reference_harness.build import (BUILD, build_reference_driver,
+                                     reference_available)
 
-pytestmark = pytest.mark.skipif(
-    not (REFERENCE / "SPH_SM_monodomain/SPH_SM_monodomain.cpp").exists()
-    or shutil.which("g++") is None,
-    reason="reference tree or g++ unavailable")
+pytestmark = pytest.mark.skipif(not reference_available(),
+                                reason="reference tree or g++ unavailable")
 
 
 @pytest.fixture(scope="module")
 def ref_driver():
-    BUILD.mkdir(exist_ok=True)
-    exe = BUILD / "driver"
-    srcs = [str(HARNESS / "driver.cpp"),
-            str(REFERENCE / "SPH_SM_monodomain/SPH_SM_monodomain.cpp"),
-            str(REFERENCE / "Math3D/m3Matrix.cpp"),
-            str(REFERENCE / "Math3D/m9Matrix.cpp")]
-    cmd = ["g++", "-O2", "-std=c++11",
-           f"-I{REFERENCE}/SPH_SM_monodomain", f"-I{REFERENCE}/Math3D",
-           "-o", str(exe)] + srcs
-    subprocess.run(cmd, check=True, capture_output=True)
-    return exe
+    return build_reference_driver()
 
 
 def _run_reference(exe, positions, steps, stim_off=-1):
@@ -66,20 +52,21 @@ def _blob(rng, n=160):
     return np.clip(pts, 0.05, 1.2)
 
 
-def _run_ours(positions, steps, stim_off=-1):
-    import jax
-    from sph_sm_monodomain_tpu import SimConfig, init_fluid, step
+def _run_ours_cfg(cfg, positions, steps, stim_off=-1, stim="mesh"):
+    """Step loop + frame assembly shared by every fidelity test (ONE copy
+    of the [pos3, vel3, vm, dens, pres] column layout _compare indexes)."""
+    from sph_sm_monodomain_tpu import init_fluid, step
     from sph_sm_monodomain_tpu.ops.electrophysiology import (
-        turn_on_stim_mesh, turn_off_stim)
-    cfg = SimConfig()
+        turn_on_stim_mesh, turn_on_stim_cube, turn_off_stim)
     st = init_fluid(positions, cfg)
-    st = turn_on_stim_mesh(st, positions, cfg)
+    st = (turn_on_stim_cube if stim == "cube"
+          else turn_on_stim_mesh)(st, positions, cfg)
     frames = []
+    n = positions.shape[0]
     for i in range(steps):
         if i == stim_off:
             st = turn_off_stim(st, cfg)
         st, _ = step(st, cfg, 64, 9 * 64)
-        n = positions.shape[0]
         frames.append(np.concatenate([
             np.asarray(st.pos, np.float64)[:n],
             np.asarray(st.vel, np.float64)[:n],
@@ -87,6 +74,11 @@ def _run_ours(positions, steps, stim_off=-1):
             np.asarray(st.dens, np.float64)[:n, None],
             np.asarray(st.pres, np.float64)[:n, None]], axis=1))
     return frames
+
+
+def _run_ours(positions, steps, stim_off=-1):
+    from sph_sm_monodomain_tpu import SimConfig
+    return _run_ours_cfg(SimConfig(), positions, steps, stim_off)
 
 
 def _compare(ref_frames, our_frames, steps):
@@ -182,28 +174,6 @@ def test_matches_reference_quadratic_match(ref_driver, rng):
                                    err_msg=f"Vm step {i}")
 
 
-def _run_ours_cfg(cfg, positions, steps, stim_off=-1):
-    import numpy as np
-    from sph_sm_monodomain_tpu import init_fluid, step
-    from sph_sm_monodomain_tpu.ops.electrophysiology import (
-        turn_on_stim_mesh, turn_off_stim)
-    st = init_fluid(positions, cfg)
-    st = turn_on_stim_mesh(st, positions, cfg)
-    frames = []
-    n = positions.shape[0]
-    for i in range(steps):
-        if i == stim_off:
-            st = turn_off_stim(st, cfg)
-        st, _ = step(st, cfg, 64, 9 * 64)
-        frames.append(np.concatenate([
-            np.asarray(st.pos, np.float64)[:n],
-            np.asarray(st.vel, np.float64)[:n],
-            np.asarray(st.vm, np.float64)[:n, None],
-            np.asarray(st.dens, np.float64)[:n, None],
-            np.asarray(st.pres, np.float64)[:n, None]], axis=1))
-    return frames
-
-
 @pytest.mark.slow
 def test_matches_reference_volume_flip_off(ref_driver, rng):
     # flip_volume (h:155) turns OFF the det-normalize volume-conservation
@@ -246,7 +216,7 @@ def test_matches_reference_cube_stim_protocol(ref_driver):
     # cpp:719-743) — stim slabs at x in [0.45,0.48] / x>1.0 with z<=1.05,
     # floor-strip tendon pins at y==0. Uses the procedural cube cloud so
     # every predicate engages (289 exact-y==0 rows).
-    from sph_sm_monodomain_tpu import SimConfig, init_fluid, step
+    from sph_sm_monodomain_tpu import SimConfig, init_fluid
     from sph_sm_monodomain_tpu.utils.io import cube_positions
     from sph_sm_monodomain_tpu.ops.electrophysiology import turn_on_stim_cube
     cfg = SimConfig()
@@ -254,21 +224,14 @@ def test_matches_reference_cube_stim_protocol(ref_driver):
     steps = 8
     ref = _run_reference_q(ref_driver, pts, steps, stim_cube=1)
 
-    st = init_fluid(pts, cfg)
-    st = turn_on_stim_cube(st, pts, cfg)
+    # protocol sanity: partial stimulus + floor pins actually engage
     n = pts.shape[0]
+    st = turn_on_stim_cube(init_fluid(pts, cfg), pts, cfg)
     assert 0 < int(np.asarray(st.stim)[:n].max()) and \
         int((np.asarray(st.stim)[:n] > 0).sum()) < n, "stim should be partial"
     assert int(np.asarray(st.fixed)[:n].sum()) > 0, "floor pins missing"
-    ours = []
-    for _ in range(steps):
-        st, _ = step(st, cfg, 64, 9 * 64)
-        ours.append(np.concatenate([
-            np.asarray(st.pos, np.float64)[:n],
-            np.asarray(st.vel, np.float64)[:n],
-            np.asarray(st.vm, np.float64)[:n, None],
-            np.asarray(st.dens, np.float64)[:n, None],
-            np.asarray(st.pres, np.float64)[:n, None]], axis=1))
+
+    ours = _run_ours_cfg(cfg, pts, steps, stim="cube")
     _compare(ref, ours, steps)
 
 

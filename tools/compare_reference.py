@@ -15,7 +15,6 @@ Usage:
 """
 
 import argparse
-import shutil
 import subprocess
 import sys
 import time
@@ -25,27 +24,11 @@ import numpy as np
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
-REFERENCE = Path("/root/reference")
-HARNESS = REPO / "tests" / "reference_harness"
-BUILD = Path("/tmp/sphsm_ref_harness")
-
-
-def build_reference_driver() -> Path:
-    if not (REFERENCE / "SPH_SM_monodomain/SPH_SM_monodomain.cpp").exists():
-        sys.exit("reference tree not found at /root/reference")
-    if shutil.which("g++") is None:
-        sys.exit("g++ not available")
-    BUILD.mkdir(exist_ok=True)
-    exe = BUILD / "driver"
-    srcs = [str(HARNESS / "driver.cpp"),
-            str(REFERENCE / "SPH_SM_monodomain/SPH_SM_monodomain.cpp"),
-            str(REFERENCE / "Math3D/m3Matrix.cpp"),
-            str(REFERENCE / "Math3D/m9Matrix.cpp")]
-    subprocess.run(["g++", "-O2", "-std=c++11",
-                    f"-I{REFERENCE}/SPH_SM_monodomain",
-                    f"-I{REFERENCE}/Math3D", "-o", str(exe)] + srcs,
-                   check=True, capture_output=True)
-    return exe
+sys.path.insert(0, str(REPO / "tests"))
+# ONE build recipe shared with the fidelity test suite (so the tool and
+# the tests can never compile different reference binaries)
+from reference_harness.build import (BUILD, build_reference_driver,  # noqa: E402
+                                     reference_available)
 
 
 def run_reference(exe: Path, positions: np.ndarray, steps: int,
@@ -80,18 +63,17 @@ def run_ours(scene_name: str, steps: int, stim_off: int, force_cpu: bool):
 
     scene = smt.build_scene(scene_name)
     n = scene.num_particles
-    disp = np.zeros(steps)
-    vm = np.zeros(steps)
+    orig = np.asarray(scene.state.orig_pos)[:n]
 
-    def cb(step_idx, state):
-        disp[step_idx - 1] = float(np.asarray(
-            state.displacement())[:n].mean())
-        vm[step_idx - 1] = float(np.asarray(state.vm)[:n].mean())
-
+    # per-step curves come from the in-scan trajectory recording
+    # (record_every=1) — one device dispatch per chunk, not per step
     t0 = time.time()
-    smt.run_protocol(scene, num_steps=steps, stim_off_step=stim_off,
-                     chunk=1, callback=cb)
+    _state, _aux, traj = smt.run_protocol(
+        scene, num_steps=steps, stim_off_step=stim_off, record_every=1)
     wall = time.time() - t0
+    pos = np.asarray(traj["pos"])[:, :n]           # (steps, n, 3)
+    disp = np.linalg.norm(pos - orig[None], axis=-1).mean(axis=1)
+    vm = np.asarray(traj["vm"])[:, :n].mean(axis=1)
     return disp, vm, wall, jax.default_backend()
 
 
@@ -101,11 +83,19 @@ def main():
                     help="scene name (must be a raw reference cloud scene)")
     ap.add_argument("--steps", type=int, default=500)
     ap.add_argument("--stim-off-step", type=int, default=None)
-    ap.add_argument("--out", default=str(REPO / "docs" / "showcase"
-                                         / "fidelity_500step.png"))
+    ap.add_argument("--out", default=None,
+                    help="output PNG (default: a per-scene filename under "
+                         "docs/showcase/ so scenes never clobber each "
+                         "other's committed artifact)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the JAX engine onto CPU")
     args = ap.parse_args()
+    if args.out is None:
+        name = ("fidelity_500step.png" if args.scene == "biceps_18475"
+                else f"fidelity_{args.scene}_500step.png")
+        args.out = str(REPO / "docs" / "showcase" / name)
+    if not reference_available():
+        sys.exit("reference tree or g++ unavailable")
     stim_off = (args.steps // 2 if args.stim_off_step is None
                 else args.stim_off_step)
 
@@ -127,8 +117,8 @@ def main():
 
     o_disp, o_vm, o_wall, backend = run_ours(args.scene, args.steps,
                                              stim_off, args.cpu)
-    print(f"ours ({backend}): {o_wall:.1f}s wall incl. compile + "
-          f"per-step host readback")
+    print(f"ours ({backend}): {o_wall:.1f}s wall incl. compile "
+          f"(in-scan per-step trajectory recording)")
 
     dd = np.abs(o_disp - r_disp)
     dv = np.abs(o_vm - r_vm)
