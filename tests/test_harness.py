@@ -256,6 +256,28 @@ def test_cli_render_live_and_gif(tmp_path):
         assert f.read(6) in (b"GIF89a", b"GIF87a")
 
 
+@pytest.mark.slow
+def test_cli_monodomain_mode_honors_control_stim_off(tmp_path):
+    """The control-file 'q' equivalent must work in --mode monodomain too
+    (ADVICE r2: the variant has a live stimulus; it was silently
+    discarded). After the command fires between chunks, stim must stay
+    off for the rest of the run."""
+    import numpy as np
+    from sph_sm_monodomain_tpu.cli import main
+    from sph_sm_monodomain_tpu.state import load_checkpoint
+    ctl = tmp_path / "ctl"
+    ctl.write_text("stim-off\n")
+    ckpt = tmp_path / "end.npz"
+    rc = main(["--scene", "susane", "--mode", "monodomain", "--steps", "4",
+               "--chunk", "2", "--control", str(ctl),
+               "--save-checkpoint", str(ckpt)])
+    assert rc == 0
+    state, _step = load_checkpoint(str(ckpt))
+    act = np.asarray(state.active)
+    assert float(np.asarray(state.stim)[act].max()) <= 0.0, \
+        "control-file stim-off was ignored in monodomain mode"
+
+
 def test_cli_flag_free_resume_restores_config(tmp_path):
     """A checkpoint written with non-default physics resumes with the SAME
     physics even when the resume command passes no flags (VERDICT r2 §5)."""
