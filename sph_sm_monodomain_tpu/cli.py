@@ -65,6 +65,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="voltage colormap range for --render-mode voltage "
                         "(default: the reference's [-200, 200], which is "
                         "nearly flat over an FHN wave — try 0,15)")
+    p.add_argument("--world-box", action="store_true",
+                   help="draw the reference display()'s world wireframe "
+                        "cube + origin axes in rendered frames")
     p.add_argument("--render-live", default=None, metavar="PATH.png",
                    help="re-render the CURRENT state to this one file "
                         "between chunks — the headless stand-in for "
@@ -328,7 +331,8 @@ def main(argv=None) -> int:
             # reads a half-written image
             import os
             img = render_mod.render_points(st, cfg, mode=args.render_mode,
-                                           vrange=vrange)
+                                           vrange=vrange,
+                                           world_box=args.world_box)
             tmp = render_mod.save_png(args.render_live + ".tmp.png", img)
             target = args.render_live
             if tmp.endswith(".ppm"):
@@ -590,7 +594,8 @@ def main(argv=None) -> int:
             states, cfg, args.render_dir,
             stim_off_step=(stim_off // max(render_every, 1)
                            if stim_off >= 0 else -1),
-            mode=args.render_mode, vrange=vrange)
+            mode=args.render_mode, vrange=vrange,
+            world_box=args.world_box)
         print(f"{len(paths)} frames -> {args.render_dir}/")
         if args.gif and paths:
             from .utils.animate import read_png_rgb, write_gif

@@ -45,12 +45,56 @@ def _project(pos: np.ndarray, azimuth: float, elevation: float,
     return x, y, depth
 
 
+def _draw_segment(img: np.ndarray, p0, p1, color, size: int,
+                  half: float) -> None:
+    """Rasterize one world-space segment (already camera-projected x/y
+    pairs) by dense sampling — plenty for decoration lines."""
+    n = 2 * size
+    xs = np.linspace(p0[0], p1[0], n)
+    ys = np.linspace(p0[1], p1[1], n)
+    px = np.clip(((xs / half * 0.5 + 0.5) * (size - 1)).astype(np.int64),
+                 0, size - 1)
+    py = np.clip(((-ys / half * 0.5 + 0.5) * (size - 1)).astype(np.int64),
+                 0, size - 1)
+    img[py, px] = color
+
+
+def _draw_world_decoration(img: np.ndarray, cfg: SimConfig, azimuth: float,
+                           elevation: float, size: int,
+                           half: float) -> None:
+    """The reference display()'s world decoration (main.cpp:268-316):
+    white wireframe world cube (display_cube, main.cpp:52-60/181-197) and
+    the origin axes with the reference's color assignment — BLUE x, RED y,
+    GREEN z (main.cpp:311-324, a quirk preserved verbatim)."""
+    world = np.asarray(cfg.world_size, dtype=np.float32)
+    wx, wy, wz = world
+
+    def proj(pts):
+        x, y, _ = _project(np.asarray(pts, np.float32), azimuth,
+                           elevation, world)
+        return np.stack([x, y], axis=1)
+
+    c = np.array([[0, 0, 0], [wx, 0, 0], [wx, wy, 0], [0, wy, 0],
+                  [0, 0, wz], [wx, 0, wz], [wx, wy, wz], [0, wy, wz]],
+                 np.float32)
+    cp = proj(c)
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (4, 5), (5, 6), (6, 7),
+             (7, 4), (0, 4), (1, 5), (2, 6), (3, 7)]
+    for a, b in edges:
+        _draw_segment(img, cp[a], cp[b], (255, 255, 255), size, half)
+    ax = proj([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]])
+    for end, color in ((1, (0, 0, 255)), (2, (255, 0, 0)),
+                       (3, (0, 255, 0))):
+        _draw_segment(img, ax[0], ax[end], color, size, half)
+
+
 def render_points(state: ParticleState, cfg: SimConfig,
                   mode: str = "displacement", size: int = 600,
                   azimuth: float = 0.0, elevation: float = 0.0,
                   point_px: int = 2, fade_ratio: float = 1.0,
                   background=(26, 26, 26),
-                  vrange: tuple[float, float] | None = None) -> np.ndarray:
+                  vrange: tuple[float, float] | None = None,
+                  world_box: bool = False) -> np.ndarray:
     """Render active particles to an (size, size, 3) uint8 image.
 
     mode: 'displacement' (main.cpp:213, range [-0.05, 0.05], optionally
@@ -62,6 +106,9 @@ def render_points(state: ParticleState, cfg: SimConfig,
     [-200, 200] maps an FHN wave's working range (tens of mV) onto a
     nearly-flat slice of the blue->yellow->red ramp; pass a tight range
     (e.g. (0, 15) for the apex-stim wave demo) to make the front visible.
+
+    world_box: draw the reference display()'s decoration — white wireframe
+    world cube + origin axes (blue x / red y / green z, its color quirk).
     """
     act = np.asarray(state.active)
     pos = np.asarray(state.pos)[act]
@@ -82,6 +129,10 @@ def render_points(state: ParticleState, cfg: SimConfig,
 
     img = np.zeros((size, size, 3), dtype=np.uint8)
     img[:] = background
+    if world_box:
+        # decoration first so particles paint over it (GL draws the cube
+        # before the points in the same depth pass, main.cpp:289-291)
+        _draw_world_decoration(img, cfg, azimuth, elevation, size, half)
     # painter's algorithm: back-to-front overwrite resolves occlusion
     order = np.argsort(depth)
     colors = (rgb * 255).astype(np.uint8)

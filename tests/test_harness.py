@@ -36,6 +36,24 @@ def test_render_points_shape_and_content(rng):
     assert img_v.shape == (64, 64, 3)
 
 
+def test_render_world_box_decoration(rng):
+    """world_box=True draws the reference display()'s decoration: a white
+    wireframe world cube and the origin axes with the reference's color
+    quirk (BLUE x / RED y / GREEN z, main.cpp:311-324). The particle ramp
+    can never produce pure white / pure axis colors, so their presence is
+    an exact signature of the overlay."""
+    pts = np.clip(rng.random((40, 3)).astype(np.float32), 0.4, 1.1)
+    st = init_fluid(pts, CFG)
+    plain = render_points(st, CFG, size=128, azimuth=0.4, elevation=0.3)
+    boxed = render_points(st, CFG, size=128, azimuth=0.4, elevation=0.3,
+                          world_box=True)
+    white = (boxed == [255, 255, 255]).all(axis=-1)
+    assert white.sum() > 50, "wireframe cube missing"
+    assert not (plain == [255, 255, 255]).all(axis=-1).any()
+    for color in ([0, 0, 255], [255, 0, 0], [0, 255, 0]):
+        assert (boxed == color).all(axis=-1).any(), f"axis {color} missing"
+
+
 def test_render_voltage_vrange(rng):
     # an FHN-scale Vm field (a few mV) is invisible under the reference's
     # [-200, 200] ramp (uniform blue) but spans the ramp under a tight
