@@ -60,6 +60,16 @@ def test_step_is_deterministic(rng):
     assert check_step_determinism(lambda s: step(s, CFG, 32, 9 * 32), st)
 
 
+def test_assert_state_healthy_raises(rng):
+    from sph_sm_monodomain_tpu.utils.debug import assert_state_healthy
+    pts = np.clip(rng.random((16, 3)).astype(np.float32), 0.1, 1.4)
+    st = init_fluid(pts, CFG)
+    assert_state_healthy(st, CFG)   # clean state passes
+    bad = st.replace(pos=st.pos.at[2, 1].set(jnp.inf))
+    with pytest.raises(AssertionError):
+        assert_state_healthy(bad, CFG, where="unit-test")
+
+
 def test_nan_guard_raises_on_nonfinite_step(rng):
     from sph_sm_monodomain_tpu.utils.debug import nan_guard
     pts = np.clip(rng.random((24, 3)).astype(np.float32), 0.1, 1.4)

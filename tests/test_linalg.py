@@ -25,6 +25,21 @@ def test_jacobi_eigh_3x3(rng):
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_jacobi_eigh3_cyclic_matches_numpy(rng):
+    """The branch-free cyclic 3x3 variant (the production polar-decomp
+    path, linalg.py:154) must agree with numpy eigh like the max-pivot
+    form does."""
+    for _ in range(20):
+        A = _sym(rng, 3)
+        lam, R = linalg.jacobi_eigh3_cyclic(jnp.asarray(A), sweeps=7)
+        lam, R = np.asarray(lam), np.asarray(R)
+        want = np.sort(np.linalg.eigvalsh(A.astype(np.float64)))
+        np.testing.assert_allclose(np.sort(lam), want, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+        np.testing.assert_allclose(R @ np.diag(lam) @ R.T, A,
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_jacobi_eigh_9x9(rng):
     A = _sym(rng, 9)
     lam, R = linalg.jacobi_eigh(jnp.asarray(A), 100)  # enough sweeps for 9x9
