@@ -95,7 +95,8 @@ def _gather_loop(blk_lo_ref, blk_hi_ref, feats_ref, scratch, w_chunk,
 
 def _gather_loop4(blk_lo_ref, blk_hi_ref, feats_ref, scratch, w_chunk,
                   qcx, qcyz, base, pair_fn, accs, cfg: SimConfig,
-                  hbm_feats: bool, db_feats: bool = False):
+                  hbm_feats: bool, db_feats: bool = False,
+                  mask: str = "full"):
     """v4 candidate enumeration: THREE merged z-plane windows per sub-block
     (one per dz offset), each covering the full 3x3 (dx, dy) footprint of
     the sub-block's hash interval in that plane.
@@ -106,18 +107,38 @@ def _gather_loop4(blk_lo_ref, blk_hi_ref, feats_ref, scratch, w_chunk,
     gap lanes for 3x fewer window setups and fewer ragged-chunk roundups
     (measured net win on v5e, see DEVELOPMENT.md).
 
-    The mask is the exact per-axis cell test |cx_q - cx_c| <= 1 and
-    |cyz_q + Gm*ds - cyz_c| <= 1 on two f32 features (cx = fast-axis cell
-    coord, cyz = mid + Gm*slow combined coord; both < 2^21, exact in f32;
-    axis roles from pallas_sweeps.hash_axis_perm — x-major on the standard
-    cubic world). It accepts exactly the reference's 27-cell stencil pairs
-    plus boundary wrap pairs (mid_q=0 with mid_c=Gm-1 one slow-plane
-    lower, etc.) that are >= one world edge minus two cells apart — far
-    outside every kernel support, so their contribution is exactly 0.
-    Out-of-grid / inactive lanes carry a sentinel cx. Rows outside the
-    nominal windows can never pass (their cyz differs by >= 2 for every
-    ds), and a pair passes under at most one slow-offset window, so
-    overlapping windows cannot double-count."""
+    mask="full" (sweep B) is the exact per-axis cell test |cx_q - cx_c|
+    <= 1 and |cyz_q + Gm*ds - cyz_c| <= 1 on two f32 features (cx =
+    fast-axis cell coord, cyz = mid + Gm*slow combined coord; both <
+    2^21, exact in f32; axis roles from pallas_sweeps.hash_axis_perm —
+    x-major on the standard cubic world). It accepts exactly the
+    reference's 27-cell stencil pairs plus boundary wrap pairs (mid_q=0
+    with mid_c=Gm-1 one slow-plane lower, etc.) that are >= one world
+    edge minus two cells apart — far outside every kernel support, so
+    their contribution is exactly 0. Out-of-grid / inactive lanes carry
+    a sentinel cx. Rows outside the nominal windows can never pass
+    (their cyz differs by >= 2 for every ds), and a pair passes under at
+    most one slow-offset window, so overlapping windows cannot
+    double-count.
+
+    mask="yz" (sweep A only) drops the |cx_q - cx_c| half: sweep A's only
+    pair weight is Poly6, whose support radius equals the cell size, so
+    every fast-axis-distant or fast-wrap pair the cx test would reject
+    already gets weight exactly 0 from the in-kernel max(h^2 - r^2, 0)
+    support clamp (cells >= 2 apart on an axis are > h apart on that
+    axis). The cyz half MUST stay: it is what makes the three run windows
+    disjoint per pair (a chunk-aligned over-read below/above one run's
+    bounds can reach rows of the neighboring run's window, and those rows
+    can be genuine in-support neighbors — without the cyz test they would
+    be double-counted). It also re-derives the window bounds exactly, so
+    over-read rows outside every run never pass. Lanes the cx sentinel
+    used to hide (inactive / out-of-grid rows, whose cyz feature is 0,
+    not a sentinel) are instead inert by the FEATURE contract: sweep-A
+    candidate builders zero the mass and vol columns on dead lanes (see
+    build_qm_feats), and every sweep-A accumulator term scales by one of
+    them. Sweep B cannot use this: B_spline_2's support is 2h, so the
+    reference's 27-cell truncation (cpp:562-563) is NOT implied by the
+    weight — B keeps the full test for fidelity."""
     gm = cfg.grid_size[hash_axis_perm(cfg)[1]]
     # last lane-aligned column of the zero-padded tail: a always-valid DMA
     # target for the one-past-the-end prefetch (inert lanes, mass/vol = 0)
@@ -130,8 +151,9 @@ def _gather_loop4(blk_lo_ref, blk_hi_ref, feats_ref, scratch, w_chunk,
         trips = pl.cdiv(w_hi - start, w_chunk)
 
         def mask_pairs(cand, carry, qd=qd):
-            stencil = (jnp.abs(qcx - cand[12:13, :]) <= 1.0) \
-                & (jnp.abs(qd - cand[13:14, :]) <= 1.0)
+            stencil = jnp.abs(qd - cand[13:14, :]) <= 1.0
+            if mask == "full":
+                stencil &= jnp.abs(qcx - cand[12:13, :]) <= 1.0
             return pair_fn(cand, stencil, carry)
 
         if hbm_feats and db_feats:
@@ -195,14 +217,20 @@ def _gather_loop4(blk_lo_ref, blk_hi_ref, feats_ref, scratch, w_chunk,
 def _pair_step_a(cand, m, carry, qx, qy, qz, qcv, h2, p6c):
     """One masked candidate chunk of the XSPH + density gather, in the
     reference's per-pair difference form (cpp:483, 688-695). Candidate
-    rows: [x y z | vx vy vz | vol_prev | mass | ...]."""
+    rows: [x y z | vx vy vz | vol_prev | mass | ...].
+
+    The Poly6 support test r^2 <= h^2 is folded into the weight as
+    max(h^2 - r^2, 0) — exactly 0 for every out-of-support pair, bit-equal
+    for every in-support pair — so `m` only needs to carry whatever the
+    geometry cannot decide (the run-window disjointness test; see
+    _gather_loop4 mask="yz")."""
     a_d, a_x, a_y, a_z = carry
     dx = qx - cand[0:1, :]
     dy = qy - cand[1:2, :]
     dz = qz - cand[2:3, :]
     r2 = dx * dx + dy * dy + dz * dz
-    t = h2 - r2
-    w6 = jnp.where(m & (r2 <= h2), p6c * t * t * t, 0.0)
+    t = jnp.maximum(h2 - r2, 0.0)
+    w6 = jnp.where(m, p6c * t * t * t, 0.0)
     wv = w6 * cand[6:7, :]                               # * vol_prev_j
     return (a_d + w6 * cand[7:8, :],
             a_x + wv * (cand[3:4, :] - qcv[:, 0:1]),
@@ -356,10 +384,13 @@ def _kernel_a3(blk_lo_ref, blk_hi_ref, qm_ref, feats_ref, out_ref,
 
         zeros = jnp.zeros((sub_q, w_chunk), jnp.float32)
         if stencil == "xyz3":
+            # mask="yz": Poly6's support clamp subsumes the fast-axis cell
+            # test (see _gather_loop4); requires the feats_a inert-lane
+            # contract (mass/vol zeroed on dead rows, build_qm_feats)
             a_d, a_x, a_y, a_z = _gather_loop4(
                 blk_lo_ref, blk_hi_ref, feats_ref, scratch, w_chunk,
                 qh, qcyz, base, pair, (zeros,) * 4, cfg, hbm_feats,
-                db_feats)
+                db_feats, mask="yz")
         else:
             a_d, a_x, a_y, a_z = _gather_loop(
                 blk_lo_ref, blk_hi_ref, feats_ref, scratch, w_chunk,
@@ -555,7 +586,15 @@ def build_qm_feats(state, f1, f2, order):
 
     f1/f2: the two stencil feature columns in ORIGINAL order (chash +
     zeros for the hash9 stencil; cx + cyz for xyz3). Returns (fs (N,16),
-    feats_a (16,N)); requires state.corrected_vel to be current."""
+    feats_a (16,N)); requires state.corrected_vel to be current.
+
+    Sweep-A inert-lane contract: dead candidate rows (inactive /
+    out-of-grid, f1 == sentinel) get mass = vol = 0 here, because the
+    xyz3 sweep-A mask no longer tests the sentinel-bearing cx feature
+    (_gather_loop4 mask="yz") — every sweep-A accumulator term scales by
+    one of the two, so zeroing them is what keeps dead rows contributing
+    exactly nothing. The QUERY matrix `fs` keeps the real mass (the FHN
+    epilogue divides by it)."""
     n = state.pos.shape[0]
     fields = jnp.concatenate([
         state.pos, state.corrected_vel, state.mass[:, None],
@@ -564,9 +603,11 @@ def build_qm_feats(state, f1, f2, order):
         jnp.zeros((n, 2), jnp.float32)], axis=1)
     fs = fields[order]
     z = jnp.zeros((n,), jnp.float32)
-    vol_prev = jnp.where(fs[:, 7] > 0.0, fs[:, 6] / fs[:, 7], 0.0)
+    live = fs[:, 12] >= 0.0      # f1 is a cell coord/hash (>= 0) when live
+    mass_c = jnp.where(live, fs[:, 6], 0.0)
+    vol_prev = jnp.where(live & (fs[:, 7] > 0.0), fs[:, 6] / fs[:, 7], 0.0)
     feats_a = jnp.stack([fs[:, 0], fs[:, 1], fs[:, 2], fs[:, 3], fs[:, 4],
-                         fs[:, 5], vol_prev, fs[:, 6], z, z, z, z,
+                         fs[:, 5], vol_prev, mass_c, z, z, z, z,
                          fs[:, 12], fs[:, 13], z, z], axis=0)
     return fs, feats_a
 

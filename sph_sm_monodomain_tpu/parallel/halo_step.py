@@ -355,12 +355,19 @@ def _halo_body(state: ParticleState, cfg: SimConfig, q_block: int,
 
     n_m = merged_fs.shape[0]
     z = jnp.zeros((n_m,), jnp.float32)
-    vol_prev = jnp.where(merged_fs[:, 7] > 0.0,
+    # sweep-A inert-lane contract (ops/fused_step.build_qm_feats): dead
+    # rows — inactive core padding, invalid exchanged halo rows, edge
+    # devices' all-sentinel blocks — must carry mass = vol = 0, because
+    # the xyz3 sweep-A mask no longer tests the sentinel-bearing cx
+    # feature. Live rows have cx >= 0; every dead row has cx == sentinel.
+    live_c = merged_fs[:, 12] >= 0.0
+    mass_c = jnp.where(live_c, merged_fs[:, 6], 0.0)
+    vol_prev = jnp.where(live_c & (merged_fs[:, 7] > 0.0),
                          merged_fs[:, 6] / merged_fs[:, 7], 0.0)
     feats_a = jnp.stack(
         [merged_fs[:, 0], merged_fs[:, 1], merged_fs[:, 2],
          merged_fs[:, 3], merged_fs[:, 4], merged_fs[:, 5], vol_prev,
-         merged_fs[:, 6], z, z, z, z, merged_fs[:, 12], merged_fs[:, 13],
+         mass_c, z, z, z, z, merged_fs[:, 12], merged_fs[:, 13],
          z, z], axis=0)
     out_a = sweep_a3(fields, feats_a, blk_lo, blk_hi, q_block, w_chunk,
                      cfg, sub_q=sub_q, stencil="xyz3")

@@ -233,9 +233,14 @@ def _sharded_fused_body(state: ParticleState, cfg: SimConfig, q_block: int,
     fs = fields[order]
 
     z = jnp.zeros((n,), jnp.float32)
-    vol_prev = jnp.where(fs[:, 7] > 0.0, fs[:, 6] / fs[:, 7], 0.0)
+    # sweep-A inert-lane contract (build_qm_feats): dead rows (sentinel
+    # cx) must carry mass = vol = 0 — the xyz3 sweep-A mask no longer
+    # tests the cx feature
+    live = fs[:, 12] >= 0.0
+    mass_c = jnp.where(live, fs[:, 6], 0.0)
+    vol_prev = jnp.where(live & (fs[:, 7] > 0.0), fs[:, 6] / fs[:, 7], 0.0)
     feats_a = jnp.stack([fs[:, 0], fs[:, 1], fs[:, 2], fs[:, 3], fs[:, 4],
-                         fs[:, 5], vol_prev, fs[:, 6], z, z, z, z,
+                         fs[:, 5], vol_prev, mass_c, z, z, z, z,
                          fs[:, 12], fs[:, 13], z, z], axis=0)
     out_a_slab = sweep_a3(fs, feats_a, blk_lo, blk_hi, q_block, w_chunk,
                           cfg, q_slice=(lo, n_loc), sub_q=sub_q,

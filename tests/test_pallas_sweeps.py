@@ -255,6 +255,39 @@ def test_fused_padded_lanes_inert(rng):
     np.testing.assert_array_equal(np.asarray(out.pos)[150:], pad_pos)
 
 
+def test_fused_v4_inactive_lanes_on_top_of_active(rng):
+    """Adversarial inert-lane contract: inactive padded lanes placed
+    EXACTLY on top of active particles, with init-style nonzero mass and
+    stand-density dens. The v4 sweep-A mask no longer tests the
+    sentinel-bearing cx feature (ops/fused_step._gather_loop4 mask="yz"),
+    so only the zeroed mass/vol candidate features (build_qm_feats) keep
+    such lanes from contributing to their hosts' density/XSPH — this is
+    the test that fails if that contract breaks."""
+    st, pts = _state(rng, 150)
+    # park every padded lane on an active particle (worst case: distance 0,
+    # same cell, passes every geometric test)
+    pad_rows = st.capacity - 150
+    host = np.asarray(st.pos)[:150][
+        rng.integers(0, 150, size=pad_rows)]
+    pos = np.asarray(st.pos).copy()
+    pos[150:] = host
+    dens = np.asarray(st.dens).copy()
+    dens[150:] = CFG.stand_density       # plausible stale values
+    st_adv = st.replace(pos=jnp.asarray(pos), dens=jnp.asarray(dens))
+
+    a = st  # clean padding (baseline)
+    b = st_adv
+    for _ in range(2):
+        a, _ = step_fused(a, CFG, 64, 128, 64, impl="v4")
+        b, _ = step_fused(b, CFG, 64, 128, 64, impl="v4")
+    for name in ("pos", "vel", "dens", "vm", "iion", "w"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, name))[:150],
+            np.asarray(getattr(b, name))[:150],
+            err_msg=f"{name}: overlapping inactive lanes leaked into "
+                    "active results")
+
+
 @pytest.mark.slow
 def test_step_fused_hbm_candidate_path(rng, monkeypatch):
     # force the large-N path (candidates in HBM, per-chunk DMA); patch the
