@@ -21,8 +21,12 @@ HARDWARE-relative one. For a scene it reports:
 Per-slot op counts are hand-counted from ops/fused_step._pair_step_a/_b
 (every jnp elementwise op on the (sub_q, Wc) tile = 1 lane-op; selects and
 compares count 1 each):
-  sweep A: 3 sub + 5 r2 + 1 t + 2 cmp+and + 1 sel + 3 w6 + 1 wv +
-           4x(1 diff + 1 mul + 1 add) = 28
+  sweep A: 3 yz-mask (sub+abs+cmp) + 3 sub + 5 r2 + 2 t(relu) +
+           4 w6 (3 mul + sel) + 1 wv + 2 a_d +
+           3x(1 diff + 1 mul + 1 add) = 29
+           (the fast-axis mask half and the r2<=h2 compare were removed —
+           Poly6's support clamp subsumes them, see _gather_loop4
+           mask="yz")
   sweep B: 3 sub + 5 r2 + 2 cmp/and + 1 sel(volm) + 1 rsqrt + 1 rr +
            2 hr(relu) + 2 common + 4 f_p + 1 f_v + 3x(diff+2 fma-ish=9)
            + EP (2 qr + 4 w2 + 3 lap) = 40 (with_ep)
@@ -45,7 +49,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-FLOPS_PER_SLOT_A = 28
+FLOPS_PER_SLOT_A = 29
 FLOPS_PER_SLOT_B = 40
 
 
