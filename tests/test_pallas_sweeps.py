@@ -255,6 +255,35 @@ def test_fused_padded_lanes_inert(rng):
     np.testing.assert_array_equal(np.asarray(out.pos)[150:], pad_pos)
 
 
+def test_step_fused_v4_permutation_equivariance(rng):
+    """Permuting particle rows must permute the trajectory: the sort /
+    window / unsort machinery may not depend on input row order beyond fp
+    reassociation (stable sort ties break by original index, so summation
+    order inside a cell changes — hence tolerances, not bit equality)."""
+    st, pts = _state(rng, 200)
+    cap = st.capacity
+    perm = rng.permutation(cap)
+
+    def permute(s):
+        return jax.tree_util.tree_map(
+            lambda a: a[perm] if hasattr(a, "ndim") and a.ndim
+            and a.shape[0] == cap else a, s)
+
+    a = st
+    b = permute(st)
+    for _ in range(2):
+        a, _ = step_fused(a, CFG, 64, 128, 64, impl="v4")
+        b, _ = step_fused(b, CFG, 64, 128, 64, impl="v4")
+    a = permute(a)   # bring the baseline into the permuted row order
+    act = np.asarray(a.active)
+    for name, atol in (("pos", 5e-5), ("vel", 5e-3), ("vm", 5e-3),
+                       ("dens", 0.05), ("iion", 1e-5), ("w", 1e-6)):
+        np.testing.assert_allclose(
+            np.asarray(getattr(a, name))[act],
+            np.asarray(getattr(b, name))[act], atol=atol,
+            err_msg=f"{name} not permutation-equivariant")
+
+
 def test_fused_v4_inactive_lanes_on_top_of_active(rng):
     """Adversarial inert-lane contract: inactive padded lanes placed
     EXACTLY on top of active particles, with init-style nonzero mass and
