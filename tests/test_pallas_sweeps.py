@@ -169,6 +169,30 @@ def test_step_fused_v4_randomized_config():
                                np.asarray(b.dens)[:200], rtol=1e-5)
 
 
+@pytest.mark.slow
+def test_step_fused_v4_quadratic_volume_sm(rng):
+    """Quadratic shape matching + volume-conservation clamp through the
+    production fused path: SM runs in XLA glue shared with the bucketed
+    step, but the fused kernels consume its corrected velocities — this
+    pins the plumbing for the two SM toggles the fidelity suite only
+    covers on the XLA path (flip_quadratic/flip_volume, h:154-155)."""
+    cfg = CFG.replace(quadratic_match=True, volume_conservation=False)
+    pts = np.clip(rng.normal(size=(200, 3)).astype(np.float32) * 0.05 + 0.6,
+                  0.05, 1.2)
+    a = init_fluid(pts, cfg)
+    a = set_stim(a, (0.6, 0.6, 0.6), 0.5, cfg.stim_strength, cfg)
+    b = a
+    for _ in range(3):
+        a, _ = step(a, cfg, 64, 9 * 64)
+        b, aux_b = step_fused(b, cfg, 64, 128, 64, impl="v4")
+        assert int(aux_b.overflow) == 0
+    for name, atol in (("pos", 5e-5), ("vel", 5e-3), ("vm", 5e-3)):
+        np.testing.assert_allclose(
+            np.asarray(getattr(a, name))[:200],
+            np.asarray(getattr(b, name))[:200], atol=atol,
+            err_msg=f"{name} diverged v4-fused vs unfused (quadratic SM)")
+
+
 def test_step_fused_v4_world_boundary_cells(rng):
     """Clouds hugging the world box exercise the v4 mask's wrap-pair
     argument (y=0 / y=Gy-1 cells): wrap pairs are accepted by the cyz test
