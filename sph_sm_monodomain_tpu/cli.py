@@ -383,15 +383,11 @@ def main(argv=None) -> int:
     if args.mode == "monodomain":
         fused = jax.default_backend() == "tpu"
         if fused:
-            # the monodomain-only fused path runs the v2 hash9 sweeps;
-            # retune (sub_q, w_chunk) for the 9-run window geometry rather
-            # than reusing the scene's v4 merged-window tuning (ADVICE r2)
-            from .ops.pallas_sweeps import auto_sweep2_params
-            mono_sub_q, mono_wc = auto_sweep2_params(
-                np.asarray(state.pos)[:scene.num_particles], cfg,
-                sub_q=scene.sub_block or 128)
-            scene = scene._replace(block_window=mono_wc,
-                                   sub_block=mono_sub_q)
+            # the monodomain-only fused path runs the xyz3 merged-window
+            # Laplacian-only sweep — the scene's v4 tuning (same window
+            # geometry) applies directly; nothing to retune (the hash9
+            # retune this replaced was the ADVICE r2 fix for the old v2
+            # monodomain sweeps)
             ftab = variants.monodomain_prepare_fused(
                 state, cfg, scene.q_block, scene.block_window,
                 sub_q=scene.sub_block or 128)

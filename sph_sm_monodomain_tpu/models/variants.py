@@ -248,13 +248,15 @@ def simulate_monodomain_only(state: ParticleState, tables: MonodomainTables,
 class MonodomainFusedTables(NamedTuple):
     """Static geometry for the fused frozen-cloud EP stepper: the cloud
     never moves, so the sort, window bookkeeping, densities and neighbor
-    volumes are computed ONCE. Windows/features are the v2 lean layout
-    (sweep_bookkeeping2)."""
+    volumes are computed ONCE. Windows/features use the v4 xyz3
+    merged-window layout (sweep_bookkeeping3); per step only the
+    Laplacian-only kernel runs (ops/fused_step.sweep_lap3)."""
     order: jax.Array
     inv: jax.Array
     blk_lo: jax.Array
     blk_hi: jax.Array
-    hash_s: jax.Array     # sorted f32 cell hash (stencil feature)
+    cx_s: jax.Array       # sorted f32 fast-axis cell coord (stencil)
+    cyz_s: jax.Array      # sorted f32 mid+Gm*slow combined coord
     pos_s: jax.Array      # sorted positions
     vol_s: jax.Array      # sorted m/rho (current densities)
     mass: jax.Array       # original-order mass
@@ -265,23 +267,24 @@ class MonodomainFusedTables(NamedTuple):
 def monodomain_prepare_fused(state: ParticleState, cfg: SimConfig,
                              q_block: int = 128, w_chunk: int = 128,
                              sub_q: int = 128) -> MonodomainFusedTables:
-    from ..ops.pallas_sweeps import sweep_a2, sweep_bookkeeping2
-    order, inv, blk_lo, blk_hi, chash = sweep_bookkeeping2(
+    from ..ops.pallas_sweeps import sweep_bookkeeping3
+    from ..ops.fused_step import build_qm_feats, sweep_a3
+    order, inv, blk_lo, blk_hi, cx, cyz = sweep_bookkeeping3(
         state.pos, state.active, cfg, sub_q)
-    pos_s = state.pos[order]
+    # one-time density over the same xyz3 windows (with_ep=False: the EOS
+    # epilogue runs but only the dens column is consumed; the double-self
+    # quirk is applied inside, cpp:483)
+    fs, feats_a = build_qm_feats(
+        state.replace(corrected_vel=jnp.zeros_like(state.pos)),
+        cx, cyz, order)
+    out_a = sweep_a3(fs, feats_a, blk_lo, blk_hi, q_block, w_chunk, cfg,
+                     with_ep=False, sub_q=sub_q, stencil="xyz3")
+    dens_s = out_a[:, 8]
     mass_s = state.mass[order]
-    hash_s = chash[order]
-    zeros3 = jnp.zeros_like(pos_s)
-    dens_prev_s = state.dens[order]
-    vol_prev = jnp.where(dens_prev_s > 0.0, mass_s / dens_prev_s, 0.0)
-    dens_s, _ = sweep_a2(pos_s, zeros3, vol_prev, mass_s, hash_s,
-                         blk_lo, blk_hi, q_block, w_chunk, cfg, sub_q=sub_q)
-    if cfg.quirk_double_self_density:
-        from ..ops import kernels as K
-        dens_s = dens_s + mass_s * K.poly6(jnp.zeros_like(dens_s), cfg)
     dens_guard = jnp.where(dens_s > 0.0, dens_s, 1.0)
     return MonodomainFusedTables(order=order, inv=inv, blk_lo=blk_lo,
-                                 blk_hi=blk_hi, hash_s=hash_s, pos_s=pos_s,
+                                 blk_hi=blk_hi, cx_s=cx[order],
+                                 cyz_s=cyz[order], pos_s=state.pos[order],
                                  vol_s=mass_s / dens_guard, mass=state.mass,
                                  dens=dens_s[inv])
 
@@ -294,22 +297,34 @@ def simulate_monodomain_only_fused(state: ParticleState,
                                    q_block: int = 128, w_chunk: int = 128,
                                    record_every: int = 0, sub_q: int = 128):
     """Fused frozen-cloud FHN wave: per step only the reaction ODEs and one
-    Laplacian sweep run — all geometry is static (BASELINE config 3).
+    Laplacian-ONLY sweep run — all geometry is static (BASELINE config 3),
+    so the sort/window bookkeeping, the candidate geometry features and
+    the one-time density live in `tables` and the kernel carries two
+    accumulators instead of sweep B's force machinery.
     Frame recording follows the _scan_with_frames convention (one snapshot
     after each `record_every`-step block, recorded inside the scan)."""
-    from ..ops.pallas_sweeps import sweep_b2
+    from ..ops.fused_step import sweep_lap3
 
-    zeros3 = jnp.zeros_like(tables.pos_s)
-    zeros1 = jnp.zeros_like(tables.vol_s)
+    n = tables.pos_s.shape[0]
+    zeros1 = jnp.zeros((n,), jnp.float32)
+    # static qm/feats columns; only the vm column changes per step
+    qm_static = jnp.concatenate(
+        [tables.pos_s, jnp.zeros((n, 9), jnp.float32),
+         tables.cx_s[:, None], tables.cyz_s[:, None],
+         jnp.zeros((n, 2), jnp.float32)], axis=1)
 
     def body(st, _):
         st = fhn_cell_model(st, cfg)
         vm_s = st.vm[tables.order]
-        _, lap_s = sweep_b2(tables.pos_s, zeros3, tables.vol_s, zeros1,
-                            vm_s, tables.hash_s, tables.blk_lo,
-                            tables.blk_hi, q_block, w_chunk, cfg,
-                            sub_q=sub_q)
-        lap = lap_s[tables.inv]
+        qm = qm_static.at[:, 3].set(vm_s)
+        feats = jnp.stack(
+            [tables.pos_s[:, 0], tables.pos_s[:, 1], tables.pos_s[:, 2],
+             tables.vol_s, vm_s, zeros1, zeros1, zeros1, zeros1, zeros1,
+             zeros1, zeros1, tables.cx_s, tables.cyz_s, zeros1, zeros1],
+            axis=0)
+        out = sweep_lap3(qm, feats, tables.blk_lo, tables.blk_hi,
+                         q_block, w_chunk, cfg, sub_q=sub_q)
+        lap = out[:, 0][tables.inv]
         scale = cfg.sigma / (cfg.beta_sv_ratio * cfg.cm_capacitance)
         inter_vm = lap + scale * lap - (st.iion - st.stim * cfg.time_delta
                                         / st.mass) / cfg.cm_capacitance

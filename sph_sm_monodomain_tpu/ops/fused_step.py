@@ -570,6 +570,79 @@ def sweep_b3(out_a, feats_b, blk_lo, blk_hi, q_block: int, w_chunk: int,
                          q_slice, stencil=stencil)
 
 
+def _kernel_lap3(blk_lo_ref, blk_hi_ref, qm_ref, feats_ref, out_ref,
+                 *scratch, cfg: SimConfig, w_chunk: int, sub_q: int,
+                 with_ep: bool, stencil: str = "xyz3",
+                 hbm_feats: bool = False, db_feats: bool = False):
+    """Vm-Laplacian-ONLY gather for the frozen-geometry monodomain mode
+    (the diffusion half of Compute_Force, cpp:562-563, with none of the
+    force math): two accumulators instead of sweep B's four plus the
+    force feature traffic. Geometry is static in that mode, so callers
+    hoist the bookkeeping once and run only this per step.
+
+    qm cols: [x y z | vm | - ... | cx @12, cyz @13]
+    feats rows: [x y z | vol | vm | - ... | cx @12, cyz @13, -, -]
+    out col 0: lap_i = sum_j vol_j * B_spline_2(r) * (vm_j - vm_i).
+
+    The mask stays the FULL per-axis test: B_spline_2's support is 2h,
+    so the reference's 27-cell truncation is a semantic mask the weight
+    cannot reproduce (same argument as sweep B, _gather_loop4)."""
+    bid = pl.program_id(0)
+    nsub = qm_ref.shape[0] // sub_q
+    inv_h = jnp.float32(1.0 / cfg.kernel_h)
+    bs_c = jnp.float32(cfg.b_spline_constant)
+
+    for sb in range(nsub):
+        lo_q = sb * sub_q
+        base = bid * nsub + sb
+        sl = slice(lo_q, lo_q + sub_q)
+        qx = qm_ref[sl, 0:1]
+        qy = qm_ref[sl, 1:2]
+        qz = qm_ref[sl, 2:3]
+        qvm = qm_ref[sl, 3:4]
+        qh = qm_ref[sl, 12:13]
+        qcyz = qm_ref[sl, 13:14]
+
+        def pair(cand, m, carry, qx=qx, qy=qy, qz=qz):
+            a_vw, a_vwvm = carry
+            dx = qx - cand[0:1, :]
+            dy = qy - cand[1:2, :]
+            dz = qz - cand[2:3, :]
+            r2 = dx * dx + dy * dy + dz * dz
+            p = m & (r2 > _PAIR_EPS)                         # cpp:546
+            inv_rr = jax.lax.rsqrt(jnp.where(p, r2, 1.0))
+            qr = (r2 * inv_rr) * inv_h
+            # B_spline_2 (cpp:186-196) in relu form (see _pair_step_b)
+            w2 = bs_c * (1.5 * jnp.maximum(2.0 - qr, 0.0)
+                         - 6.0 * jnp.maximum(1.0 - qr, 0.0))
+            vw = jnp.where(p, cand[3:4, :] * w2, 0.0)
+            return (a_vw + vw, a_vwvm + vw * cand[4:5, :])
+
+        zeros = jnp.zeros((sub_q, w_chunk), jnp.float32)
+        if stencil != "xyz3":
+            raise NotImplementedError("sweep_lap3 runs on the xyz3 "
+                                      "merged-window bookkeeping only")
+        a_vw, a_vwvm = _gather_loop4(
+            blk_lo_ref, blk_hi_ref, feats_ref, scratch, w_chunk,
+            qh, qcyz, base, pair, (zeros,) * 2, cfg, hbm_feats, db_feats)
+
+        red = lambda a: jnp.sum(a, axis=1, keepdims=True)
+        out_ref[sl, 0:1] = red(a_vwvm) - red(a_vw) * qvm
+        out_ref[sl, 1:16] = jnp.zeros((sub_q, 15), jnp.float32)
+
+
+def sweep_lap3(qm, feats, blk_lo, blk_hi, q_block: int, w_chunk: int,
+               cfg: SimConfig, interpret: bool | None = None,
+               q_slice=None, sub_q: int = 128):
+    """Laplacian-only sweep over xyz3 merged windows -> (N,16) with the
+    Laplacian in column 0 (sorted order). See _kernel_lap3."""
+    if interpret is None:
+        interpret = _interpret_default()
+    return _call_kernel3(_kernel_lap3, feats, qm, blk_lo, blk_hi,
+                         q_block, w_chunk, sub_q, cfg, True, interpret,
+                         q_slice, stencil="xyz3")
+
+
 def feats_from_out_a(out_a, vol):
     """(16, N) candidate features for sweep B from OUT_A columns."""
     n = out_a.shape[0]
