@@ -307,21 +307,23 @@ def simulate_monodomain_only_fused(state: ParticleState,
 
     n = tables.pos_s.shape[0]
     zeros1 = jnp.zeros((n,), jnp.float32)
-    # static qm/feats columns; only the vm column changes per step
+    # static qm/feats: only the vm column/row changes per step — one
+    # .at-set each instead of re-stacking 16 rows inside the scan
     qm_static = jnp.concatenate(
         [tables.pos_s, jnp.zeros((n, 9), jnp.float32),
          tables.cx_s[:, None], tables.cyz_s[:, None],
          jnp.zeros((n, 2), jnp.float32)], axis=1)
+    feats_static = jnp.stack(
+        [tables.pos_s[:, 0], tables.pos_s[:, 1], tables.pos_s[:, 2],
+         tables.vol_s, zeros1, zeros1, zeros1, zeros1, zeros1, zeros1,
+         zeros1, zeros1, tables.cx_s, tables.cyz_s, zeros1, zeros1],
+        axis=0)
 
     def body(st, _):
         st = fhn_cell_model(st, cfg)
         vm_s = st.vm[tables.order]
         qm = qm_static.at[:, 3].set(vm_s)
-        feats = jnp.stack(
-            [tables.pos_s[:, 0], tables.pos_s[:, 1], tables.pos_s[:, 2],
-             tables.vol_s, vm_s, zeros1, zeros1, zeros1, zeros1, zeros1,
-             zeros1, zeros1, tables.cx_s, tables.cyz_s, zeros1, zeros1],
-            axis=0)
+        feats = feats_static.at[4, :].set(vm_s)
         out = sweep_lap3(qm, feats, tables.blk_lo, tables.blk_hi,
                          q_block, w_chunk, cfg, sub_q=sub_q)
         lap = out[:, 0][tables.inv]
