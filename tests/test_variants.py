@@ -177,6 +177,28 @@ def test_monodomain_fused_matches_unfused(rng):
                                np.asarray(ref.dens)[:200], rtol=1e-5)
 
 
+def test_monodomain_lap3_kernel_quick(rng):
+    """Quick (non-slow) coverage of the Laplacian-only xyz3 kernel
+    (ops/fused_step.sweep_lap3) — 5 steps vs the XLA frozen-cloud path;
+    the 30-step version lives in test_monodomain_fused_matches_unfused."""
+    from sph_sm_monodomain_tpu.models.variants import (
+        monodomain_prepare, monodomain_prepare_fused,
+        simulate_monodomain_only, simulate_monodomain_only_fused)
+    pts = _blob(rng, 150)
+    st = init_fluid(pts, CFG)
+    st = set_stim(st, tuple(pts[0]), 0.001, CFG.stim_strength, CFG)
+
+    tab = monodomain_prepare(st, CFG, 32, 9 * 64)
+    ref = simulate_monodomain_only(st, tab, CFG, num_steps=5)
+    ftab = monodomain_prepare_fused(st, CFG, q_block=64, w_chunk=128,
+                                    sub_q=64)
+    out = simulate_monodomain_only_fused(st, ftab, CFG, num_steps=5,
+                                         q_block=64, w_chunk=128, sub_q=64)
+    np.testing.assert_allclose(np.asarray(out.vm)[:150],
+                               np.asarray(ref.vm)[:150], atol=1e-4,
+                               err_msg="lap3 kernel diverged from XLA path")
+
+
 def test_monodomain_record_every_blocks(rng):
     """record_every frames are recorded INSIDE the scan, one per block
     (the _scan_with_frames convention) — num_steps//k frames, the last one
