@@ -289,6 +289,65 @@ def monodomain_prepare_fused(state: ParticleState, cfg: SimConfig,
                                  dens=dens_s[inv])
 
 
+def _lap_vm_factory(cfg: SimConfig, q_block: int, w_chunk: int, sub_q: int):
+    """Differentiable sorted-order Vm Laplacian over hoisted xyz3 windows.
+
+    The fused kernels are not autodiff-traceable, but the monodomain
+    Laplacian is LINEAR in vm: lap = L vm with L = A - diag(rowsum(A)),
+    A_ij = vol_j * B_spline_2(r_ij) over the (symmetric) 27-cell stencil
+    with the symmetric r^2 > eps self-exclusion. Its VJP is therefore two
+    more sweeps of the SAME kernel (W2 is symmetric in r):
+
+      (L^T g)_j = vol_j * sum_i W2_ij g_i  -  g_j * sum_k vol_k W2_jk
+
+    — one sweep with unit candidate volumes gathering g, one with real
+    volumes gathering ones, both with the query-vm term zeroed.
+
+    Gradients are defined W.R.T. vm ONLY: the frozen-cloud mode holds
+    geometry (pos/vol/windows) constant, so their cotangents are returned
+    as zeros BY DEFINITION of the mode — do not reuse this outside it.
+    For long scans differentiate under jax.checkpoint (the scan's VJP
+    otherwise stacks per-step residuals)."""
+    from ..ops.fused_step import sweep_lap3
+
+    def raw(vm_q, vol_row, vm_row, pos_s, cx_s, cyz_s, blk_lo, blk_hi):
+        n = pos_s.shape[0]
+        z = jnp.zeros((n,), jnp.float32)
+        qm = jnp.concatenate(
+            [pos_s, vm_q[:, None], jnp.zeros((n, 8), jnp.float32),
+             cx_s[:, None], cyz_s[:, None],
+             jnp.zeros((n, 2), jnp.float32)], axis=1)
+        feats = jnp.stack(
+            [pos_s[:, 0], pos_s[:, 1], pos_s[:, 2], vol_row, vm_row,
+             z, z, z, z, z, z, z, cx_s, cyz_s, z, z], axis=0)
+        return sweep_lap3(qm, feats, blk_lo, blk_hi, q_block, w_chunk,
+                          cfg, sub_q=sub_q)[:, 0]
+
+    @jax.custom_vjp
+    def lap(vm_s, vol_s, pos_s, cx_s, cyz_s, blk_lo, blk_hi):
+        return raw(vm_s, vol_s, vm_s, pos_s, cx_s, cyz_s, blk_lo, blk_hi)
+
+    def fwd(vm_s, vol_s, pos_s, cx_s, cyz_s, blk_lo, blk_hi):
+        out = raw(vm_s, vol_s, vm_s, pos_s, cx_s, cyz_s, blk_lo, blk_hi)
+        return out, (vol_s, pos_s, cx_s, cyz_s, blk_lo, blk_hi)
+
+    def bwd(res, g):
+        import numpy as _np
+        vol_s, pos_s, cx_s, cyz_s, blk_lo, blk_hi = res
+        ones = jnp.ones_like(vol_s)
+        zq = jnp.zeros_like(vol_s)
+        s = raw(zq, ones, g, pos_s, cx_s, cyz_s, blk_lo, blk_hi)
+        rs = raw(zq, vol_s, ones, pos_s, cx_s, cyz_s, blk_lo, blk_hi)
+        d_vm = vol_s * s - g * rs
+        f0 = lambda a: _np.zeros(a.shape, jax.dtypes.float0) \
+            if jnp.issubdtype(a.dtype, jnp.integer) else jnp.zeros_like(a)
+        return (d_vm, f0(vol_s), f0(pos_s), f0(cx_s), f0(cyz_s),
+                f0(blk_lo), f0(blk_hi))
+
+    lap.defvjp(fwd, bwd)
+    return lap
+
+
 @partial(jax.jit, static_argnames=("cfg", "num_steps", "q_block", "w_chunk",
                                    "record_every", "sub_q"))
 def simulate_monodomain_only_fused(state: ParticleState,
@@ -301,32 +360,19 @@ def simulate_monodomain_only_fused(state: ParticleState,
     so the sort/window bookkeeping, the candidate geometry features and
     the one-time density live in `tables` and the kernel carries two
     accumulators instead of sweep B's force machinery.
+    Differentiable w.r.t. the EP state (vm/iion/w/stim) through the
+    custom-VJP Laplacian (_lap_vm_factory) — geometry is constant in this
+    mode by definition.
     Frame recording follows the _scan_with_frames convention (one snapshot
     after each `record_every`-step block, recorded inside the scan)."""
-    from ..ops.fused_step import sweep_lap3
-
-    n = tables.pos_s.shape[0]
-    zeros1 = jnp.zeros((n,), jnp.float32)
-    # static qm/feats: only the vm column/row changes per step — one
-    # .at-set each instead of re-stacking 16 rows inside the scan
-    qm_static = jnp.concatenate(
-        [tables.pos_s, jnp.zeros((n, 9), jnp.float32),
-         tables.cx_s[:, None], tables.cyz_s[:, None],
-         jnp.zeros((n, 2), jnp.float32)], axis=1)
-    feats_static = jnp.stack(
-        [tables.pos_s[:, 0], tables.pos_s[:, 1], tables.pos_s[:, 2],
-         tables.vol_s, zeros1, zeros1, zeros1, zeros1, zeros1, zeros1,
-         zeros1, zeros1, tables.cx_s, tables.cyz_s, zeros1, zeros1],
-        axis=0)
+    lap_fn = _lap_vm_factory(cfg, q_block, w_chunk, sub_q)
 
     def body(st, _):
         st = fhn_cell_model(st, cfg)
         vm_s = st.vm[tables.order]
-        qm = qm_static.at[:, 3].set(vm_s)
-        feats = feats_static.at[4, :].set(vm_s)
-        out = sweep_lap3(qm, feats, tables.blk_lo, tables.blk_hi,
-                         q_block, w_chunk, cfg, sub_q=sub_q)
-        lap = out[:, 0][tables.inv]
+        lap_s = lap_fn(vm_s, tables.vol_s, tables.pos_s, tables.cx_s,
+                       tables.cyz_s, tables.blk_lo, tables.blk_hi)
+        lap = lap_s[tables.inv]
         scale = cfg.sigma / (cfg.beta_sv_ratio * cfg.cm_capacitance)
         inter_vm = lap + scale * lap - (st.iion - st.stim * cfg.time_delta
                                         / st.mass) / cfg.cm_capacitance

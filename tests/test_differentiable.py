@@ -59,6 +59,43 @@ def test_grad_wrt_viscosity_parameter(rng):
     assert np.isfinite(float(v)) and np.isfinite(float(g))
 
 
+def test_grad_through_fused_monodomain_matches_xla(rng):
+    """The fused frozen-cloud EP path is differentiable w.r.t. the initial
+    voltage through the custom-VJP Laplacian (variants._lap_vm_factory):
+    its gradient must match the autodiff gradient of the XLA path (same
+    physics, plain gathers) to fp32 tolerance."""
+    from sph_sm_monodomain_tpu.models.variants import (
+        monodomain_prepare, monodomain_prepare_fused,
+        simulate_monodomain_only, simulate_monodomain_only_fused)
+    st, n = _state(rng, 96)
+    w = jnp.asarray(rng.normal(size=st.vm.shape).astype(np.float32))
+
+    tab = monodomain_prepare(st, CFG, 32, 9 * 32)
+    ftab = monodomain_prepare_fused(st, CFG, q_block=64, w_chunk=128,
+                                    sub_q=64)
+
+    def loss_xla(vm0):
+        out = simulate_monodomain_only(st.replace(vm=vm0), tab, CFG,
+                                       num_steps=3)
+        return jnp.sum(jnp.where(out.active, out.vm * w, 0.0))
+
+    def loss_fused(vm0):
+        out = simulate_monodomain_only_fused(st.replace(vm=vm0), ftab, CFG,
+                                             num_steps=3, q_block=64,
+                                             w_chunk=128, sub_q=64)
+        return jnp.sum(jnp.where(out.active, out.vm * w, 0.0))
+
+    vm0 = jnp.asarray(rng.normal(size=st.vm.shape).astype(np.float32) * 5.0)
+    v_x, g_x = jax.value_and_grad(loss_xla)(vm0)
+    v_f, g_f = jax.value_and_grad(loss_fused)(vm0)
+    np.testing.assert_allclose(float(v_f), float(v_x), rtol=1e-5)
+    g_x, g_f = np.asarray(g_x)[:n], np.asarray(g_f)[:n]
+    assert np.abs(g_x).max() > 0, "XLA gradient vanished — test is vacuous"
+    np.testing.assert_allclose(g_f, g_x, atol=1e-4 * max(1.0,
+                                                         np.abs(g_x).max()),
+                               err_msg="fused custom-VJP gradient diverged")
+
+
 @pytest.mark.slow
 def test_vmap_over_stim_strengths(rng):
     # batch the whole simulation over a parameter axis
