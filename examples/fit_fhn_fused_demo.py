@@ -1,0 +1,72 @@
+"""Differentiable FUSED-kernel demo: recover a hidden stimulus amplitude
+by gradient descent through the production TPU Laplacian kernel.
+
+`fit_stimulus_demo.py` differentiates the coupled XLA step; this demo
+differentiates the frozen-cloud monodomain path whose per-step Laplacian
+is the Pallas kernel `ops.fused_step.sweep_lap3`. Pallas kernels are not
+autodiff-traceable — the gradient flows through a hand-derived
+`jax.custom_vjp` (`models.variants._lap_vm_factory`): the Laplacian is
+linear in vm, so its VJP is two more sweeps of the same kernel. The
+result is exact gradients at the fused path's speed (0.77 ms/step at
+18,475 particles on v5e vs the XLA path's multi-ms), which is what makes
+gradient-based parameter fitting practical at production scale.
+
+The observable (mean voltage after K reaction-diffusion steps) is
+near-linear in the stimulus amplitude, so Newton on the scalar inverse
+problem recovers the hidden amplitude in about one step.
+
+Run: python examples/fit_fhn_fused_demo.py [steps] [iters]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+import sph_sm_monodomain_tpu as smt
+from sph_sm_monodomain_tpu.models import variants
+
+
+def main():
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+
+    sc = smt.build_scene("susane")           # 507-particle cloud
+    st0, cfg = sc.state, sc.cfg
+    stim_mask = st0.stim > 0.0
+    qb, wc, sq = sc.q_block, sc.block_window, sc.sub_block or 128
+
+    ftab = variants.monodomain_prepare_fused(st0, cfg, qb, wc, sub_q=sq)
+
+    def rollout_vm(amp):
+        s = st0.replace(stim=jnp.where(stim_mask, amp, st0.stim))
+        out = variants.simulate_monodomain_only_fused(
+            s, ftab, cfg, num_steps=steps, q_block=qb, w_chunk=wc, sub_q=sq)
+        return jnp.sum(jnp.where(out.active, out.vm, 0.0)) / sc.num_particles
+
+    true_amp = 420.0
+    target = rollout_vm(jnp.asarray(true_amp))
+    print(f"target mean Vm {float(target):.4f} mV "
+          f"(hidden amplitude {true_amp:.0f})")
+
+    f_and_df = jax.jit(jax.value_and_grad(rollout_vm))
+
+    amp = jnp.asarray(150.0)                 # deliberately poor initial guess
+    for i in range(iters):
+        v, g = f_and_df(amp)
+        amp = amp - (v - target) / g         # Newton on f(amp) = target
+        print(f"iter {i:2d}: amplitude {float(amp):9.2f}  "
+              f"Vm {float(v):9.4f}  dVm/damp {float(g):.3e}")
+
+    err = abs(float(amp) - true_amp) / true_amp
+    print(f"recovered amplitude {float(amp):.2f} vs true {true_amp:.0f} "
+          f"({err * 100:.2f}% off)")
+    if err > 0.01:
+        raise SystemExit("fit did not converge to 1%")
+
+
+if __name__ == "__main__":
+    main()

@@ -36,6 +36,18 @@ def test_fhn_wave_demo_runs():
 
 
 @pytest.mark.slow
+def test_fit_fhn_fused_demo_recovers(capsys):
+    # gradient descent THROUGH the fused Laplacian kernel (custom VJP,
+    # variants._lap_vm_factory); the demo raises SystemExit if the
+    # recovery misses 1%
+    _run("fit_fhn_fused_demo.py", 6, 3)
+    out = capsys.readouterr().out
+    m = re.search(r"recovered amplitude .* \(([\d.]+)% off\)", out)
+    assert m, f"demo output changed: {out[-300:]}"
+    assert float(m.group(1)) < 1.0, out[-300:]
+
+
+@pytest.mark.slow
 def test_fit_stimulus_demo_recovers(capsys):
     # Newton on jax.grad of a 4-step rollout: the scalar inverse problem
     # is near-linear in the amplitude, so 3 iterations must land within
