@@ -619,6 +619,11 @@ def main(argv=None) -> int:
                           f"full={t4*1e3:.3f}; attributed sum "
                           f"{attr*1e3:.3f} vs total {t4*1e3:.3f} "
                           f"({(attr/t4 - 1)*100:+.1f}%)")
+            elif (jax.default_backend() == "tpu"
+                  and args.mode == "monodomain"):
+                from .utils.report import profile_phases_monodomain_fused
+                phases = profile_phases_monodomain_fused(
+                    scene._replace(cfg=cfg))
             else:
                 phases = profile_phases(scene.state, cfg,
                                         scene.cell_capacity,

@@ -202,6 +202,45 @@ def profile_phases_fused(scene, length: int = 250) -> dict:
     }
 
 
+def profile_phases_monodomain_fused(scene, length: int = 250) -> dict:
+    """Scan-amortized per-phase seconds for the fused monodomain-only mode
+    (variants.simulate_monodomain_only_fused): per step only the FHN
+    reaction ODEs ("Cell model" column) and the Laplacian-only sweep
+    ("Compute Force" column — the diffusion half of the reference's
+    Compute_Force, cpp:562-563) run; geometry phases are hoisted into the
+    prepare tables and are structurally 0 per step."""
+    from ..models import variants
+
+    state, cfg = scene.state, scene.cfg
+    qb, wc = scene.q_block, scene.block_window
+    sub_q = scene.sub_block or 128
+    tables = variants.monodomain_prepare_fused(state, cfg, qb, wc,
+                                               sub_q=sub_q)
+    jax.tree_util.tree_map(lambda x: jnp.asarray(x).block_until_ready(),
+                           tables)
+
+    t_cell = _scan_time(lambda s: fhn_cell_model(s, cfg).replace(
+        vm=s.vm * 0.9999), state, length=length)
+
+    def full(s):
+        return variants.simulate_monodomain_only_fused(
+            s, tables, cfg, num_steps=1, q_block=qb, w_chunk=wc,
+            sub_q=sub_q)
+
+    t_full = _scan_time(full, state, length=length)
+    return {
+        "find_neighbors": 0.0,
+        "corrected_velocity": 0.0,
+        "intermediate_velocity": 0.0,
+        "density_pressure": 0.0,
+        "cell_model": t_cell,
+        "compute_force": max(t_full - t_cell, 0.0),
+        "update_properties": 0.0,
+        "total_step": t_full,
+        "raw_pipeline_s": (t_cell, t_full),
+    }
+
+
 def report_row(cfg: SimConfig, total_steps: int, avg_step_s: float,
                phase_seconds: dict, avg_fps: float | None = None) -> str:
     """One semicolon row in the reference print_report order (cpp:787-791)."""

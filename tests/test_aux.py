@@ -130,6 +130,25 @@ def test_profile_phases_fused_schema_and_reconciliation():
     assert attributed >= ph["total_step"] * 0.5
 
 
+def test_profile_phases_monodomain_fused_schema():
+    """The monodomain-fused profiler emits the print_report schema with
+    only the cell-model and compute-force (Laplacian) columns live —
+    geometry phases are hoisted and structurally 0 in that mode."""
+    from sph_sm_monodomain_tpu import build_scene
+    from sph_sm_monodomain_tpu.utils.report import (
+        profile_phases_monodomain_fused)
+    sc = build_scene("susane")
+    ph = profile_phases_monodomain_fused(sc, length=2)
+    assert ph["total_step"] > 0.0
+    for k in ("find_neighbors", "corrected_velocity",
+              "intermediate_velocity", "density_pressure",
+              "update_properties"):
+        assert ph[k] == 0.0
+    attributed = ph["cell_model"] + ph["compute_force"]
+    assert attributed <= ph["total_step"] * 1.5 + 1e-9
+    assert attributed >= ph["total_step"] * 0.5
+
+
 def test_sweep_summarize_committed_campaign(tmp_path):
     """tools/sweep.py --summarize (the results.ods analog) must analyze
     the committed campaign CSV: sensitivity table per parameter and a
