@@ -57,6 +57,10 @@ def main():
     amp = jnp.asarray(150.0)                 # deliberately poor initial guess
     for i in range(iters):
         v, g = f_and_df(amp)
+        if abs(float(g)) < 1e-12:
+            raise SystemExit(
+                "dVm/damp vanished (observable saturated — e.g. vm clipped "
+                "at max_voltage everywhere); shorten the rollout")
         amp = amp - (v - target) / g         # Newton on f(amp) = target
         print(f"iter {i:2d}: amplitude {float(amp):9.2f}  "
               f"Vm {float(v):9.4f}  dVm/damp {float(g):.3e}")

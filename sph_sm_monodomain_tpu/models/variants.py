@@ -259,6 +259,8 @@ class MonodomainFusedTables(NamedTuple):
     cyz_s: jax.Array      # sorted f32 mid+Gm*slow combined coord
     pos_s: jax.Array      # sorted positions
     vol_s: jax.Array      # sorted m/rho (current densities)
+    rowsum_s: jax.Array   # sum_k vol_k*W2_jk per sorted row — the constant
+    #                       Laplacian row sum, precomputed for the VJP
     mass: jax.Array       # original-order mass
     dens: jax.Array       # original-order densities
 
@@ -282,11 +284,29 @@ def monodomain_prepare_fused(state: ParticleState, cfg: SimConfig,
     dens_s = out_a[:, 8]
     mass_s = state.mass[order]
     dens_guard = jnp.where(dens_s > 0.0, dens_s, 1.0)
+    vol_s = mass_s / dens_guard
+    pos_s = state.pos[order]
+    cx_s, cyz_s = cx[order], cyz[order]
+    # constant Laplacian row sum (geometry is frozen in this mode): one
+    # extra one-time sweep here halves every backward step of the
+    # custom-VJP Laplacian (_lap_vm_factory)
+    from ..ops.fused_step import sweep_lap3
+    n = pos_s.shape[0]
+    z1 = jnp.zeros((n,), jnp.float32)
+    qm0 = jnp.concatenate(
+        [pos_s, jnp.zeros((n, 9), jnp.float32), cx_s[:, None],
+         cyz_s[:, None], jnp.zeros((n, 2), jnp.float32)], axis=1)
+    feats_rs = jnp.stack(
+        [pos_s[:, 0], pos_s[:, 1], pos_s[:, 2], vol_s,
+         jnp.ones((n,), jnp.float32), z1, z1, z1, z1, z1, z1, z1,
+         cx_s, cyz_s, z1, z1], axis=0)
+    rowsum_s = sweep_lap3(qm0, feats_rs, blk_lo, blk_hi, q_block, w_chunk,
+                          cfg, sub_q=sub_q)[:, 0]
     return MonodomainFusedTables(order=order, inv=inv, blk_lo=blk_lo,
-                                 blk_hi=blk_hi, cx_s=cx[order],
-                                 cyz_s=cyz[order], pos_s=state.pos[order],
-                                 vol_s=mass_s / dens_guard, mass=state.mass,
-                                 dens=dens_s[inv])
+                                 blk_hi=blk_hi, cx_s=cx_s,
+                                 cyz_s=cyz_s, pos_s=pos_s,
+                                 vol_s=vol_s, rowsum_s=rowsum_s,
+                                 mass=state.mass, dens=dens_s[inv])
 
 
 def _lap_vm_factory(cfg: SimConfig, q_block: int, w_chunk: int, sub_q: int):
@@ -295,13 +315,14 @@ def _lap_vm_factory(cfg: SimConfig, q_block: int, w_chunk: int, sub_q: int):
     The fused kernels are not autodiff-traceable, but the monodomain
     Laplacian is LINEAR in vm: lap = L vm with L = A - diag(rowsum(A)),
     A_ij = vol_j * B_spline_2(r_ij) over the (symmetric) 27-cell stencil
-    with the symmetric r^2 > eps self-exclusion. Its VJP is therefore two
-    more sweeps of the SAME kernel (W2 is symmetric in r):
+    with the symmetric r^2 > eps self-exclusion. Its VJP is therefore one
+    more sweep of the SAME kernel (W2 is symmetric in r):
 
       (L^T g)_j = vol_j * sum_i W2_ij g_i  -  g_j * sum_k vol_k W2_jk
 
-    — one sweep with unit candidate volumes gathering g, one with real
-    volumes gathering ones, both with the query-vm term zeroed.
+    — a sweep with unit candidate volumes gathering g (query-vm term
+    zeroed), plus the constant row sum sum_k vol_k W2_jk precomputed once
+    in monodomain_prepare_fused (geometry is frozen in this mode).
 
     Gradients are defined W.R.T. vm ONLY: the frozen-cloud mode holds
     geometry (pos/vol/windows) constant, so their cotangents are returned
@@ -324,25 +345,26 @@ def _lap_vm_factory(cfg: SimConfig, q_block: int, w_chunk: int, sub_q: int):
                           cfg, sub_q=sub_q)[:, 0]
 
     @jax.custom_vjp
-    def lap(vm_s, vol_s, pos_s, cx_s, cyz_s, blk_lo, blk_hi):
+    def lap(vm_s, vol_s, rowsum_s, pos_s, cx_s, cyz_s, blk_lo, blk_hi):
         return raw(vm_s, vol_s, vm_s, pos_s, cx_s, cyz_s, blk_lo, blk_hi)
 
-    def fwd(vm_s, vol_s, pos_s, cx_s, cyz_s, blk_lo, blk_hi):
+    def fwd(vm_s, vol_s, rowsum_s, pos_s, cx_s, cyz_s, blk_lo, blk_hi):
         out = raw(vm_s, vol_s, vm_s, pos_s, cx_s, cyz_s, blk_lo, blk_hi)
-        return out, (vol_s, pos_s, cx_s, cyz_s, blk_lo, blk_hi)
+        return out, (vol_s, rowsum_s, pos_s, cx_s, cyz_s, blk_lo, blk_hi)
 
     def bwd(res, g):
         import numpy as _np
-        vol_s, pos_s, cx_s, cyz_s, blk_lo, blk_hi = res
+        vol_s, rowsum_s, pos_s, cx_s, cyz_s, blk_lo, blk_hi = res
         ones = jnp.ones_like(vol_s)
         zq = jnp.zeros_like(vol_s)
+        # sum_i W2_ij g_i: one sweep; the constant row sum is precomputed
+        # in monodomain_prepare_fused (geometry is frozen)
         s = raw(zq, ones, g, pos_s, cx_s, cyz_s, blk_lo, blk_hi)
-        rs = raw(zq, vol_s, ones, pos_s, cx_s, cyz_s, blk_lo, blk_hi)
-        d_vm = vol_s * s - g * rs
+        d_vm = vol_s * s - g * rowsum_s
         f0 = lambda a: _np.zeros(a.shape, jax.dtypes.float0) \
             if jnp.issubdtype(a.dtype, jnp.integer) else jnp.zeros_like(a)
-        return (d_vm, f0(vol_s), f0(pos_s), f0(cx_s), f0(cyz_s),
-                f0(blk_lo), f0(blk_hi))
+        return (d_vm, f0(vol_s), f0(rowsum_s), f0(pos_s), f0(cx_s),
+                f0(cyz_s), f0(blk_lo), f0(blk_hi))
 
     lap.defvjp(fwd, bwd)
     return lap
@@ -370,8 +392,9 @@ def simulate_monodomain_only_fused(state: ParticleState,
     def body(st, _):
         st = fhn_cell_model(st, cfg)
         vm_s = st.vm[tables.order]
-        lap_s = lap_fn(vm_s, tables.vol_s, tables.pos_s, tables.cx_s,
-                       tables.cyz_s, tables.blk_lo, tables.blk_hi)
+        lap_s = lap_fn(vm_s, tables.vol_s, tables.rowsum_s, tables.pos_s,
+                       tables.cx_s, tables.cyz_s, tables.blk_lo,
+                       tables.blk_hi)
         lap = lap_s[tables.inv]
         scale = cfg.sigma / (cfg.beta_sv_ratio * cfg.cm_capacitance)
         inter_vm = lap + scale * lap - (st.iion - st.stim * cfg.time_delta

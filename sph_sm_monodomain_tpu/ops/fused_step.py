@@ -386,11 +386,15 @@ def _kernel_a3(blk_lo_ref, blk_hi_ref, qm_ref, feats_ref, out_ref,
         if stencil == "xyz3":
             # mask="yz": Poly6's support clamp subsumes the fast-axis cell
             # test (see _gather_loop4); requires the feats_a inert-lane
-            # contract (mass/vol zeroed on dead rows, build_qm_feats)
+            # contract (mass/vol zeroed on dead rows, build_qm_feats) AND
+            # cell_size >= kernel_h (cells >= 2 apart must be > h apart —
+            # the reference's own geometry, cpp:31). A finer grid keeps the
+            # full reference 27-cell stencil semantics.
+            mask_a = "yz" if cfg.cell_size >= cfg.kernel_h else "full"
             a_d, a_x, a_y, a_z = _gather_loop4(
                 blk_lo_ref, blk_hi_ref, feats_ref, scratch, w_chunk,
                 qh, qcyz, base, pair, (zeros,) * 4, cfg, hbm_feats,
-                db_feats, mask="yz")
+                db_feats, mask=mask_a)
         else:
             a_d, a_x, a_y, a_z = _gather_loop(
                 blk_lo_ref, blk_hi_ref, feats_ref, scratch, w_chunk,
@@ -675,14 +679,28 @@ def build_qm_feats(state, f1, f2, order):
         state.iion[:, None], state.w[:, None], f1[:, None], f2[:, None],
         jnp.zeros((n, 2), jnp.float32)], axis=1)
     fs = fields[order]
+    return fs, feats_a_from_fs(fs)
+
+
+def feats_a_from_fs(fs):
+    """(16, N) sweep-A candidate features from a QM_A matrix — the SINGLE
+    implementation of the sweep-A inert-lane contract, shared by the
+    single-chip, gather-sharded and halo paths (their QM_A matrices are
+    built differently but carry the same columns). Dead rows (sentinel in
+    the f1/cx column 12: inactive core padding, invalid exchanged halo
+    rows, edge devices' all-sentinel blocks) get mass = vol = 0 — every
+    sweep-A accumulator term scales by one of the two, which is what
+    keeps them inert now that the xyz3 sweep-A mask no longer tests the
+    sentinel-bearing feature (mask="yz"). Live rows have f1 >= 0 (a cell
+    coordinate or linear hash)."""
+    n = fs.shape[0]
     z = jnp.zeros((n,), jnp.float32)
-    live = fs[:, 12] >= 0.0      # f1 is a cell coord/hash (>= 0) when live
+    live = fs[:, 12] >= 0.0
     mass_c = jnp.where(live, fs[:, 6], 0.0)
     vol_prev = jnp.where(live & (fs[:, 7] > 0.0), fs[:, 6] / fs[:, 7], 0.0)
-    feats_a = jnp.stack([fs[:, 0], fs[:, 1], fs[:, 2], fs[:, 3], fs[:, 4],
-                         fs[:, 5], vol_prev, mass_c, z, z, z, z,
-                         fs[:, 12], fs[:, 13], z, z], axis=0)
-    return fs, feats_a
+    return jnp.stack([fs[:, 0], fs[:, 1], fs[:, 2], fs[:, 3], fs[:, 4],
+                      fs[:, 5], vol_prev, mass_c, z, z, z, z,
+                      fs[:, 12], fs[:, 13], z, z], axis=0)
 
 
 # ---------------------------------------------------------------------------

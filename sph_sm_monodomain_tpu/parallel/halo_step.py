@@ -50,8 +50,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import SimConfig
 from ..state import ParticleState
-from ..ops.fused_step import (apply_out_fused, feats_from_out_a, sweep_a3,
-                              sweep_b3)
+from ..ops.fused_step import (apply_out_fused, feats_a_from_fs,
+                              feats_from_out_a, sweep_a3, sweep_b3)
 from ..ops.pallas_sweeps import hash_axis_perm
 from ..ops.shape_matching import (corrected_velocity, sm_invariants,
                                   sm_rebind_rows)
@@ -353,22 +353,10 @@ def _halo_body(state: ParticleState, cfg: SimConfig, q_block: int,
 
     blk_lo, blk_hi = _window_bounds3(win_ids, merged_ids, cfg, sub_q)
 
-    n_m = merged_fs.shape[0]
-    z = jnp.zeros((n_m,), jnp.float32)
-    # sweep-A inert-lane contract (ops/fused_step.build_qm_feats): dead
-    # rows — inactive core padding, invalid exchanged halo rows, edge
-    # devices' all-sentinel blocks — must carry mass = vol = 0, because
-    # the xyz3 sweep-A mask no longer tests the sentinel-bearing cx
-    # feature. Live rows have cx >= 0; every dead row has cx == sentinel.
-    live_c = merged_fs[:, 12] >= 0.0
-    mass_c = jnp.where(live_c, merged_fs[:, 6], 0.0)
-    vol_prev = jnp.where(live_c & (merged_fs[:, 7] > 0.0),
-                         merged_fs[:, 6] / merged_fs[:, 7], 0.0)
-    feats_a = jnp.stack(
-        [merged_fs[:, 0], merged_fs[:, 1], merged_fs[:, 2],
-         merged_fs[:, 3], merged_fs[:, 4], merged_fs[:, 5], vol_prev,
-         mass_c, z, z, z, z, merged_fs[:, 12], merged_fs[:, 13],
-         z, z], axis=0)
+    # sweep-A inert-lane contract: single shared implementation (dead rows
+    # here = inactive core padding, invalid exchanged halo rows, edge
+    # devices' all-sentinel blocks — all carry the cx sentinel)
+    feats_a = feats_a_from_fs(merged_fs)
     out_a = sweep_a3(fields, feats_a, blk_lo, blk_hi, q_block, w_chunk,
                      cfg, sub_q=sub_q, stencil="xyz3")
 

@@ -41,8 +41,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import SimConfig
 from ..state import ParticleState
 from ..ops.grid import build_neighbor_table
-from ..ops.fused_step import apply_out_fused, feats_from_out_a, sweep_a3, \
-    sweep_b3
+from ..ops.fused_step import apply_out_fused, feats_a_from_fs, \
+    feats_from_out_a, sweep_a3, sweep_b3
 from ..ops.pallas_sweeps import sweep_bookkeeping3
 from ..ops.shape_matching import corrected_velocity, sm_invariants
 from ..ops.sph import (density_pressure_arrays, force_diffusion_arrays,
@@ -232,16 +232,8 @@ def _sharded_fused_body(state: ParticleState, cfg: SimConfig, q_block: int,
         jnp.zeros((n, 2), jnp.float32)], axis=1)            # QM_A layout
     fs = fields[order]
 
-    z = jnp.zeros((n,), jnp.float32)
-    # sweep-A inert-lane contract (build_qm_feats): dead rows (sentinel
-    # cx) must carry mass = vol = 0 — the xyz3 sweep-A mask no longer
-    # tests the cx feature
-    live = fs[:, 12] >= 0.0
-    mass_c = jnp.where(live, fs[:, 6], 0.0)
-    vol_prev = jnp.where(live & (fs[:, 7] > 0.0), fs[:, 6] / fs[:, 7], 0.0)
-    feats_a = jnp.stack([fs[:, 0], fs[:, 1], fs[:, 2], fs[:, 3], fs[:, 4],
-                         fs[:, 5], vol_prev, mass_c, z, z, z, z,
-                         fs[:, 12], fs[:, 13], z, z], axis=0)
+    # sweep-A inert-lane contract: single shared implementation
+    feats_a = feats_a_from_fs(fs)
     out_a_slab = sweep_a3(fs, feats_a, blk_lo, blk_hi, q_block, w_chunk,
                           cfg, q_slice=(lo, n_loc), sub_q=sub_q,
                           stencil="xyz3")
