@@ -97,6 +97,48 @@ def test_grad_through_fused_monodomain_matches_xla(rng):
 
 
 @pytest.mark.slow
+def test_fused_monodomain_grad_under_remat(rng):
+    """jax.checkpoint composes with the custom-VJP Laplacian: a remat'd
+    scan body gives the same gradient as the plain rollout (the
+    _lap_vm_factory docstring tells users to differentiate long scans
+    under remat — this pins that the composition actually works)."""
+    from sph_sm_monodomain_tpu.models.variants import (
+        monodomain_prepare_fused, simulate_monodomain_only_fused,
+        _lap_vm_factory)
+    from sph_sm_monodomain_tpu.ops.electrophysiology import fhn_cell_model
+    st, n = _state(rng, 96)
+    ftab = monodomain_prepare_fused(st, CFG, q_block=64, w_chunk=128,
+                                    sub_q=64)
+    lap_fn = _lap_vm_factory(CFG, 64, 128, 64)
+
+    def body(s, _):
+        s = fhn_cell_model(s, CFG)
+        vm_s = s.vm[ftab.order]
+        lap = lap_fn(vm_s, ftab.vol_s, ftab.rowsum_s, ftab.pos_s,
+                     ftab.cx_s, ftab.cyz_s, ftab.blk_lo,
+                     ftab.blk_hi)[ftab.inv]
+        scale = CFG.sigma / (CFG.beta_sv_ratio * CFG.cm_capacitance)
+        ivm = lap + scale * lap - (s.iion - s.stim * CFG.time_delta
+                                   / s.mass) / CFG.cm_capacitance
+        vm = jnp.clip(s.vm + ivm * CFG.time_delta / s.mass,
+                      -CFG.max_voltage, CFG.max_voltage)
+        return s.replace(vm=jnp.where(s.active, vm, s.vm)), ()
+
+    def loss(vm0, body_fn):
+        s = st.replace(vm=vm0)
+        s, _ = jax.lax.scan(body_fn, s, None, length=4)
+        return jnp.sum(jnp.where(s.active, s.vm, 0.0) ** 2)
+
+    vm0 = jnp.asarray(rng.normal(size=st.vm.shape).astype(np.float32) * 5.0)
+    g_plain = jax.grad(lambda v: loss(v, body))(vm0)
+    g_remat = jax.grad(lambda v: loss(v, jax.checkpoint(body)))(vm0)
+    g_plain, g_remat = np.asarray(g_plain)[:n], np.asarray(g_remat)[:n]
+    assert np.isfinite(g_remat).all()
+    assert np.abs(g_plain).max() > 0
+    np.testing.assert_allclose(g_remat, g_plain, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
 def test_vmap_over_stim_strengths(rng):
     # batch the whole simulation over a parameter axis
     st, n = _state(rng, 64)
