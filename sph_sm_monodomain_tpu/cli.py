@@ -625,6 +625,11 @@ def main(argv=None) -> int:
                 phases = profile_phases_monodomain_fused(
                     scene._replace(cfg=cfg))
             else:
+                if args.mode in ("sph", "sm"):
+                    print("note: --profile-phases times the XLA COUPLED "
+                          f"phases; --mode {args.mode} runs a subset "
+                          "(its extra columns are upper-bound estimates)",
+                          file=sys.stderr, flush=True)
                 phases = profile_phases(scene.state, cfg,
                                         scene.cell_capacity,
                                         scene.neighbor_capacity)
