@@ -149,6 +149,30 @@ def test_profile_phases_monodomain_fused_schema():
     assert attributed >= ph["total_step"] * 0.5
 
 
+@pytest.mark.slow
+def test_bench_rows_tool_smoke(tmp_path):
+    """tools/bench_rows.py regenerates results_tpu.csv rows end-to-end
+    (provenance for the committed benchmark table): one tiny CPU run must
+    emit a schema-correct row whose phase columns sum to ~ the step."""
+    import subprocess, sys
+    out = tmp_path / "rows.csv"
+    root = __file__.rsplit("/tests/", 1)[0]
+    r = subprocess.run(
+        [sys.executable, f"{root}/tools/bench_rows.py",
+         "--scenes", "susane::4", "--profile-length", "2",
+         "--out", str(out)],
+        capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = out.read_text().splitlines()
+    assert lines[0].startswith("scene;particles;Avg FPS")
+    cols = lines[1].split(";")
+    assert cols[0] == "susane"
+    avg = float(cols[3])
+    phase_sum = sum(float(cols[i]) for i in range(5, 12))
+    assert avg > 0
+    assert 0.5 * avg <= phase_sum <= 1.5 * avg + 1e-9
+
+
 def test_sweep_summarize_committed_campaign(tmp_path):
     """tools/sweep.py --summarize (the results.ods analog) must analyze
     the committed campaign CSV: sensitivity table per parameter and a
