@@ -624,6 +624,9 @@ def main(argv=None) -> int:
                 from .utils.report import profile_phases_monodomain_fused
                 phases = profile_phases_monodomain_fused(
                     scene._replace(cfg=cfg))
+            elif jax.default_backend() == "tpu" and args.mode == "sph":
+                from .utils.report import profile_phases_sph_fused
+                phases = profile_phases_sph_fused(scene._replace(cfg=cfg))
             else:
                 if args.mode in ("sph", "sm"):
                     print("note: --profile-phases times the XLA COUPLED "

@@ -202,6 +202,59 @@ def profile_phases_fused(scene, length: int = 250) -> dict:
     }
 
 
+def profile_phases_sph_fused(scene, length: int = 250) -> dict:
+    """Scan-amortized per-phase seconds for the fused SPH-only mode
+    (variants.step_sph_only_fused — the v4 sweeps with with_ep=False;
+    BASELINE config 2). Incremental pipeline attribution like
+    profile_phases_fused: bookkeeping -> +sweep A -> full step; the
+    "Corrected Velocity" column is structurally 0 (no shape matching in
+    this mode — corrected_vel := predicted_vel inside the step)."""
+    from ..models.variants import step_sph_only_fused, sph_only_config
+    from ..ops.fused_step import build_qm_feats, sweep_a3
+    from ..ops.pallas_sweeps import sweep_bookkeeping3
+
+    state = scene.state
+    cfg = sph_only_config(scene.cfg)
+    qb, wc = scene.q_block, scene.block_window
+    sub_q = scene.sub_block or 128
+
+    def book(s):
+        return sweep_bookkeeping3(s.pos, s.active, cfg, sub_q)
+
+    def stage1(s):
+        order = book(s)[0]
+        return s.replace(pos=s.pos
+                         + 1e-9 * (order[0] % 2).astype(s.pos.dtype))
+
+    def stage2(s):  # + sorted gather + sweep A (with_ep=False)
+        order, inv, blk_lo, blk_hi, cx, cyz = book(s)
+        fs, feats_a = build_qm_feats(
+            s.replace(corrected_vel=s.vel), cx, cyz, order)
+        out_a = sweep_a3(fs, feats_a, blk_lo, blk_hi, qb, wc, cfg,
+                         with_ep=False, sub_q=sub_q, stencil="xyz3")
+        return s.replace(dens=out_a[:, 8][inv],
+                         pos=s.pos + 1e-12 * s.vel)
+
+    def stage3(s):  # full sph-only fused step
+        out, _ = step_sph_only_fused(s, cfg, qb, wc, sub_q)
+        return out
+
+    t1 = _scan_time(stage1, state, length=length)
+    t2 = _scan_time(stage2, state, length=length)
+    t3 = _scan_time(stage3, state, length=length)
+    return {
+        "find_neighbors": t1,
+        "corrected_velocity": 0.0,
+        "intermediate_velocity": 0.0,
+        "density_pressure": max(t2 - t1, 0.0),
+        "cell_model": 0.0,
+        "compute_force": max(t3 - t2, 0.0),
+        "update_properties": 0.0,
+        "total_step": t3,
+        "raw_pipeline_s": (t1, t2, t3),
+    }
+
+
 def profile_phases_monodomain_fused(scene, length: int = 250) -> dict:
     """Scan-amortized per-phase seconds for the fused monodomain-only mode
     (variants.simulate_monodomain_only_fused): per step only the FHN

@@ -149,6 +149,23 @@ def test_profile_phases_monodomain_fused_schema():
     assert attributed >= ph["total_step"] * 0.5
 
 
+def test_profile_phases_sph_fused_schema():
+    """The SPH-fused profiler: no SM / EP columns, bookkeeping + sweep
+    attribution sums to the measured full step."""
+    from sph_sm_monodomain_tpu import build_scene
+    from sph_sm_monodomain_tpu.utils.report import profile_phases_sph_fused
+    sc = build_scene("susane")
+    ph = profile_phases_sph_fused(sc, length=2)
+    assert ph["total_step"] > 0.0
+    for k in ("corrected_velocity", "intermediate_velocity", "cell_model",
+              "update_properties"):
+        assert ph[k] == 0.0
+    attributed = (ph["find_neighbors"] + ph["density_pressure"]
+                  + ph["compute_force"])
+    assert attributed <= ph["total_step"] * 1.5 + 1e-9
+    assert attributed >= ph["total_step"] * 0.5
+
+
 @pytest.mark.slow
 def test_bench_rows_tool_smoke(tmp_path):
     """tools/bench_rows.py regenerates results_tpu.csv rows end-to-end
