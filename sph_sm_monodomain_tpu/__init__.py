@@ -23,4 +23,4 @@ __all__ = [
     "stim", "variants",
 ]
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
