@@ -149,6 +149,25 @@ def test_profile_phases_monodomain_fused_schema():
     assert attributed >= ph["total_step"] * 0.5
 
 
+def test_committed_results_rows_phase_sum():
+    """Artifact invariant (VERDICT r2 item 3 done-criterion): every row of
+    the committed results_tpu.csv has phase columns summing to ~ its avg
+    step duration — no garbage or missing attribution like the reference's
+    own uninitialized-chrono columns (SURVEY.md §5)."""
+    import os
+    path = os.path.join(os.path.dirname(__file__), "..", "results_tpu.csv")
+    rows = [l for l in open(path) if l.strip() and not l.startswith("#")
+            and not l.startswith("scene;")]
+    assert len(rows) >= 9
+    for l in rows:
+        c = l.split(";")
+        scene, avg = c[0], float(c[3])
+        phase_sum = sum(float(c[i]) for i in range(5, 12))
+        assert avg > 0, l
+        assert 0.85 * avg <= phase_sum <= 1.15 * avg, (
+            f"{scene}: phases {phase_sum:.6f} vs step {avg:.6f}")
+
+
 def test_profile_phases_sph_fused_schema():
     """The SPH-fused profiler: no SM / EP columns, bookkeeping + sweep
     attribution sums to the measured full step."""
