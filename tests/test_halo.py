@@ -204,6 +204,45 @@ def test_halo_stretched_world_slabs_follow_slow_axis(rng, mesh):
     assert ((xcell >= lo - 1) & (xcell < hi + 1)).mean() > 0.99
 
 
+@pytest.mark.slow
+def test_halo_rectus_femoris_multi_muscle_scene(mesh):
+    """BASELINE.json config 5 verbatim: the RectusFemoris replicated
+    multi-muscle scene (per-muscle SM clusters, x-stretched world, mesh
+    stim) sharded over the 8-device mesh via the halo path matches the
+    single-chip fused step and conserves particles."""
+    from sph_sm_monodomain_tpu import build_scene
+    rep = 24
+    sc = build_scene("rectus_femoris", replicate=rep)
+    cfg, st = sc.cfg, sc.state
+    assert cfg.sm_clusters == rep
+    from sph_sm_monodomain_tpu.ops.pallas_sweeps import hash_axis_perm
+    assert hash_axis_perm(cfg)[2] == 0          # stretched => x slabs
+
+    halo, s_cap, mig_cap, halo_cap = H.shard_state_halo(st, mesh, cfg)
+    step_fn = H.make_halo_step(mesh, cfg, mig_cap, halo_cap, q_block=128,
+                               w_chunk=128, sub_q=64)
+    ref = st
+    ovf = None
+    for _ in range(3):
+        ref, _ = step_fused(ref, cfg, 128, 128, 64, impl="v4")
+        halo, ovf = step_fn(halo)
+    assert int(ovf) == 0
+
+    fields = ("pos", "vel", "vm", "dens")
+    r, n_r = _sorted_by_identity(ref, fields)
+    h, n_h = _sorted_by_identity(halo, fields)
+    assert n_r == n_h == sc.num_particles == 42 * rep
+    # the rectus cloud is ~10x denser than biceps (dens ~1e4), so dens
+    # carries a RELATIVE tolerance — reduction-order fp noise scales with
+    # the magnitude, not with the biceps-calibrated 1.0 absolute
+    tol = {"pos": (2e-5, 0.0), "vel": (5e-3, 0.0), "vm": (1e-3, 0.0),
+           "dens": (0.0, 5e-4)}
+    for f in fields:
+        np.testing.assert_allclose(h[f], r[f], atol=tol[f][0],
+                                   rtol=tol[f][1],
+                                   err_msg=f"{f} diverged (rectus halo)")
+
+
 def test_unshard_state_halo_roundtrip(rng, mesh):
     """unshard compacts a slab layout back to a dense lane-aligned state
     (the persistence path for halo checkpoints/renders)."""
