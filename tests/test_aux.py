@@ -209,6 +209,23 @@ def test_bench_rows_tool_smoke(tmp_path):
     assert 0.5 * avg <= phase_sum <= 1.5 * avg + 1e-9
 
 
+def test_hbm_footprint_tool_smoke():
+    """tools/hbm_footprint.py AOT-compiles the fused step and reports
+    XLA's memory analysis (the tool-computed single-chip ceiling)."""
+    import subprocess, sys
+    root = __file__.rsplit("/tests/", 1)[0]
+    r = subprocess.run(
+        [sys.executable, f"{root}/tools/hbm_footprint.py",
+         "--scenes", "susane"],
+        capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = [ln.split() for ln in r.stdout.splitlines()
+            if ln.strip().startswith("susane")]
+    assert len(rows) == 1 and rows[0][1] == "507"
+    assert float(rows[0][6]) > 0          # bytes per particle
+    assert int(rows[0][7].replace(",", "")) > 507   # projected ceiling
+
+
 def test_sweep_summarize_committed_campaign(tmp_path):
     """tools/sweep.py --summarize (the results.ods analog) must analyze
     the committed campaign CSV: sensitivity table per parameter and a
