@@ -7,7 +7,7 @@ state, one jitted step composed of pure phase transforms, sort-based static-
 shape neighbor search, and `shard_map` particle sharding for multi-chip runs.
 """
 
-from .config import SimConfig, DEFAULT_CONFIG
+from .config import SimConfig, DEFAULT_CONFIG, PARAM_FIELDS, resolve_params
 from .state import (ParticleState, init_fluid, save_checkpoint,
                     load_checkpoint)
 from .models.monodomain import (step, step_fused, simulate,
@@ -17,7 +17,8 @@ from .ops import electrophysiology as stim
 from .models import variants
 
 __all__ = [
-    "SimConfig", "DEFAULT_CONFIG", "ParticleState", "init_fluid",
+    "SimConfig", "DEFAULT_CONFIG", "PARAM_FIELDS", "resolve_params",
+    "ParticleState", "init_fluid",
     "save_checkpoint", "load_checkpoint", "step", "step_fused", "simulate",
     "StepAux", "run_protocol", "build_scene", "read_cloud_csv", "Scene",
     "stim", "variants",

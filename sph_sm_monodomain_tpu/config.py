@@ -169,3 +169,48 @@ class SimConfig:
 
 
 DEFAULT_CONFIG = SimConfig()
+
+
+# --- Dynamic (traced) physics parameters ------------------------------------
+# Fields that may be overridden PER CALL with jnp scalars instead of being
+# baked into the compiled program. Every field here is consumed only inside
+# jnp math in the XLA step path (no Python control flow, no shapes, no grid
+# geometry), so a traced override composes with jit / grad / vmap:
+#   - jax.grad w.r.t. K / mu / alpha ... through the full coupled step
+#     (fit material constants to observed motion),
+#   - jax.vmap over parameter batches (many configurations, one program),
+#   - recompile-free parameter sweeps (tools/sweep.py --dynamic).
+# Geometry/capacity fields (kernel_h, cell_size, world_size, max_particles,
+# sm_clusters, quirk flags, ...) shape the compiled program and stay static.
+# stim_strength is applied at scene build (set_stim writes it into
+# state.stim), so it is swept through the state, not through params.
+PARAM_FIELDS = frozenset({
+    # SPH / mechanics (cpp:40-49)
+    "k_stiffness", "stand_density", "mu_viscosity", "velocity_mixing",
+    # shape matching (cpp:64-65)
+    "sm_alpha", "sm_beta",
+    # monodomain / FHN (cpp:15, 23-27, h:72-92)
+    "sigma_i", "sigma_e", "cm_capacitance", "beta_sv_ratio",
+    "fh_vt", "fh_vp", "fh_vr", "fh_c1", "fh_c2", "fh_c3", "fh_c4",
+    "voltage_constant",
+})
+
+
+def resolve_params(cfg: SimConfig, params=None) -> SimConfig:
+    """Overlay a dict of traced physics parameters onto a static config.
+
+    Returns `cfg` unchanged when `params` is empty/None; otherwise a copy
+    whose overridden fields hold the (possibly traced) values. The copy is
+    NOT hashable-as-static any more — it must only live inside a traced
+    function, which is where the step/simulate wrappers call this.
+    """
+    if not params:
+        return cfg
+    bad = sorted(set(params) - PARAM_FIELDS)
+    if bad:
+        raise ValueError(
+            f"non-dynamic parameter(s) {bad}: only {sorted(PARAM_FIELDS)} "
+            "may be overridden as traced values (geometry/capacity/quirk "
+            "fields shape the compiled program — set them on SimConfig "
+            "instead)")
+    return dataclasses.replace(cfg, **params)

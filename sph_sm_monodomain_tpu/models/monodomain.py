@@ -26,7 +26,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..config import SimConfig
+from ..config import SimConfig, resolve_params
 from ..state import ParticleState
 from ..ops.grid import build_neighbor_table
 from ..ops.shape_matching import corrected_velocity, sm_invariants
@@ -333,10 +333,18 @@ def _step_fused_v2(state: ParticleState, cfg: SimConfig, q_block: int,
                                    "neighbor_capacity"))
 def step(state: ParticleState, cfg: SimConfig, cell_capacity: int,
          neighbor_capacity: int,
-         sm_inv=None) -> tuple[ParticleState, StepAux]:
-    """One coupled simulation step (Animation -> compute_SPH_SM_monodomain)."""
+         sm_inv=None, params=None) -> tuple[ParticleState, StepAux]:
+    """One coupled simulation step (Animation -> compute_SPH_SM_monodomain).
+
+    `params` (optional) is a dict of TRACED physics-constant overrides
+    (config.PARAM_FIELDS): the same compiled program serves every value,
+    and jax.grad/vmap over it differentiate/batch the whole coupled step
+    (see config.resolve_params). Neighbor-table geometry always comes from
+    the static `cfg`.
+    """
     nbr = build_neighbor_table(state.pos, state.pos, state.active, cfg,
                                cell_capacity, neighbor_capacity)
+    cfg = resolve_params(cfg, params)
     state = corrected_velocity(state, cfg, sm_inv=sm_inv)
     state = xsph_intermediate_velocity(state, nbr, cfg)
     state = density_pressure(state, nbr, cfg)
@@ -351,15 +359,22 @@ def _step_with_protocol(state: ParticleState, i: jax.Array, cfg: SimConfig,
                         stim_off_step: int, fused: bool = False,
                         q_block: int = 128, w_window: int = 512,
                         sub_q: int | None = None, sm_inv=None,
-                        impl: str = "v3", pack_cap: int = 0):
+                        impl: str = "v3", pack_cap: int = 0, params=None):
     if stim_off_step >= 0:
         state = jax.lax.cond(i == stim_off_step,
                              lambda s: turn_off_stim(s, cfg),
                              lambda s: s, state)
     if fused:
+        if params:
+            # the fused Pallas sweeps bake the physics constants into the
+            # kernels (in-kernel epilogues, ops/fused_step.py) — dynamic
+            # params are an XLA-path capability
+            raise ValueError("dynamic params require fused=False (the "
+                             "fused sweeps bake constants in-kernel)")
         return step_fused(state, cfg, q_block, w_window, sub_q, impl=impl,
                           sm_inv=sm_inv, pack_cap=pack_cap)
-    return step(state, cfg, cell_capacity, neighbor_capacity, sm_inv=sm_inv)
+    return step(state, cfg, cell_capacity, neighbor_capacity, sm_inv=sm_inv,
+                params=params)
 
 
 @partial(jax.jit, static_argnames=("cfg", "cell_capacity",
@@ -371,12 +386,17 @@ def simulate(state: ParticleState, cfg: SimConfig, cell_capacity: int,
              neighbor_capacity: int, num_steps: int, stim_off_step: int = -1,
              record_every: int = 0, fused: bool = False, q_block: int = 128,
              w_window: int = 512, sub_q: int | None = None,
-             impl: str = "v3", pack_cap: int = 0):
+             impl: str = "v3", pack_cap: int = 0, params=None):
     """Run `num_steps` coupled steps under lax.scan.
 
     `stim_off_step` mirrors the reference app protocol: turnOffStim fires
     BEFORE executing that step index (main.cpp:329-334 fires when half the
     step budget remains). -1 disables.
+
+    `params` (XLA path only): dict of traced physics-constant overrides —
+    the whole rollout differentiates w.r.t. them (jax.grad), batches over
+    them (jax.vmap), and re-runs with new values WITHOUT recompiling
+    (config.PARAM_FIELDS / resolve_params).
 
     If `record_every` > 0, returns (state, aux, traj) where traj is a dict
     of downsampled (T, ...) trajectories of positions and voltages — the
@@ -396,7 +416,7 @@ def simulate(state: ParticleState, cfg: SimConfig, cell_capacity: int,
                                       neighbor_capacity, stim_off_step,
                                       fused, q_block, w_window, sub_q,
                                       sm_inv=sm_inv, impl=impl,
-                                      pack_cap=pack_cap)
+                                      pack_cap=pack_cap, params=params)
         return (st, jnp.maximum(acc_overflow, aux.overflow)), ()
 
     carry = (state, jnp.asarray(0, jnp.int32))
@@ -425,7 +445,8 @@ def simulate(state: ParticleState, cfg: SimConfig, cell_capacity: int,
 
 def run_protocol(scene, num_steps: int = 500, stim_off_step: int | None = None,
                  chunk: int = 100, record_every: int = 0, callback=None,
-                 fused: bool | None = None, impl: str | None = None):
+                 fused: bool | None = None, impl: str | None = None,
+                 params=None):
     """Host-side chunked driver for long runs.
 
     Replays the reference app's experiment protocol (main.cpp:73, 329-334):
@@ -446,6 +467,8 @@ def run_protocol(scene, num_steps: int = 500, stim_off_step: int | None = None,
     if fused is None:
         # the fused Pallas sweeps are compiled (not interpreted) only on TPU
         fused = jax.default_backend() == "tpu"
+    if params:
+        fused = False  # dynamic params are an XLA-path capability
     if stim_off_step is None:
         stim_off_step = num_steps // 2
     if record_every:
@@ -468,7 +491,8 @@ def run_protocol(scene, num_steps: int = 500, stim_off_step: int | None = None,
                        w_window=scene.block_window,
                        sub_q=(scene.sub_block or None),
                        impl=run_impl,
-                       pack_cap=getattr(scene, "pack_cap", 0))
+                       pack_cap=getattr(scene, "pack_cap", 0),
+                       params=params)
         if record_every:
             new_state, aux, traj = out
         else:

@@ -48,6 +48,17 @@ def test_fit_fhn_fused_demo_recovers(capsys):
 
 
 @pytest.mark.slow
+def test_fit_material_demo_recovers(capsys):
+    # Adam on jax.grad w.r.t. DYNAMIC physics params (config.PARAM_FIELDS)
+    # through a 6-step coupled rollout; the demo raises SystemExit if K or
+    # mu misses the hidden material by more than 20%
+    _run("fit_material_demo.py", 6, 100)
+    out = capsys.readouterr().out
+    m = re.search(r"recovered K=([\d.]+) .*mu=([\d.]+)", out)
+    assert m, f"demo output changed: {out[-300:]}"
+
+
+@pytest.mark.slow
 def test_fit_stimulus_demo_recovers(capsys):
     # Newton on jax.grad of a 4-step rollout: the scalar inverse problem
     # is near-linear in the amplitude, so 3 iterations must land within

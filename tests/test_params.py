@@ -1,0 +1,132 @@
+"""Dynamic (traced) physics parameters — config.PARAM_FIELDS overrides.
+
+A capability layer the reference cannot offer (its constants are hard-coded
+in the constructor, SPH_SM_monodomain.cpp:13-79): the same compiled XLA step
+serves ANY value of the whitelisted physics constants, so
+  - sweeps re-run without recompiling (tools/sweep.py --dynamic),
+  - jax.vmap batches whole parameter grids into one program,
+  - jax.grad fits material constants to observed motion.
+
+The load-bearing test is exactness: a traced override must produce the SAME
+trajectory as baking the value into a static SimConfig.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from sph_sm_monodomain_tpu import PARAM_FIELDS, SimConfig, init_fluid
+from sph_sm_monodomain_tpu.config import resolve_params
+from sph_sm_monodomain_tpu.models.monodomain import simulate, step
+from sph_sm_monodomain_tpu.ops.electrophysiology import set_stim
+
+CFG = SimConfig()
+
+
+def _state(rng, n=96, cfg=CFG):
+    pts = np.clip(rng.normal(size=(n, 3)).astype(np.float32) * 0.05 + 0.6,
+                  0.1, 1.3)
+    st = init_fluid(pts, cfg)
+    return set_stim(st, (0.6, 0.6, 0.6), 0.5, cfg.stim_strength, cfg), n
+
+
+# every dynamic field, set off its default so a missed override would show
+_OVERRIDES = dict(k_stiffness=0.8, stand_density=1000.0, mu_viscosity=55.0,
+                  velocity_mixing=0.7, sm_alpha=0.45, sm_beta=0.25,
+                  sigma_i=2.0, sigma_e=2.0, cm_capacitance=1.2,
+                  beta_sv_ratio=42.0, fh_vt=-70.0, fh_vp=12.0, fh_vr=-80.0,
+                  fh_c1=0.2, fh_c2=0.04, fh_c3=0.02, fh_c4=0.5,
+                  voltage_constant=1.5)
+
+
+def test_param_fields_cover_the_overrides():
+    assert set(_OVERRIDES) == set(PARAM_FIELDS)
+
+
+def test_traced_override_matches_baked_config(rng):
+    """simulate(cfg_base, params=V) must equal simulate(cfg_baked(V)) to
+    fp32 roundoff: resolve_params is an overlay, not an approximation.
+
+    Exact bitwise equality is unattainable BY CONSTRUCTION: with a baked
+    config Python folds constant products (e.g. dt * fh_c3) in double
+    precision before they enter f32 array math, while a traced override
+    multiplies already-rounded f32 device scalars — a ~1-ulp constant
+    difference that compounds only at fp32 noise level over a short run."""
+    st, n = _state(rng)
+    baked = CFG.replace(**_OVERRIDES)
+    params = {k: jnp.asarray(v, jnp.float32) for k, v in _OVERRIDES.items()}
+
+    out_baked, _ = simulate(st, baked, 32, 9 * 32, num_steps=4,
+                            stim_off_step=2)
+    out_traced, _ = simulate(st, CFG, 32, 9 * 32, num_steps=4,
+                             stim_off_step=2, params=params)
+    for name in ("pos", "vel", "dens", "pres", "vm", "iion", "w"):
+        a = np.asarray(getattr(out_baked, name))[:n]
+        b = np.asarray(getattr(out_traced, name))[:n]
+        scale = max(1e-6, float(np.abs(a).max()))
+        np.testing.assert_allclose(b, a, rtol=3e-5, atol=3e-5 * scale,
+                                   err_msg=f"field {name}")
+    # and the params run actually differs from the defaults run
+    out_def, _ = simulate(st, CFG, 32, 9 * 32, num_steps=4, stim_off_step=2)
+    assert not np.allclose(np.asarray(out_def.pos)[:n],
+                           np.asarray(out_traced.pos)[:n])
+
+
+def test_resolve_params_rejects_non_dynamic_fields():
+    with pytest.raises(ValueError, match="kernel_h"):
+        resolve_params(CFG, {"kernel_h": 0.05})
+    with pytest.raises(ValueError, match="non-dynamic"):
+        resolve_params(CFG, {"max_particles": 10})
+    assert resolve_params(CFG, None) is CFG
+    assert resolve_params(CFG, {}) is CFG
+
+
+def test_params_rejected_on_fused_path(rng):
+    st, _ = _state(rng)
+    with pytest.raises(ValueError, match="fused"):
+        simulate(st, CFG, 32, 9 * 32, num_steps=1, fused=True,
+                 q_block=32, w_window=128,
+                 params={"mu_viscosity": jnp.asarray(50.0)})
+
+
+def test_grad_wrt_material_constants(rng):
+    """True parameter gradients through the coupled step: d(displacement
+    loss)/d(K, mu, alpha) are finite and nonzero — the differentiable-
+    physics capability the static-config path cannot express."""
+    st, n = _state(rng)
+
+    def loss(theta):
+        params = {"k_stiffness": theta[0], "mu_viscosity": theta[1],
+                  "sm_alpha": theta[2]}
+        s = st
+        for _ in range(3):
+            s, _ = step(s, CFG, 32, 9 * 32, params=params)
+        disp = s.pos - s.orig_pos
+        return jnp.sum(jnp.where(s.active[:, None], disp, 0.0) ** 2)
+
+    theta0 = jnp.asarray([CFG.k_stiffness, CFG.mu_viscosity, CFG.sm_alpha])
+    g = np.asarray(jax.grad(loss)(theta0))
+    assert np.isfinite(g).all()
+    assert (np.abs(g) > 0).all(), f"a parameter gradient vanished: {g}"
+
+
+def test_vmap_over_parameter_grid(rng):
+    """One compiled program, a batch of configurations: vmap over a
+    stiffness x viscosity grid (the TPU-native form of the reference's
+    one-run-per-config campaign)."""
+    st, n = _state(rng, 64)
+    ks = jnp.asarray([0.3, 0.5, 0.8], jnp.float32)
+    mus = jnp.asarray([50.0, 100.0, 200.0], jnp.float32)
+    kk, mm = [x.ravel() for x in jnp.meshgrid(ks, mus)]
+
+    def run(k, mu):
+        out, _ = simulate(st, CFG, 32, 9 * 32, num_steps=3,
+                          params={"k_stiffness": k, "mu_viscosity": mu})
+        disp = out.pos - out.orig_pos
+        return jnp.sum(jnp.where(out.active[:, None], disp, 0.0) ** 2)
+
+    batched = jax.vmap(run)(kk, mm)
+    assert batched.shape == (9,)
+    assert np.isfinite(np.asarray(batched)).all()
+    assert len(np.unique(np.asarray(batched))) > 1  # params actually matter
