@@ -174,8 +174,10 @@ DEFAULT_CONFIG = SimConfig()
 # --- Dynamic (traced) physics parameters ------------------------------------
 # Fields that may be overridden PER CALL with jnp scalars instead of being
 # baked into the compiled program. Every field here is consumed only inside
-# jnp math in the XLA step path (no Python control flow, no shapes, no grid
-# geometry), so a traced override composes with jit / grad / vmap:
+# jnp math (no Python control flow, no shapes, no grid geometry), so a
+# traced override composes with jit / grad / vmap on the XLA path; on the
+# production v4 fused path the values ride into the Pallas sweep kernels as
+# one (1, 16) SMEM operand (ops.fused_step.build_dynp). Uses:
 #   - jax.grad w.r.t. K / mu / alpha ... through the full coupled step
 #     (fit material constants to observed motion),
 #   - jax.vmap over parameter batches (many configurations, one program),

@@ -46,7 +46,7 @@ class StepAux(NamedTuple):
 def step_fused(state: ParticleState, cfg: SimConfig, q_block: int,
                w_window: int, sub_q: int | None = None,
                impl: str = "v3",
-               sm_inv=None, pack_cap: int = 0
+               sm_inv=None, pack_cap: int = 0, params=None
                ) -> tuple[ParticleState, StepAux]:
     """One coupled step with the fused Pallas sweeps (ops/pallas_sweeps.py).
 
@@ -64,7 +64,16 @@ def step_fused(state: ParticleState, cfg: SimConfig, q_block: int,
     fully-fused sweeps over 9 (dy,dz) run windows with the linear-hash
     mask; impl="v2": v3's sweeps with XLA pointwise glue; impl="v1":
     per-query bound arrays + MXU-contraction kernels.
+
+    `params` (v4 only): traced physics-constant overrides
+    (config.PARAM_FIELDS) — the constants ride into the kernels as one
+    (1, 16) SMEM operand (ops.fused_step.build_dynp), so one compiled
+    program serves every configuration at full fused speed.
     """
+    if params and impl != "v4":
+        raise ValueError("dynamic params on the fused path require "
+                         "impl='v4' (the production sweeps); "
+                         f"impl={impl!r} bakes constants in-kernel")
     if impl in ("v5", "v5s"):
         # v5s: v5 with statically-unrolled chunk loops over the padded slab
         return _step_fused_v5(state, cfg, q_block, w_window, sub_q or 32,
@@ -72,7 +81,7 @@ def step_fused(state: ParticleState, cfg: SimConfig, q_block: int,
                               static_trips=(impl == "v5s"))
     if impl == "v4":
         return _step_fused_v4(state, cfg, q_block, w_window, sub_q or 128,
-                              sm_inv)
+                              sm_inv, params=params)
     if impl == "v3":
         return _step_fused_v3(state, cfg, q_block, w_window, sub_q or 64,
                               sm_inv)
@@ -197,30 +206,36 @@ def _step_fused_v5(state: ParticleState, cfg: SimConfig, q_block: int,
 
 def _step_fused_v4(state: ParticleState, cfg: SimConfig, q_block: int,
                    w_window: int, sub_q: int,
-                   sm_inv=None) -> tuple[ParticleState, StepAux]:
+                   sm_inv=None, params=None) -> tuple[ParticleState,
+                                                      StepAux]:
     """v4 fused step: v3's fully-fused sweeps driven by THREE merged
     z-plane candidate windows per sub-block instead of nine (dy,dz) runs,
     with the exact per-axis (cx, cyz) cell mask — 3x fewer window setups
     and ~20% fewer enumerated candidate lanes on the biceps clouds (see
     ops/fused_step._gather_loop4)."""
     from ..ops.pallas_sweeps import sweep_bookkeeping3
-    from ..ops.fused_step import (apply_out_fused, build_qm_feats,
-                                  feats_from_out_a, sweep_a3, sweep_b3)
+    from ..ops.fused_step import (apply_out_fused, build_dynp,
+                                  build_qm_feats, feats_from_out_a,
+                                  sweep_a3, sweep_b3)
+
+    cfg_eff = resolve_params(cfg, params)
+    dynp = build_dynp(cfg_eff) if params else None
 
     order, inv, blk_lo, blk_hi, cx, cyz = sweep_bookkeeping3(
         state.pos, state.active, cfg, sub_q)
 
-    # phase 2: shape matching (original order; MXU reductions)
-    state = corrected_velocity(state, cfg, sm_inv=sm_inv)
+    # phase 2: shape matching (original order; MXU reductions) — XLA side,
+    # reads sm_alpha/sm_beta from the (possibly traced) effective config
+    state = corrected_velocity(state, cfg_eff, sm_inv=sm_inv)
 
     fs, feats_a = build_qm_feats(state, cx, cyz, order)
     out_a = sweep_a3(fs, feats_a, blk_lo, blk_hi, q_block, w_window, cfg,
-                     sub_q=sub_q, stencil="xyz3")
+                     sub_q=sub_q, stencil="xyz3", dynp=dynp)
 
     vol_now = jnp.where(out_a[:, 8] > 0.0, out_a[:, 10] / out_a[:, 8], 0.0)
     feats_b = feats_from_out_a(out_a, vol_now)
     out_b = sweep_b3(out_a, feats_b, blk_lo, blk_hi, q_block, w_window,
-                     cfg, sub_q=sub_q, stencil="xyz3")
+                     cfg, sub_q=sub_q, stencil="xyz3", dynp=dynp)
 
     state = apply_out_fused(state, out_a, out_b, inv)
     return state, StepAux(overflow=jnp.zeros((), jnp.int32))
@@ -365,14 +380,10 @@ def _step_with_protocol(state: ParticleState, i: jax.Array, cfg: SimConfig,
                              lambda s: turn_off_stim(s, cfg),
                              lambda s: s, state)
     if fused:
-        if params:
-            # the fused Pallas sweeps bake the physics constants into the
-            # kernels (in-kernel epilogues, ops/fused_step.py) — dynamic
-            # params are an XLA-path capability
-            raise ValueError("dynamic params require fused=False (the "
-                             "fused sweeps bake constants in-kernel)")
+        # dynamic params ride into the v4 kernels as an SMEM operand;
+        # other fused impls bake constants and reject params (step_fused)
         return step_fused(state, cfg, q_block, w_window, sub_q, impl=impl,
-                          sm_inv=sm_inv, pack_cap=pack_cap)
+                          sm_inv=sm_inv, pack_cap=pack_cap, params=params)
     return step(state, cfg, cell_capacity, neighbor_capacity, sm_inv=sm_inv,
                 params=params)
 
@@ -393,10 +404,12 @@ def simulate(state: ParticleState, cfg: SimConfig, cell_capacity: int,
     BEFORE executing that step index (main.cpp:329-334 fires when half the
     step budget remains). -1 disables.
 
-    `params` (XLA path only): dict of traced physics-constant overrides —
-    the whole rollout differentiates w.r.t. them (jax.grad), batches over
-    them (jax.vmap), and re-runs with new values WITHOUT recompiling
-    (config.PARAM_FIELDS / resolve_params).
+    `params`: dict of traced physics-constant overrides — the whole
+    rollout re-runs with new values WITHOUT recompiling, batches over
+    them (jax.vmap), and (on the XLA path) differentiates w.r.t. them
+    (jax.grad). Supported on the XLA path and the v4 fused path (where
+    the constants ride into the kernels as an SMEM operand); other fused
+    impls bake constants and reject params. See config.PARAM_FIELDS.
 
     If `record_every` > 0, returns (state, aux, traj) where traj is a dict
     of downsampled (T, ...) trajectories of positions and voltages — the
@@ -467,8 +480,9 @@ def run_protocol(scene, num_steps: int = 500, stim_off_step: int | None = None,
     if fused is None:
         # the fused Pallas sweeps are compiled (not interpreted) only on TPU
         fused = jax.default_backend() == "tpu"
-    if params:
-        fused = False  # dynamic params are an XLA-path capability
+    if params and fused and (impl or getattr(scene, "fused_impl",
+                                             "v3")) != "v4":
+        fused = False  # only the v4 fused kernels accept dynamic params
     if stim_off_step is None:
         stim_off_step = num_steps // 2
     if record_every:

@@ -51,6 +51,66 @@ from .pallas_sweeps import (_COORD_SENTINEL, _RUN_OFFSETS,
 DB_FEATS_MIN_BYTES = 32 * 2 ** 20
 
 
+# --- dynamic physics parameters (config.PARAM_FIELDS) in-kernel -------------
+# Slot layout of the optional (1, 16) f32 SMEM operand carrying the physics
+# constants the sweep kernels consume. When the operand is absent the
+# constants are baked as f32 immediates (the production default — zero cost,
+# byte-identical to the pre-dynamic kernels). FHN voltage constants arrive
+# pre-combined (denom = Vp - Vr, asd = (Vt - Vr)/(Vp - Vr), cpp:583-586) and
+# the monodomain scale as vm_scale = sigma/(Beta*Cm) (cpp:571): the kernel
+# reads scalars, it does not re-derive them.
+_DYN_SLOTS = ("velocity_mixing", "k_stiffness", "stand_density",
+              "voltage_constant", "fh_vr", "fh_denom", "fh_asd",
+              "fh_c1", "fh_c2", "fh_c3", "fh_c4", "cm_capacitance",
+              "mu_viscosity", "vm_scale")  # 14 used; 2 spare slots
+
+
+class _PhysConsts:
+    """Namespace of per-kernel physics scalars (see _DYN_SLOTS)."""
+    __slots__ = _DYN_SLOTS
+
+    def __init__(self, **kw):
+        for k in _DYN_SLOTS:
+            setattr(self, k, kw[k])
+
+
+def _derived_consts(cfg: SimConfig) -> dict:
+    """The 14 dynamic scalars from a (possibly traced) config."""
+    return dict(
+        velocity_mixing=cfg.velocity_mixing,
+        k_stiffness=cfg.k_stiffness,
+        stand_density=cfg.stand_density,
+        voltage_constant=cfg.voltage_constant,
+        fh_vr=cfg.fh_vr,
+        fh_denom=cfg.fh_vp - cfg.fh_vr,
+        fh_asd=(cfg.fh_vt - cfg.fh_vr) / (cfg.fh_vp - cfg.fh_vr),
+        fh_c1=cfg.fh_c1, fh_c2=cfg.fh_c2, fh_c3=cfg.fh_c3, fh_c4=cfg.fh_c4,
+        cm_capacitance=cfg.cm_capacitance,
+        mu_viscosity=cfg.mu_viscosity,
+        vm_scale=cfg.sigma / (cfg.beta_sv_ratio * cfg.cm_capacitance),
+    )
+
+
+def build_dynp(cfg_eff: SimConfig):
+    """(1, 16) f32 dynamic-params operand from a resolve_params'd config
+    (fields may be tracers)."""
+    vals = _derived_consts(cfg_eff)
+    vec = jnp.stack([jnp.asarray(vals[k], jnp.float32)
+                     for k in _DYN_SLOTS]
+                    + [jnp.float32(0.0)] * (16 - len(_DYN_SLOTS)))
+    return vec.reshape(1, 16)
+
+
+def _phys_consts(cfg: SimConfig, dynp_ref=None) -> _PhysConsts:
+    """Kernel-side constants: baked f32 immediates from the static config,
+    or scalar reads from the SMEM dynamic-params operand."""
+    if dynp_ref is None:
+        return _PhysConsts(**{k: jnp.float32(v)
+                              for k, v in _derived_consts(cfg).items()})
+    return _PhysConsts(**{k: dynp_ref[0, i]
+                          for i, k in enumerate(_DYN_SLOTS)})
+
+
 def _gather_loop(blk_lo_ref, blk_hi_ref, feats_ref, scratch, w_chunk,
                  qh, base, pair_fn, accs, cfg: SimConfig,
                  hbm_feats: bool):
@@ -274,20 +334,23 @@ def _pair_step_b(cand, m, carry, qx, qy, qz, qp, qiv, qvm, h, inv_h,
 
 
 def _a_epilogue(cfg: SimConfig, with_ep: bool, mass, vm, stim, iion,
-                w_rec, dens):
+                w_rec, dens, P: _PhysConsts | None = None):
     """EOS pressure + stim gate + FHN reaction on gathered densities
     (Compute_Density_SingPressure cpp:483-503 + calculate_cell_model
     cpp:575-593). Shapes broadcast; returns (dens', pres, react, iion',
-    w')."""
+    w'). `P` carries the physics scalars (baked from `cfg` when None —
+    the dynamic-params path passes SMEM reads instead; clamps, quirk
+    switches and geometry always come from the static cfg)."""
+    if P is None:
+        P = _phys_consts(cfg)
     dt = jnp.float32(cfg.time_delta)
     h2 = jnp.float32(cfg.kernel_h * cfg.kernel_h)
     p6c = jnp.float32(cfg.poly6_constant)
     if cfg.quirk_double_self_density:                    # cpp:483
         dens = dens + mass * (p6c * h2 * h2 * h2)
-    pres = jnp.float32(cfg.k_stiffness) \
-        * (dens - jnp.float32(cfg.stand_density))        # cpp:486
+    pres = P.k_stiffness * (dens - P.stand_density)      # cpp:486
     if with_ep:
-        pres = pres - vm * jnp.float32(cfg.voltage_constant)  # cpp:491
+        pres = pres - vm * P.voltage_constant            # cpp:491
     pres_c = jnp.clip(pres, -cfg.max_pressure, cfg.max_pressure)
     if cfg.quirk_pressure_stim_gate:                     # cpp:493-503
         pres = jnp.where(stim > 0.0, pres_c, jnp.float32(-0.0))
@@ -296,18 +359,13 @@ def _a_epilogue(cfg: SimConfig, with_ep: bool, mass, vm, stim, iion,
 
     if with_ep:
         # FHN reaction (calculate_cell_model, cpp:575-593)
-        denom = jnp.float32(cfg.fh_vp - cfg.fh_vr)
-        asd = jnp.float32((cfg.fh_vt - cfg.fh_vr)
-                          / (cfg.fh_vp - cfg.fh_vr))
-        u = (vm - jnp.float32(cfg.fh_vr)) / denom
-        d_iion = dt * (jnp.float32(cfg.fh_c1) * u * (u - asd)
-                       * (u - 1.0)
-                       + jnp.float32(cfg.fh_c2) * w_rec) / mass
+        u = (vm - P.fh_vr) / P.fh_denom
+        d_iion = dt * (P.fh_c1 * u * (u - P.fh_asd) * (u - 1.0)
+                       + P.fh_c2 * w_rec) / mass
         iion_n = (iion + d_iion) if cfg.quirk_iion_accumulate else d_iion
-        w_n = w_rec + dt * jnp.float32(cfg.fh_c3) \
-            * (u - jnp.float32(cfg.fh_c4) * w_rec) / mass
+        w_n = w_rec + dt * P.fh_c3 * (u - P.fh_c4 * w_rec) / mass
         react = (iion_n - stim * (dt / mass)) \
-            / jnp.float32(cfg.cm_capacitance)            # cpp:571
+            / P.cm_capacitance                           # cpp:571
     else:
         zero = jnp.zeros_like(dens)
         iion_n, w_n, react = zero, zero, zero
@@ -315,18 +373,19 @@ def _a_epilogue(cfg: SimConfig, with_ep: bool, mass, vm, stim, iion,
 
 
 def _b_epilogue(cfg: SimConfig, with_ep: bool, qpos, qiv, qvm, dens,
-                react, mass, acc_raw, lap):
+                react, mass, acc_raw, lap, P: _PhysConsts | None = None):
     """Acceleration normalization + voltage update + semi-implicit Euler +
     walls (Compute_Force tail cpp:568-571 + Update_Properties
-    cpp:596-651). Returns (pos', vel', vm', inter_vm, acc)."""
+    cpp:596-651). Returns (pos', vel', vm', inter_vm, acc). `P` as in
+    `_a_epilogue`."""
+    if P is None:
+        P = _phys_consts(cfg)
     dt = jnp.float32(cfg.time_delta)
     dens_g = jnp.where(dens > 0.0, dens, 1.0)
     acc = acc_raw / dens_g                               # cpp:568
     dtm = dt / mass
     if with_ep:
-        scale = jnp.float32(cfg.sigma / (cfg.beta_sv_ratio
-                                         * cfg.cm_capacitance))
-        inter_vm = lap + scale * lap - react             # cpp:571
+        inter_vm = lap + P.vm_scale * lap - react        # cpp:571
         vm_new = qvm + inter_vm * dtm                    # cpp:612
         vm_new = jnp.clip(vm_new, -cfg.max_voltage, cfg.max_voltage)
     else:
@@ -353,11 +412,20 @@ def _b_epilogue(cfg: SimConfig, with_ep: bool, qpos, qiv, qvm, dens,
             vm_new, inter_vm, acc)
 
 
-def _kernel_a3(blk_lo_ref, blk_hi_ref, qm_ref, feats_ref, out_ref,
-               *scratch, cfg: SimConfig, w_chunk: int, sub_q: int,
-               with_ep: bool, stencil: str = "hash9",
-               hbm_feats: bool = False, db_feats: bool = False):
-    """XSPH + density gather, then EOS + FHN epilogue. Writes OUT_A."""
+def _kernel_a3(blk_lo_ref, blk_hi_ref, *refs, cfg: SimConfig, w_chunk: int,
+               sub_q: int, with_ep: bool, stencil: str = "hash9",
+               hbm_feats: bool = False, db_feats: bool = False,
+               dyn: bool = False):
+    """XSPH + density gather, then EOS + FHN epilogue. Writes OUT_A.
+    With dyn=True the first input ref is the (1, 16) SMEM dynamic-params
+    operand (_DYN_SLOTS); physics scalars read from it instead of being
+    baked as immediates."""
+    if dyn:
+        dynp_ref, qm_ref, feats_ref, out_ref, *scratch = refs
+    else:
+        dynp_ref = None
+        qm_ref, feats_ref, out_ref, *scratch = refs
+    P = _phys_consts(cfg, dynp_ref)
     bid = pl.program_id(0)
     nsub = qm_ref.shape[0] // sub_q
     h2 = jnp.float32(cfg.kernel_h * cfg.kernel_h)
@@ -403,10 +471,10 @@ def _kernel_a3(blk_lo_ref, blk_hi_ref, qm_ref, feats_ref, out_ref,
         red = lambda a: jnp.sum(a, axis=1, keepdims=True)
         ivel = qcv + jnp.concatenate(
             [red(a_x), red(a_y), red(a_z)], axis=1) \
-            * jnp.float32(cfg.velocity_mixing)               # cpp:699
+            * P.velocity_mixing                              # cpp:699
         dens, pres, react, iion_n, w_n = _a_epilogue(
             cfg, with_ep, mass, vm, stim, qm_ref[sl, 10:11],
-            qm_ref[sl, 11:12], red(a_d))
+            qm_ref[sl, 11:12], red(a_d), P=P)
 
         out_ref[sl, 0:3] = qm_ref[sl, 0:3]                   # pos
         out_ref[sl, 3:6] = ivel
@@ -420,19 +488,26 @@ def _kernel_a3(blk_lo_ref, blk_hi_ref, qm_ref, feats_ref, out_ref,
         out_ref[sl, 15:16] = w_n
 
 
-def _kernel_b3(blk_lo_ref, blk_hi_ref, qm_ref, feats_ref, out_ref,
-               *scratch, cfg: SimConfig, w_chunk: int, sub_q: int,
-               with_ep: bool, stencil: str = "hash9",
-               hbm_feats: bool = False, db_feats: bool = False):
+def _kernel_b3(blk_lo_ref, blk_hi_ref, *refs, cfg: SimConfig, w_chunk: int,
+               sub_q: int, with_ep: bool, stencil: str = "hash9",
+               hbm_feats: bool = False, db_feats: bool = False,
+               dyn: bool = False):
     """Force + Vm Laplacian gather, then full integration epilogue
-    (Update_Properties, cpp:596-651). Reads OUT_A as QM, writes OUT_B."""
+    (Update_Properties, cpp:596-651). Reads OUT_A as QM, writes OUT_B.
+    `dyn` as in `_kernel_a3`."""
+    if dyn:
+        dynp_ref, qm_ref, feats_ref, out_ref, *scratch = refs
+    else:
+        dynp_ref = None
+        qm_ref, feats_ref, out_ref, *scratch = refs
+    P = _phys_consts(cfg, dynp_ref)
     bid = pl.program_id(0)
     nsub = qm_ref.shape[0] // sub_q
     h = jnp.float32(cfg.kernel_h)
     inv_h = jnp.float32(1.0 / cfg.kernel_h)
     spiky_c = jnp.float32(cfg.spiky_constant)
     bs_c = jnp.float32(cfg.b_spline_constant)
-    mu = jnp.float32(cfg.mu_viscosity)
+    mu = P.mu_viscosity
 
     for sb in range(nsub):
         lo_q = sb * sub_q
@@ -475,7 +550,7 @@ def _kernel_b3(blk_lo_ref, blk_hi_ref, qm_ref, feats_ref, out_ref,
         pos_n, vel_n, vm_new, inter_vm, acc = _b_epilogue(
             cfg, with_ep, qpos, qiv, qvm, dens, react, mass,
             jnp.concatenate([red(a_ax), red(a_ay), red(a_az)], axis=1),
-            red(a_lap))
+            red(a_lap), P=P)
 
         out_ref[sl, 0:3] = pos_n
         out_ref[sl, 3:6] = vel_n
@@ -491,7 +566,7 @@ def _kernel_b3(blk_lo_ref, blk_hi_ref, qm_ref, feats_ref, out_ref,
 
 def _call_kernel3(kernel, feats_t, qmat, blk_lo, blk_hi, q_block, w_chunk,
                   sub_q, cfg, with_ep, interpret, q_slice=None,
-                  stencil: str = "hash9"):
+                  stencil: str = "hash9", dynp=None):
     stride = 4 if stencil == "xyz3" else 16  # windows per sub-block (flat)
     if sub_q > q_block or q_block % sub_q:
         raise ValueError(f"sub_q={sub_q} must divide q_block={q_block}")
@@ -515,15 +590,23 @@ def _call_kernel3(kernel, feats_t, qmat, blk_lo, blk_hi, q_block, w_chunk,
     feats_t = jnp.pad(feats_t, ((0, 0), (0, w_chunk)))
     hbm_feats = feats_t.size * 4 > VMEM_FEATS_LIMIT_BYTES
     db_feats = feats_t.size * 4 > DB_FEATS_MIN_BYTES
+    in_specs = [
+        pl.BlockSpec((q_block, 16), lambda i, *_: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=(pltpu.HBM if hbm_feats
+                                   else pltpu.VMEM)),
+    ]
+    inputs = (qmat, feats_t)
+    if dynp is not None:
+        # dynamic physics params ride along as one (1, 16) SMEM operand
+        # (scalars must be 2-D in SMEM); see _DYN_SLOTS
+        in_specs.insert(0, pl.BlockSpec((1, 16), lambda i, *_: (0, 0),
+                                        memory_space=pltpu.SMEM))
+        inputs = (dynp, qmat, feats_t)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b,),
-        in_specs=[
-            pl.BlockSpec((q_block, 16), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=(pltpu.HBM if hbm_feats
-                                       else pltpu.VMEM)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((q_block, 16), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
         # very large xyz3 candidate arrays double-buffer the DMA (two
@@ -536,42 +619,44 @@ def _call_kernel3(kernel, feats_t, qmat, blk_lo, blk_hi, q_block, w_chunk,
             else [pltpu.VMEM((16, w_chunk), jnp.float32),
                   pltpu.SemaphoreType.DMA(())]),
     )
+    kw = {} if dynp is None else {"dyn": True}
     return pl.pallas_call(
         functools.partial(kernel, cfg=cfg, w_chunk=w_chunk, sub_q=sub_q,
                           with_ep=with_ep, stencil=stencil,
-                          hbm_feats=hbm_feats, db_feats=db_feats),
+                          hbm_feats=hbm_feats, db_feats=db_feats, **kw),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, 16), jnp.float32),
         interpret=interpret,
-    )(blk_lo, blk_hi, qmat, feats_t)
+    )(blk_lo, blk_hi, *inputs)
 
 
 def sweep_a3(fs, feats_a, blk_lo, blk_hi, q_block: int, w_chunk: int,
              cfg: SimConfig, with_ep: bool = True,
              interpret: bool | None = None, q_slice=None,
-             sub_q: int = 64, stencil: str = "hash9"):
+             sub_q: int = 64, stencil: str = "hash9", dynp=None):
     """QM_A (N,16) + feature matrix -> OUT_A (N,16), sorted order.
 
     stencil="hash9": 9 (dy,dz) run windows + linear-hash mask (bookkeeping
     from sweep_bookkeeping2); "xyz3": 3 merged z-plane windows + per-axis
-    (cx, cyz) mask (sweep_bookkeeping3)."""
+    (cx, cyz) mask (sweep_bookkeeping3). `dynp`: optional (1, 16) traced
+    physics-constant operand (build_dynp) — None bakes cfg's values."""
     if interpret is None:
         interpret = _interpret_default()
     return _call_kernel3(_kernel_a3, feats_a, fs, blk_lo, blk_hi, q_block,
                          w_chunk, sub_q, cfg, with_ep, interpret, q_slice,
-                         stencil=stencil)
+                         stencil=stencil, dynp=dynp)
 
 
 def sweep_b3(out_a, feats_b, blk_lo, blk_hi, q_block: int, w_chunk: int,
              cfg: SimConfig, with_ep: bool = True,
              interpret: bool | None = None, q_slice=None,
-             sub_q: int = 64, stencil: str = "hash9"):
+             sub_q: int = 64, stencil: str = "hash9", dynp=None):
     """OUT_A (N,16) + feature matrix -> OUT_B (N,16), sorted order."""
     if interpret is None:
         interpret = _interpret_default()
     return _call_kernel3(_kernel_b3, feats_b, out_a, blk_lo, blk_hi,
                          q_block, w_chunk, sub_q, cfg, with_ep, interpret,
-                         q_slice, stencil=stencil)
+                         q_slice, stencil=stencil, dynp=dynp)
 
 
 def _kernel_lap3(blk_lo_ref, blk_hi_ref, qm_ref, feats_ref, out_ref,

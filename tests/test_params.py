@@ -82,12 +82,37 @@ def test_resolve_params_rejects_non_dynamic_fields():
     assert resolve_params(CFG, {}) is CFG
 
 
-def test_params_rejected_on_fused_path(rng):
+def test_params_rejected_on_non_v4_fused_impls(rng):
     st, _ = _state(rng)
-    with pytest.raises(ValueError, match="fused"):
+    with pytest.raises(ValueError, match="v4"):
         simulate(st, CFG, 32, 9 * 32, num_steps=1, fused=True,
-                 q_block=32, w_window=128,
+                 q_block=32, w_window=128, impl="v3",
                  params={"mu_viscosity": jnp.asarray(50.0)})
+
+
+def test_fused_v4_traced_override_matches_baked(rng):
+    """The v4 fused path accepts dynamic params as an SMEM kernel operand
+    (ops.fused_step.build_dynp): its trajectory must match the same
+    values baked into a static config, to the same fp32-roundoff
+    tolerance as the XLA path (constant folding differs, see above)."""
+    st, n = _state(rng, 128)
+    pad = 128  # capacity already 128-row aligned for q_block=64
+    baked = CFG.replace(**_OVERRIDES)
+    params = {k: jnp.asarray(v, jnp.float32) for k, v in _OVERRIDES.items()}
+    kw = dict(num_steps=3, stim_off_step=2, fused=True, impl="v4",
+              q_block=64, w_window=128, sub_q=64)
+
+    out_baked, _ = simulate(st, baked, 32, 9 * 32, **kw)
+    out_traced, _ = simulate(st, CFG, 32, 9 * 32, params=params, **kw)
+    out_def, _ = simulate(st, CFG, 32, 9 * 32, **kw)
+    for name in ("pos", "vel", "dens", "pres", "vm", "iion", "w"):
+        a = np.asarray(getattr(out_baked, name))[:n]
+        b = np.asarray(getattr(out_traced, name))[:n]
+        scale = max(1e-6, float(np.abs(a).max()))
+        np.testing.assert_allclose(b, a, rtol=3e-5, atol=3e-5 * scale,
+                                   err_msg=f"field {name}")
+    assert not np.allclose(np.asarray(out_def.pos)[:n],
+                           np.asarray(out_traced.pos)[:n])
 
 
 def test_grad_wrt_material_constants(rng):
