@@ -18,7 +18,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..config import SimConfig
+from ..config import SimConfig, resolve_params
 from ..state import ParticleState
 from ..ops.grid import NeighborTable, build_neighbor_table
 from ..ops.shape_matching import (apply_external_forces, corrected_velocity,
@@ -198,12 +198,12 @@ def monodomain_prepare(state: ParticleState, cfg: SimConfig,
     return MonodomainTables(nbr=nbr, dens=st.dens)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def step_monodomain_only(state: ParticleState, tables: MonodomainTables,
-                         cfg: SimConfig) -> ParticleState:
-    """FHN reaction + SPH-discretized diffusion on a frozen cloud
-    (the reaction-diffusion core of Compute_Force cpp:562-571 +
-    calculate_cell_model cpp:575-593 + the Vm update of cpp:612-616)."""
+def _step_monodomain_only_impl(state: ParticleState,
+                               tables: MonodomainTables,
+                               cfg: SimConfig) -> ParticleState:
+    """Unjitted body shared by the jitted step and the dynamic-params scan
+    driver (whose effective cfg may hold tracers and so cannot cross a
+    static-argument jit boundary)."""
     state = state.replace(dens=tables.dens)
     state = fhn_cell_model(state, cfg)
     state = force_and_diffusion(state, tables.nbr, cfg)
@@ -213,17 +213,34 @@ def step_monodomain_only(state: ParticleState, tables: MonodomainTables,
     return state.replace(vm=jnp.where(state.active, vm, state.vm))
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def step_monodomain_only(state: ParticleState, tables: MonodomainTables,
+                         cfg: SimConfig) -> ParticleState:
+    """FHN reaction + SPH-discretized diffusion on a frozen cloud
+    (the reaction-diffusion core of Compute_Force cpp:562-571 +
+    calculate_cell_model cpp:575-593 + the Vm update of cpp:612-616)."""
+    return _step_monodomain_only_impl(state, tables, cfg)
+
+
 @partial(jax.jit, static_argnames=("cfg", "num_steps", "record_every"))
 def simulate_monodomain_only(state: ParticleState, tables: MonodomainTables,
                              cfg: SimConfig, num_steps: int,
-                             record_every: int = 0):
+                             record_every: int = 0, params=None):
     """Scan driver for the frozen-cloud FHN wave (BASELINE config 3).
 
     Frames are recorded INSIDE the scan, one vm snapshot after each block
     of `record_every` steps (the _scan_with_frames convention), so memory
-    scales with num_steps / record_every, not num_steps."""
+    scales with num_steps / record_every, not num_steps.
+
+    `params` (config.PARAM_FIELDS): traced EP-constant overrides —
+    conductivities, Cm, Beta and the FHN constants re-run / batch /
+    differentiate without recompiling. Mechanical fields are accepted but
+    inert here (this mode has no force math), and the frozen density
+    table ignores stand_density by definition of the mode."""
+    cfg = resolve_params(cfg, params)
+
     def body(st, _):
-        return step_monodomain_only(st, tables, cfg), ()
+        return _step_monodomain_only_impl(st, tables, cfg), ()
 
     if record_every:
         blocks = num_steps // record_every
@@ -376,7 +393,8 @@ def simulate_monodomain_only_fused(state: ParticleState,
                                    tables: MonodomainFusedTables,
                                    cfg: SimConfig, num_steps: int,
                                    q_block: int = 128, w_chunk: int = 128,
-                                   record_every: int = 0, sub_q: int = 128):
+                                   record_every: int = 0, sub_q: int = 128,
+                                   params=None):
     """Fused frozen-cloud FHN wave: per step only the reaction ODEs and one
     Laplacian-ONLY sweep run — all geometry is static (BASELINE config 3),
     so the sort/window bookkeeping, the candidate geometry features and
@@ -385,9 +403,15 @@ def simulate_monodomain_only_fused(state: ParticleState,
     Differentiable w.r.t. the EP state (vm/iion/w/stim) through the
     custom-VJP Laplacian (_lap_vm_factory) — geometry is constant in this
     mode by definition.
+    `params` (config.PARAM_FIELDS): traced EP-constant overrides. Every
+    EP constant lives in the XLA-side reaction/update (the Laplacian
+    kernel is geometry-only), so conductivities, Cm, Beta and the FHN
+    constants are BOTH dynamic AND differentiable here — jax.grad w.r.t.
+    them flows through the custom-VJP Laplacian at fused speed.
     Frame recording follows the _scan_with_frames convention (one snapshot
     after each `record_every`-step block, recorded inside the scan)."""
     lap_fn = _lap_vm_factory(cfg, q_block, w_chunk, sub_q)
+    cfg = resolve_params(cfg, params)  # AFTER the factory: it is geometry
 
     def body(st, _):
         st = fhn_cell_model(st, cfg)

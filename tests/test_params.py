@@ -115,6 +115,7 @@ def test_fused_v4_traced_override_matches_baked(rng):
                            np.asarray(out_traced.pos)[:n])
 
 
+@pytest.mark.slow
 def test_grad_wrt_material_constants(rng):
     """True parameter gradients through the coupled step: d(displacement
     loss)/d(K, mu, alpha) are finite and nonzero — the differentiable-
@@ -134,6 +135,48 @@ def test_grad_wrt_material_constants(rng):
     g = np.asarray(jax.grad(loss)(theta0))
     assert np.isfinite(g).all()
     assert (np.abs(g) > 0).all(), f"a parameter gradient vanished: {g}"
+
+
+def test_fused_monodomain_grad_wrt_ep_constants_matches_xla(rng):
+    """In the frozen-cloud monodomain mode every EP constant is XLA-side
+    (the Laplacian kernel is geometry-only), so dynamic params there are
+    DIFFERENTIABLE through the fused path: d(loss)/d(C1, sigma_i) via the
+    custom-VJP Laplacian must match the autodiff gradient of the XLA
+    path."""
+    from sph_sm_monodomain_tpu.models.variants import (
+        monodomain_prepare, monodomain_prepare_fused,
+        simulate_monodomain_only, simulate_monodomain_only_fused)
+    st, n = _state(rng, 96)
+    # spatially-varying initial voltage: a uniform field has zero Laplacian
+    # and thus a vanishing conductivity gradient
+    st = st.replace(vm=jnp.asarray(
+        rng.normal(size=st.vm.shape).astype(np.float32) * 5.0))
+    wgt = jnp.asarray(np.random.default_rng(7).normal(
+        size=st.vm.shape).astype(np.float32))
+    tab = monodomain_prepare(st, CFG, 32, 9 * 32)
+    ftab = monodomain_prepare_fused(st, CFG, q_block=64, w_chunk=128,
+                                    sub_q=64)
+
+    def loss_xla(theta):
+        p = {"fh_c1": theta[0], "sigma_i": theta[1]}
+        out = simulate_monodomain_only(st, tab, CFG, num_steps=3, params=p)
+        return jnp.sum(jnp.where(out.active, out.vm * wgt, 0.0))
+
+    def loss_fused(theta):
+        p = {"fh_c1": theta[0], "sigma_i": theta[1]}
+        out = simulate_monodomain_only_fused(st, ftab, CFG, num_steps=3,
+                                             q_block=64, w_chunk=128,
+                                             sub_q=64, params=p)
+        return jnp.sum(jnp.where(out.active, out.vm * wgt, 0.0))
+
+    theta = jnp.asarray([CFG.fh_c1, CFG.sigma_i], jnp.float32)
+    v_x, g_x = jax.value_and_grad(loss_xla)(theta)
+    v_f, g_f = jax.value_and_grad(loss_fused)(theta)
+    g_x, g_f = np.asarray(g_x), np.asarray(g_f)
+    assert np.abs(g_x).min() > 0, f"an XLA gradient vanished: {g_x}"
+    np.testing.assert_allclose(float(v_f), float(v_x), rtol=1e-5)
+    np.testing.assert_allclose(g_f, g_x, rtol=2e-4,
+                               err_msg="fused EP-constant gradient diverged")
 
 
 def test_vmap_over_parameter_grid(rng):
