@@ -38,11 +38,11 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..config import SimConfig
+from ..config import SimConfig, resolve_params
 from ..state import ParticleState
 from ..ops.grid import build_neighbor_table
-from ..ops.fused_step import apply_out_fused, feats_a_from_fs, \
-    feats_from_out_a, sweep_a3, sweep_b3
+from ..ops.fused_step import apply_out_fused, build_dynp, \
+    feats_a_from_fs, feats_from_out_a, sweep_a3, sweep_b3
 from ..ops.pallas_sweeps import sweep_bookkeeping3
 from ..ops.shape_matching import corrected_velocity, sm_invariants
 from ..ops.sph import (density_pressure_arrays, force_diffusion_arrays,
@@ -84,8 +84,13 @@ def shard_state(state: ParticleState, mesh: Mesh,
 
 def _sharded_step_body(state: ParticleState, cfg: SimConfig,
                        cell_capacity: int, neighbor_capacity: int,
-                       axis: str = AXIS, sm_inv=None):
-    """One coupled step on LOCAL shards (runs inside shard_map)."""
+                       axis: str = AXIS, sm_inv=None, params=None):
+    """One coupled step on LOCAL shards (runs inside shard_map).
+
+    `params`: replicated traced physics-constant overrides
+    (config.PARAM_FIELDS) — geometry stays on the static cfg."""
+    cfg = resolve_params(cfg, params)
+
     def ag(x):
         return jax.lax.all_gather(x, axis, tiled=True)
 
@@ -135,12 +140,26 @@ def _sharded_step_body(state: ParticleState, cfg: SimConfig,
 
 
 def make_sharded_step(mesh: Mesh, cfg: SimConfig, cell_capacity: int,
-                      neighbor_capacity: int, axis: str = AXIS):
+                      neighbor_capacity: int, axis: str = AXIS,
+                      dynamic_params: bool = False):
     """Build a jitted multi-chip step: ParticleState -> (ParticleState, i32).
 
     state must be sharded with `state_pspec` over `mesh` (see shard_state).
+    With dynamic_params=True the returned fn is (state, params) ->
+    (state, i32): params is a dict of replicated traced physics-constant
+    overrides (config.PARAM_FIELDS) — multi-chip sweeps without recompiles.
     """
     spec = state_pspec(axis)
+
+    if dynamic_params:
+        @jax.jit
+        @partial(jax.shard_map, mesh=mesh, in_specs=(spec, P()),
+                 out_specs=(spec, P()))
+        def sharded_step_p(state, params):
+            return _sharded_step_body(state, cfg, cell_capacity,
+                                      neighbor_capacity, axis,
+                                      params=params)
+        return sharded_step_p
 
     @jax.jit
     @partial(jax.shard_map, mesh=mesh, in_specs=(spec,),
@@ -154,15 +173,14 @@ def make_sharded_step(mesh: Mesh, cfg: SimConfig, cell_capacity: int,
 
 def make_sharded_simulate(mesh: Mesh, cfg: SimConfig, cell_capacity: int,
                           neighbor_capacity: int, num_steps: int,
-                          stim_off_step: int = -1, axis: str = AXIS):
+                          stim_off_step: int = -1, axis: str = AXIS,
+                          dynamic_params: bool = False):
     """Build a jitted multi-chip N-step scan with the reference stim-off
-    protocol (main.cpp:329-334)."""
+    protocol (main.cpp:329-334). With dynamic_params=True the returned fn
+    is (state, params) -> (state, i32) — see make_sharded_step."""
     spec = state_pspec(axis)
 
-    @jax.jit
-    @partial(jax.shard_map, mesh=mesh, in_specs=(spec,),
-             out_specs=(spec, P()))
-    def sharded_simulate(state):
+    def impl(state, params=None):
         # rows never migrate on this path: hoist the step-invariant SM
         # rest moments (psums + 3x3/9x9 inversions) out of the scan
         sm_inv = sm_invariants(state, cfg, axis_name=axis)
@@ -175,19 +193,24 @@ def make_sharded_simulate(mesh: Mesh, cfg: SimConfig, cell_capacity: int,
                                   lambda s: s, st)
             st, o = _sharded_step_body(st, cfg, cell_capacity,
                                        neighbor_capacity, axis,
-                                       sm_inv=sm_inv)
+                                       sm_inv=sm_inv, params=params)
             return (st, jnp.maximum(ovf, o)), None
 
         (state, overflow), _ = jax.lax.scan(
             body, (state, jnp.asarray(0, jnp.int32)), jnp.arange(num_steps))
         return state, overflow
 
-    return sharded_simulate
+    if dynamic_params:
+        return jax.jit(partial(jax.shard_map, mesh=mesh,
+                               in_specs=(spec, P()),
+                               out_specs=(spec, P()))(impl))
+    return jax.jit(partial(jax.shard_map, mesh=mesh, in_specs=(spec,),
+                           out_specs=(spec, P()))(impl))
 
 
 def _sharded_fused_body(state: ParticleState, cfg: SimConfig, q_block: int,
                         w_chunk: int, sub_q: int, axis: str = AXIS,
-                        sm_inv=None):
+                        sm_inv=None, params=None):
     """One fused-Pallas coupled step on LOCAL shards (inside shard_map).
 
     Strategy: all_gather the per-particle fields once per phase group
@@ -200,6 +223,9 @@ def _sharded_fused_body(state: ParticleState, cfg: SimConfig, q_block: int,
     all_gathered (sorted order) and mapped back to each device's
     original-order shard.
     """
+    cfg_eff = resolve_params(cfg, params)
+    dynp = build_dynp(cfg_eff) if params else None
+
     def ag(x):
         return jax.lax.all_gather(x, axis, tiled=True)
 
@@ -216,8 +242,9 @@ def _sharded_fused_body(state: ParticleState, cfg: SimConfig, q_block: int,
         g_pos, g_active, cfg, sub_q)
     my_inv = jax.lax.dynamic_slice(inv, (lo,), (n_loc,))
 
-    # shape matching: local moments + psum (scan drivers hoist sm_inv)
-    state = corrected_velocity(state, cfg, axis_name=axis, sm_inv=sm_inv)
+    # shape matching: local moments + psum (scan drivers hoist sm_inv);
+    # sm_alpha/sm_beta come from the (possibly traced) effective config
+    state = corrected_velocity(state, cfg_eff, axis_name=axis, sm_inv=sm_inv)
 
     n = g_pos.shape[0]
     # gather #2: the remaining QM_A columns as one packed (n_loc, 9) block
@@ -236,14 +263,14 @@ def _sharded_fused_body(state: ParticleState, cfg: SimConfig, q_block: int,
     feats_a = feats_a_from_fs(fs)
     out_a_slab = sweep_a3(fs, feats_a, blk_lo, blk_hi, q_block, w_chunk,
                           cfg, q_slice=(lo, n_loc), sub_q=sub_q,
-                          stencil="xyz3")
+                          stencil="xyz3", dynp=dynp)
     out_a = ag(out_a_slab)                                  # global, sorted
 
     vol_now = jnp.where(out_a[:, 8] > 0.0, out_a[:, 10] / out_a[:, 8], 0.0)
     feats_b = feats_from_out_a(out_a, vol_now)
     out_b_slab = sweep_b3(out_a, feats_b, blk_lo, blk_hi, q_block, w_chunk,
                           cfg, q_slice=(lo, n_loc), sub_q=sub_q,
-                          stencil="xyz3")
+                          stencil="xyz3", dynp=dynp)
     out_b = ag(out_b_slab)
 
     state = apply_out_fused(state, out_a, out_b, my_inv)
@@ -253,17 +280,17 @@ def _sharded_fused_body(state: ParticleState, cfg: SimConfig, q_block: int,
 def make_sharded_simulate_fused(mesh: Mesh, cfg: SimConfig, num_steps: int,
                                 stim_off_step: int = -1, q_block: int = 128,
                                 w_chunk: int = 128, sub_q: int = 64,
-                                axis: str = AXIS):
+                                axis: str = AXIS,
+                                dynamic_params: bool = False):
     """Jitted multi-chip N-step scan over the fused-Pallas step with the
     reference stim-off protocol (main.cpp:329-334). Same slab strategy as
     make_sharded_step_fused; this is the production path `--devices N`
-    dispatches on TPU (BASELINE config 5)."""
+    dispatches on TPU (BASELINE config 5). With dynamic_params=True the
+    returned fn is (state, params) -> (state, i32) — multi-chip sweeps on
+    one compile (see make_sharded_step)."""
     spec = state_pspec(axis)
 
-    @jax.jit
-    @partial(jax.shard_map, mesh=mesh, in_specs=(spec,),
-             out_specs=(spec, P()), check_vma=False)
-    def sharded_simulate(state):
+    def impl(state, params=None):
         # rows never migrate on this path: hoist the step-invariant SM
         # rest moments (psums + 3x3/9x9 inversions) out of the scan — the
         # same hoist run_protocol and make_halo_simulate already do
@@ -275,7 +302,7 @@ def make_sharded_simulate_fused(mesh: Mesh, cfg: SimConfig, num_steps: int,
                                   lambda s: turn_off_stim(s, cfg),
                                   lambda s: s, st)
             st, _ = _sharded_fused_body(st, cfg, q_block, w_chunk, sub_q,
-                                        axis, sm_inv=sm_inv)
+                                        axis, sm_inv=sm_inv, params=params)
             return st, None
 
         state, _ = jax.lax.scan(body, state, jnp.arange(num_steps))
@@ -283,26 +310,38 @@ def make_sharded_simulate_fused(mesh: Mesh, cfg: SimConfig, num_steps: int,
         # is structurally zero (see models/monodomain.py step_fused)
         return state, jnp.zeros((), jnp.int32)
 
-    return sharded_simulate
+    # check_vma=False: pallas_call outputs carry no varying-mesh-axes
+    # annotation, which shard_map's checker would otherwise reject
+    if dynamic_params:
+        return jax.jit(partial(jax.shard_map, mesh=mesh,
+                               in_specs=(spec, P()), out_specs=(spec, P()),
+                               check_vma=False)(impl))
+    return jax.jit(partial(jax.shard_map, mesh=mesh, in_specs=(spec,),
+                           out_specs=(spec, P()), check_vma=False)(impl))
 
 
 def make_sharded_step_fused(mesh: Mesh, cfg: SimConfig, q_block: int = 128,
                             w_chunk: int = 128, sub_q: int = 64,
-                            axis: str = AXIS):
+                            axis: str = AXIS,
+                            dynamic_params: bool = False):
     """Multi-chip fused-Pallas step: ParticleState -> (ParticleState, i32).
 
     Requires state.capacity to be a multiple of n_devices * q_block so each
-    device owns a whole number of sorted query blocks.
+    device owns a whole number of sorted query blocks. With
+    dynamic_params=True the returned fn is (state, params) -> (state, i32)
+    — see make_sharded_step.
     """
     spec = state_pspec(axis)
 
+    def impl(state, params=None):
+        return _sharded_fused_body(state, cfg, q_block, w_chunk, sub_q,
+                                   axis, params=params)
+
     # check_vma=False: pallas_call outputs carry no varying-mesh-axes
     # annotation, which shard_map's checker would otherwise reject
-    @jax.jit
-    @partial(jax.shard_map, mesh=mesh, in_specs=(spec,),
-             out_specs=(spec, P()), check_vma=False)
-    def sharded_step(state):
-        return _sharded_fused_body(state, cfg, q_block, w_chunk, sub_q,
-                                   axis)
-
-    return sharded_step
+    if dynamic_params:
+        return jax.jit(partial(jax.shard_map, mesh=mesh,
+                               in_specs=(spec, P()), out_specs=(spec, P()),
+                               check_vma=False)(impl))
+    return jax.jit(partial(jax.shard_map, mesh=mesh, in_specs=(spec,),
+                           out_specs=(spec, P()), check_vma=False)(impl))

@@ -179,6 +179,48 @@ def test_fused_monodomain_grad_wrt_ep_constants_matches_xla(rng):
                                err_msg="fused EP-constant gradient diverged")
 
 
+@pytest.mark.slow
+def test_sharded_fused_dynamic_params_matches_single_chip(rng):
+    """Multi-chip dynamic params: the gather-sharded fused scan with
+    dynamic_params=True (params replicated into every device's SMEM
+    operand) must match the single-chip v4 fused run with the same traced
+    overrides — multi-chip parameter sweeps on one compile."""
+    from sph_sm_monodomain_tpu.parallel.sharded_step import (
+        make_mesh, make_sharded_simulate_fused, shard_state)
+    assert jax.device_count() >= 8
+    mesh = make_mesh(jax.devices()[:8])
+    qb = 32  # capacity 512 = 8 devices x 2 blocks x 32
+    pts = np.clip(rng.normal(size=(300, 3)).astype(np.float32) * 0.06 + 0.6,
+                  0.05, 1.2)
+    st = init_fluid(pts, CFG, pad_to=512)
+    st = set_stim(st, (0.6, 0.6, 0.6), 0.5, CFG.stim_strength, CFG)
+    params = {"mu_viscosity": jnp.asarray(55.0, jnp.float32),
+              "k_stiffness": jnp.asarray(0.8, jnp.float32),
+              "fh_c1": jnp.asarray(0.2, jnp.float32)}
+
+    sim = make_sharded_simulate_fused(mesh, CFG, num_steps=4,
+                                      stim_off_step=2, q_block=qb,
+                                      w_chunk=256, sub_q=qb,
+                                      dynamic_params=True)
+    out, ovf = sim(shard_state(st, mesh), params)
+    assert int(ovf) == 0
+
+    ref, _ = simulate(st, CFG, 32, 9 * 64, num_steps=4, stim_off_step=2,
+                      fused=True, impl="v4", q_block=qb, w_window=256,
+                      sub_q=qb, params=params)
+    n = 300
+    np.testing.assert_allclose(np.asarray(ref.pos)[:n],
+                               np.asarray(out.pos)[:n], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ref.vm)[:n],
+                               np.asarray(out.vm)[:n], atol=1e-3)
+    # and the overrides actually changed the dynamics vs defaults
+    base, _ = simulate(st, CFG, 32, 9 * 64, num_steps=4, stim_off_step=2,
+                       fused=True, impl="v4", q_block=qb, w_window=256,
+                       sub_q=qb)
+    assert not np.allclose(np.asarray(base.pos)[:n],
+                           np.asarray(out.pos)[:n])
+
+
 def test_vmap_over_parameter_grid(rng):
     """One compiled program, a batch of configurations: vmap over a
     stiffness x viscosity grid (the TPU-native form of the reference's
