@@ -47,6 +47,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--set", action="append", default=[], metavar="K=V",
                    help="override any SimConfig field, e.g. --set "
                         "mu_viscosity=50 --set quadratic_match=true")
+    p.add_argument("--dynamic-set", action="append", default=[],
+                   metavar="K=V",
+                   help="override a physics constant as a TRACED runtime "
+                        "value (config.PARAM_FIELDS), e.g. --dynamic-set "
+                        "mu_viscosity=50 — unlike --set, the compiled "
+                        "program is reused across values (sweeps without "
+                        "recompiles); coupled + monodomain modes, not "
+                        "--parallel halo")
     p.add_argument("--corrected-physics", action="store_true",
                    help="disable the reference's quirks "
                         "(strict_reference_mode off)")
@@ -230,6 +238,26 @@ def main(argv=None) -> int:
         cfg = variants.sph_only_config(cfg)
     cfg = _apply_overrides(cfg, args.set)
 
+    params = None
+    if args.dynamic_set:
+        from .config import PARAM_FIELDS
+        params = {}
+        for kv in args.dynamic_set:
+            k, sep, v = kv.partition("=")
+            if not sep:
+                sys.exit(f"--dynamic-set {kv!r}: expected K=V")
+            if k not in PARAM_FIELDS:
+                sys.exit(f"--dynamic-set {k}: not a dynamic field (choose "
+                         f"from {sorted(PARAM_FIELDS)}; use --set for "
+                         "static/geometry fields)")
+            params[k] = float(v)
+        if args.mode not in ("coupled", "monodomain"):
+            sys.exit(f"--dynamic-set supports --mode coupled/monodomain "
+                     f"(got --mode {args.mode})")
+        if args.devices > 1 and args.parallel == "halo":
+            sys.exit("--dynamic-set is not supported with --parallel halo "
+                     "(its kernels bake constants; use gather/fused)")
+
     pad_to = None
     if args.devices > 1:
         import math
@@ -401,10 +429,10 @@ def main(argv=None) -> int:
                 state = variants.simulate_monodomain_only_fused(
                     state, ftab, cfg, num_steps=n_chunk,
                     q_block=scene.q_block, w_chunk=scene.block_window,
-                    sub_q=scene.sub_block or 128)
+                    sub_q=scene.sub_block or 128, params=params)
             else:
                 state = variants.simulate_monodomain_only(
-                    state, tables, cfg, num_steps=n_chunk)
+                    state, tables, cfg, num_steps=n_chunk, params=params)
             done += n_chunk
             executed["steps"] = done
             stream_frame(done, state)
@@ -484,12 +512,14 @@ def main(argv=None) -> int:
                     sims[key] = SS.make_sharded_simulate_fused(
                         mesh, cfg, num_steps=n_chunk, stim_off_step=off,
                         q_block=scene.q_block, w_chunk=scene.block_window,
-                        sub_q=scene.sub_block or 128)
+                        sub_q=scene.sub_block or 128,
+                        dynamic_params=params is not None)
                 else:
                     sims[key] = SS.make_sharded_simulate(
                         mesh, cfg, scene.cell_capacity,
                         scene.neighbor_capacity, num_steps=n_chunk,
-                        stim_off_step=off)
+                        stim_off_step=off,
+                        dynamic_params=params is not None)
             return sims[key]
 
         print(f"parallel impl: {impl} over {args.devices} devices")
@@ -499,7 +529,9 @@ def main(argv=None) -> int:
             n_chunk = min(args.chunk, args.steps - done)
             off = (stim_off - done
                    if done <= stim_off < done + n_chunk else -1)
-            sharded, ovf = get_sim(n_chunk, off)(sharded)
+            sim_fn = get_sim(n_chunk, off)
+            sharded, ovf = (sim_fn(sharded, params) if params is not None
+                            else sim_fn(sharded))
             overflow = max(overflow, int(ovf))
             done += n_chunk
             executed["steps"] = done
@@ -535,7 +567,7 @@ def main(argv=None) -> int:
             scene, num_steps=args.steps, stim_off_step=stim_off,
             chunk=(min(args.chunk, max(render_every, 1)) if render_every
                    else args.chunk),
-            callback=cb)
+            callback=cb, params=params)
         overflow = int(aux.overflow)
     jax.tree_util.tree_map(lambda x: x.block_until_ready(), state)
     wall = time.time() - t0
@@ -638,7 +670,12 @@ def main(argv=None) -> int:
                                         scene.neighbor_capacity)
         # prefer the scan-amortized profiled step time over the wall
         # average (which includes compile time and per-dispatch latency)
-        row = report_row(cfg, steps_run,
+        row_cfg = cfg
+        if params:
+            # the row's parameter columns must record the EFFECTIVE values
+            from .config import resolve_params
+            row_cfg = resolve_params(cfg, params)
+        row = report_row(row_cfg, steps_run,
                          phases.get("total_step", avg_step), phases)
         import os
         write_header = not os.path.exists(args.report)

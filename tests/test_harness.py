@@ -125,6 +125,29 @@ def test_cli_smoke(tmp_path):
 
 
 @pytest.mark.slow
+def test_cli_dynamic_set(tmp_path, capsys):
+    """--dynamic-set feeds a traced physics override into the run and the
+    report row records the EFFECTIVE value (not the static default);
+    non-dynamic fields are rejected with the whitelist in the message."""
+    from sph_sm_monodomain_tpu.cli import main
+    report = tmp_path / "report.csv"
+    rc = main(["--scene", "cube", "--steps", "3", "--stim-off-step", "-1",
+               "--dynamic-set", "mu_viscosity=55",
+               "--dynamic-set", "k_stiffness=0.8",
+               "--report", str(report)])
+    assert rc == 0
+    cols = report.read_text().strip().splitlines()[-1].split(";")
+    assert float(cols[10]) == 0.8 and float(cols[13]) == 55.0
+    # monodomain mode takes the EP constants dynamically too
+    rc = main(["--scene", "cube", "--steps", "2", "--mode", "monodomain",
+               "--dynamic-set", "fh_c1=0.2"])
+    assert rc == 0
+    with pytest.raises(SystemExit, match="not a dynamic field"):
+        main(["--scene", "cube", "--steps", "1",
+              "--dynamic-set", "kernel_h=0.05"])
+
+
+@pytest.mark.slow
 def test_cli_flag_free_resume(tmp_path, capsys):
     """Resume must not depend on re-passing identical --set flags: the
     checkpoint's SimConfig snapshot is authoritative (VERDICT r2 §5)."""
