@@ -258,6 +258,14 @@ def main(argv=None) -> int:
             sys.exit("--dynamic-set is not supported with --parallel halo "
                      "(its kernels bake constants; use gather/fused)")
 
+    def effective_cfg(c):
+        """Config with the --dynamic-set values applied (plain floats):
+        anything PERSISTED (checkpoints, report rows) must record the
+        physics that actually ran, not the static defaults — a resume
+        trusts the checkpoint's config snapshot as authoritative."""
+        from .config import resolve_params
+        return resolve_params(c, params) if params else c
+
     pad_to = None
     if args.devices > 1:
         import math
@@ -394,8 +402,10 @@ def main(argv=None) -> int:
                     return
             # record the GLOBAL step so a resume maps the protocol
             # correctly (ADVICE r2: a step-0 checkpoint replayed the full
-            # stim-off schedule against already-advanced state)
-            save_checkpoint(path, st, step=start_step + done, cfg=cfg)
+            # stim-off schedule against already-advanced state); the cfg
+            # snapshot carries any --dynamic-set values (resume trusts it)
+            save_checkpoint(path, st, step=start_step + done,
+                            cfg=effective_cfg(cfg))
             print(f"control: checkpoint (step {start_step + done}) -> "
                   f"{path}", flush=True)
         controller = RunController(args.control, args.pause_at,
@@ -613,7 +623,8 @@ def main(argv=None) -> int:
             # executed this run (an early `stop` must not claim
             # unexecuted steps)
             save_checkpoint(args.save_checkpoint, ckpt_state,
-                            step=start_step + steps_run, cfg=cfg)
+                            step=start_step + steps_run,
+                            cfg=effective_cfg(cfg))
             print(f"checkpoint -> {args.save_checkpoint}")
 
     if render_every:
@@ -670,12 +681,8 @@ def main(argv=None) -> int:
                                         scene.neighbor_capacity)
         # prefer the scan-amortized profiled step time over the wall
         # average (which includes compile time and per-dispatch latency)
-        row_cfg = cfg
-        if params:
-            # the row's parameter columns must record the EFFECTIVE values
-            from .config import resolve_params
-            row_cfg = resolve_params(cfg, params)
-        row = report_row(row_cfg, steps_run,
+        # the row's parameter columns must record the EFFECTIVE values
+        row = report_row(effective_cfg(cfg), steps_run,
                          phases.get("total_step", avg_step), phases)
         import os
         write_header = not os.path.exists(args.report)

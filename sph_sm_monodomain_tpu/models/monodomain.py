@@ -477,12 +477,23 @@ def run_protocol(scene, num_steps: int = 500, stim_off_step: int | None = None,
     Returns (state, StepAux, traj|None).
     """
     state, cfg = scene.state, scene.cfg
+    fused_explicit = fused is not None
     if fused is None:
         # the fused Pallas sweeps are compiled (not interpreted) only on TPU
         fused = jax.default_backend() == "tpu"
     if params and fused and (impl or getattr(scene, "fused_impl",
                                              "v3")) != "v4":
-        fused = False  # only the v4 fused kernels accept dynamic params
+        # only the v4 fused kernels accept dynamic params (step_fused)
+        if fused_explicit:
+            raise ValueError(
+                "dynamic params on the fused path require impl='v4'; this "
+                f"scene/driver selected impl="
+                f"{impl or getattr(scene, 'fused_impl', 'v3')!r}")
+        print("run_protocol: dynamic params with impl="
+              f"{impl or getattr(scene, 'fused_impl', 'v3')!r} — falling "
+              "back to the (slower) XLA path; retune the scene to v4 for "
+              "fused-speed sweeps", flush=True)
+        fused = False
     if stim_off_step is None:
         stim_off_step = num_steps // 2
     if record_every:

@@ -139,6 +139,19 @@ def _sharded_step_body(state: ParticleState, cfg: SimConfig,
     return state, overflow
 
 
+def _wrap_sharded(impl, mesh: Mesh, axis: str, dynamic_params: bool,
+                  check_vma: bool = True):
+    """jit(shard_map(impl)) with the module's argument conventions: state
+    particle-sharded, optional replicated params dict, replicated outputs.
+    check_vma=False for fused bodies (pallas_call outputs carry no
+    varying-mesh-axes annotation, which shard_map's checker rejects)."""
+    spec = state_pspec(axis)
+    in_specs = (spec, P()) if dynamic_params else (spec,)
+    return jax.jit(partial(jax.shard_map, mesh=mesh, in_specs=in_specs,
+                           out_specs=(spec, P()),
+                           check_vma=check_vma)(impl))
+
+
 def make_sharded_step(mesh: Mesh, cfg: SimConfig, cell_capacity: int,
                       neighbor_capacity: int, axis: str = AXIS,
                       dynamic_params: bool = False):
@@ -149,26 +162,11 @@ def make_sharded_step(mesh: Mesh, cfg: SimConfig, cell_capacity: int,
     (state, i32): params is a dict of replicated traced physics-constant
     overrides (config.PARAM_FIELDS) — multi-chip sweeps without recompiles.
     """
-    spec = state_pspec(axis)
-
-    if dynamic_params:
-        @jax.jit
-        @partial(jax.shard_map, mesh=mesh, in_specs=(spec, P()),
-                 out_specs=(spec, P()))
-        def sharded_step_p(state, params):
-            return _sharded_step_body(state, cfg, cell_capacity,
-                                      neighbor_capacity, axis,
-                                      params=params)
-        return sharded_step_p
-
-    @jax.jit
-    @partial(jax.shard_map, mesh=mesh, in_specs=(spec,),
-             out_specs=(spec, P()))
-    def sharded_step(state):
+    def impl(state, params=None):
         return _sharded_step_body(state, cfg, cell_capacity,
-                                  neighbor_capacity, axis)
+                                  neighbor_capacity, axis, params=params)
 
-    return sharded_step
+    return _wrap_sharded(impl, mesh, axis, dynamic_params)
 
 
 def make_sharded_simulate(mesh: Mesh, cfg: SimConfig, cell_capacity: int,
@@ -178,8 +176,6 @@ def make_sharded_simulate(mesh: Mesh, cfg: SimConfig, cell_capacity: int,
     """Build a jitted multi-chip N-step scan with the reference stim-off
     protocol (main.cpp:329-334). With dynamic_params=True the returned fn
     is (state, params) -> (state, i32) — see make_sharded_step."""
-    spec = state_pspec(axis)
-
     def impl(state, params=None):
         # rows never migrate on this path: hoist the step-invariant SM
         # rest moments (psums + 3x3/9x9 inversions) out of the scan
@@ -200,12 +196,7 @@ def make_sharded_simulate(mesh: Mesh, cfg: SimConfig, cell_capacity: int,
             body, (state, jnp.asarray(0, jnp.int32)), jnp.arange(num_steps))
         return state, overflow
 
-    if dynamic_params:
-        return jax.jit(partial(jax.shard_map, mesh=mesh,
-                               in_specs=(spec, P()),
-                               out_specs=(spec, P()))(impl))
-    return jax.jit(partial(jax.shard_map, mesh=mesh, in_specs=(spec,),
-                           out_specs=(spec, P()))(impl))
+    return _wrap_sharded(impl, mesh, axis, dynamic_params)
 
 
 def _sharded_fused_body(state: ParticleState, cfg: SimConfig, q_block: int,
@@ -288,8 +279,6 @@ def make_sharded_simulate_fused(mesh: Mesh, cfg: SimConfig, num_steps: int,
     dispatches on TPU (BASELINE config 5). With dynamic_params=True the
     returned fn is (state, params) -> (state, i32) — multi-chip sweeps on
     one compile (see make_sharded_step)."""
-    spec = state_pspec(axis)
-
     def impl(state, params=None):
         # rows never migrate on this path: hoist the step-invariant SM
         # rest moments (psums + 3x3/9x9 inversions) out of the scan — the
@@ -310,14 +299,7 @@ def make_sharded_simulate_fused(mesh: Mesh, cfg: SimConfig, num_steps: int,
         # is structurally zero (see models/monodomain.py step_fused)
         return state, jnp.zeros((), jnp.int32)
 
-    # check_vma=False: pallas_call outputs carry no varying-mesh-axes
-    # annotation, which shard_map's checker would otherwise reject
-    if dynamic_params:
-        return jax.jit(partial(jax.shard_map, mesh=mesh,
-                               in_specs=(spec, P()), out_specs=(spec, P()),
-                               check_vma=False)(impl))
-    return jax.jit(partial(jax.shard_map, mesh=mesh, in_specs=(spec,),
-                           out_specs=(spec, P()), check_vma=False)(impl))
+    return _wrap_sharded(impl, mesh, axis, dynamic_params, check_vma=False)
 
 
 def make_sharded_step_fused(mesh: Mesh, cfg: SimConfig, q_block: int = 128,
@@ -331,17 +313,8 @@ def make_sharded_step_fused(mesh: Mesh, cfg: SimConfig, q_block: int = 128,
     dynamic_params=True the returned fn is (state, params) -> (state, i32)
     — see make_sharded_step.
     """
-    spec = state_pspec(axis)
-
     def impl(state, params=None):
         return _sharded_fused_body(state, cfg, q_block, w_chunk, sub_q,
                                    axis, params=params)
 
-    # check_vma=False: pallas_call outputs carry no varying-mesh-axes
-    # annotation, which shard_map's checker would otherwise reject
-    if dynamic_params:
-        return jax.jit(partial(jax.shard_map, mesh=mesh,
-                               in_specs=(spec, P()), out_specs=(spec, P()),
-                               check_vma=False)(impl))
-    return jax.jit(partial(jax.shard_map, mesh=mesh, in_specs=(spec,),
-                           out_specs=(spec, P()), check_vma=False)(impl))
+    return _wrap_sharded(impl, mesh, axis, dynamic_params, check_vma=False)

@@ -138,6 +138,16 @@ def test_cli_dynamic_set(tmp_path, capsys):
     assert rc == 0
     cols = report.read_text().strip().splitlines()[-1].split(";")
     assert float(cols[10]) == 0.8 and float(cols[13]) == 55.0
+    # checkpoints must snapshot the EFFECTIVE config: a resume trusts it
+    # as authoritative for the physics
+    from sph_sm_monodomain_tpu.state import load_checkpoint
+    ckpt = tmp_path / "dyn.npz"
+    rc = main(["--scene", "cube", "--steps", "2", "--stim-off-step", "-1",
+               "--dynamic-set", "mu_viscosity=55",
+               "--save-checkpoint", str(ckpt)])
+    assert rc == 0
+    _, _, ck_cfg = load_checkpoint(str(ckpt), with_config=True)
+    assert ck_cfg.mu_viscosity == 55.0
     # monodomain mode takes the EP constants dynamically too
     rc = main(["--scene", "cube", "--steps", "2", "--mode", "monodomain",
                "--dynamic-set", "fh_c1=0.2"])

@@ -205,6 +205,23 @@ def test_sharded_fused_dynamic_params_matches_single_chip(rng):
     out, ovf = sim(shard_state(st, mesh), params)
     assert int(ovf) == 0
 
+    # the other dynamic factories share _wrap_sharded: one XLA-gather
+    # dynamic scan (vs its baked twin) + one fused dynamic single step
+    from sph_sm_monodomain_tpu.parallel.sharded_step import (
+        make_sharded_simulate, make_sharded_step_fused)
+    xsim = make_sharded_simulate(mesh, CFG, 32, 9 * 64, num_steps=2,
+                                 dynamic_params=True)
+    x_out, _ = xsim(shard_state(st, mesh), params)
+    baked = CFG.replace(**{k: float(v) for k, v in params.items()})
+    bsim = make_sharded_simulate(mesh, baked, 32, 9 * 64, num_steps=2)
+    b_out, _ = bsim(shard_state(st, mesh))
+    np.testing.assert_allclose(np.asarray(x_out.pos)[:300],
+                               np.asarray(b_out.pos)[:300], atol=1e-5)
+    fstep = make_sharded_step_fused(mesh, CFG, q_block=qb, w_chunk=256,
+                                    sub_q=qb, dynamic_params=True)
+    f_out, _ = fstep(shard_state(st, mesh), params)
+    assert np.isfinite(np.asarray(f_out.pos)[:300]).all()
+
     ref, _ = simulate(st, CFG, 32, 9 * 64, num_steps=4, stim_off_step=2,
                       fused=True, impl="v4", q_block=qb, w_window=256,
                       sub_q=qb, params=params)
