@@ -277,6 +277,12 @@ def test_sweep_dynamic_smoke(tmp_path):
         step = float(row[1])
         phases = sum(float(row[i]) for i in range(3, 10))
         assert step > 0 and abs(phases - step) / step < 0.05
+    # physics observables land in the sibling _obs.csv (one row per config)
+    obs = [ln.split(";") for ln in
+           (tmp_path / "dyn_obs.csv").read_text().splitlines()
+           if ln and not ln.startswith("#") and not ln.startswith("K;")]
+    assert len(obs) == 8
+    assert all(float(row[6]) >= 0 for row in obs)  # disp_mean_mid
 
 
 def test_roofline_host_side_accounting(capsys):

@@ -190,6 +190,10 @@ def run_dynamic(args, cfgs, scene0) -> int:
         return float(st.pos[0, 0])
 
     def run_row(cfg):
+        """Full stim-on -> stim-off protocol; returns (mid_state, end
+        state) so each row also yields PHYSICS observables — peak
+        contraction at stim-off and the relaxed end state — not just wall
+        time (the reference campaign records timing only)."""
         st = state0.replace(stim=jnp.where(
             stim_mask, jnp.float32(cfg.stim_strength), state0.stim))
         params = {f: jnp.asarray(getattr(cfg, f), jnp.float32)
@@ -200,17 +204,34 @@ def run_dynamic(args, cfgs, scene0) -> int:
                   params=params)
         # two half-protocol dispatches: [0, half) stim-on, then stim-off
         # fires before the first step of the second half (main.cpp:329-334)
-        st, _ = smt.simulate(st, base_cfg, scene0.cell_capacity,
-                             scene0.neighbor_capacity, num_steps=half,
-                             stim_off_step=-1, **kw)
-        st, _ = smt.simulate(st, base_cfg, scene0.cell_capacity,
-                             scene0.neighbor_capacity,
-                             num_steps=args.steps - half,
-                             stim_off_step=0, **kw)
-        return st
+        mid, _ = smt.simulate(st, base_cfg, scene0.cell_capacity,
+                              scene0.neighbor_capacity, num_steps=half,
+                              stim_off_step=-1, **kw)
+        end, _ = smt.simulate(mid, base_cfg, scene0.cell_capacity,
+                              scene0.neighbor_capacity,
+                              num_steps=args.steps - half,
+                              stim_off_step=0, **kw)
+        return mid, end
+
+    n_act = scene0.num_particles
+
+    def observables(cfg, mid, end):
+        """Host-side physics summary of one run (active rows only)."""
+        import numpy as np
+        o = {}
+        for tag, st in (("mid", mid), ("end", end)):
+            disp = np.linalg.norm(
+                np.asarray(st.pos)[:n_act] - np.asarray(st.orig_pos)[:n_act],
+                axis=1)
+            vm = np.asarray(st.vm)[:n_act]
+            o[f"disp_mean_{tag}"] = float(disp.mean())
+            o[f"disp_max_{tag}"] = float(disp.max())
+            o[f"vm_min_{tag}"] = float(vm.min())
+            o[f"vm_max_{tag}"] = float(vm.max())
+        return o
 
     t0 = _time.time()
-    fetch(run_row(cfgs[0]))  # the one compile
+    fetch(run_row(cfgs[0])[1])  # the one compile
     compile_s = _time.time() - t0
     # shared stage profile at the anchor config (constants move the split
     # by <1%; each row's compute_force absorbs its residual)
@@ -237,23 +258,45 @@ def run_dynamic(args, cfgs, scene0) -> int:
         else:
             f.write("# --- dynamic-params rows below (one compile for "
                     "the whole grid) ---\n")
+        obs_path = args.out.rsplit(".", 1)[0] + "_obs.csv"
+        obs_keys = ("disp_mean_mid", "disp_max_mid", "vm_min_mid",
+                    "vm_max_mid", "disp_mean_end", "disp_max_end",
+                    "vm_min_end", "vm_max_end")
+        obs_f = open(obs_path, "a")
+        if obs_f.tell() == 0:
+            obs_f.write("# Physics observables per campaign row (active "
+                        "particles; 'mid' = at stim-off, step "
+                        f"{half}; 'end' = after relaxation, step "
+                        f"{args.steps}). The scientific output the "
+                        "reference's timing-only campaign lacks.\n")
+            obs_f.write("K;Alpha;Beta;Mu;sigma;Stim strength;"
+                        + ";".join(obs_keys) + "\n")
         for i, cfg in enumerate(cfgs):
             avg_step = 1e9
             for _ in range(2):
                 t0 = _time.time()
-                fetch(run_row(cfg))
+                mid, end = run_row(cfg)
+                fetch(end)
                 avg_step = min(avg_step,
                                (_time.time() - t0) / args.steps)
             phases = dict(shared)
             phases["compute_force"] = max(avg_step - head, 0.0)
             f.write(report_row(cfg, args.steps, avg_step, phases) + "\n")
             f.flush()
+            o = observables(cfg, mid, end)
+            obs_f.write(";".join(
+                [f"{cfg.k_stiffness:g}", f"{cfg.sm_alpha:g}",
+                 f"{cfg.sm_beta:g}", f"{cfg.mu_viscosity:g}",
+                 f"{cfg.sigma:.6g}", f"{cfg.stim_strength:g}"]
+                + [f"{o[k]:.6g}" for k in obs_keys]) + "\n")
+            obs_f.flush()
             print(f"[{i + 1}/{len(cfgs)}] K={cfg.k_stiffness} "
                   f"a={cfg.sm_alpha} b={cfg.sm_beta} "
                   f"mu={cfg.mu_viscosity} sigma={cfg.sigma:.3f} "
-                  f"stim={cfg.stim_strength:g}: {avg_step*1e3:.2f} ms/step",
-                  flush=True)
-    print(f"campaign -> {args.out}")
+                  f"stim={cfg.stim_strength:g}: {avg_step*1e3:.2f} ms/step "
+                  f"disp_mid={o['disp_mean_mid']:.4f}", flush=True)
+    obs_f.close()
+    print(f"campaign -> {args.out}; observables -> {obs_path}")
     return 0
 
 
