@@ -135,6 +135,35 @@ def summarize(csv_path: str, out_md: str | None) -> int:
         f"{share.mean() * 100:.1f}% of the row step on average "
         f"(min {share.min() * 100:.1f}%, by construction ~100).",
     ]
+
+    obs_path = csv_path.rsplit(".", 1)[0] + "_obs.csv"
+    if os.path.exists(obs_path):
+        # physics-observable sensitivity (dynamic campaigns): how the peak
+        # contraction at stim-off moves with each swept constant
+        orows = []
+        with open(obs_path) as f:
+            for ln in f:
+                if ln.startswith("#") or ln.startswith("K;"):
+                    continue
+                orows.append([float(c) for c in ln.strip().split(";")])
+        if orows:
+            b = np.array(orows)
+            lines += [
+                "",
+                "Physics sensitivity (mean displacement at stim-off — peak "
+                "contraction — per parameter value; "
+                f"`{os.path.basename(obs_path)}`):",
+                "",
+                "| param | value -> mean disp_mid |",
+                "|---|---|",
+            ]
+            for name, col in (("K", 0), ("alpha", 1), ("beta", 2),
+                              ("mu", 3), ("sigma", 4), ("stim", 5)):
+                vals = sorted(set(b[:, col]))
+                cells = ", ".join(
+                    f"{v:g} -> {b[b[:, col] == v, 6].mean():.4f}"
+                    for v in vals)
+                lines.append(f"| {name} | {cells} |")
     text = "\n".join(lines) + "\n"
     if out_md:
         with open(out_md, "w") as f:
