@@ -260,6 +260,32 @@ def test_sweep_summarize_committed_campaign(tmp_path):
 
 
 @pytest.mark.slow
+def test_sweep_repeat_smoke(tmp_path):
+    """tools/sweep.py --repeat N (variance mode): the two reference anchor
+    configurations only, N RAW rows each (no best-of filtering) — the
+    artifact shape of results_171107/171114.csv, which are 108/132
+    repeats of one configuration each."""
+    import subprocess
+    import sys
+    from pathlib import Path
+    repo = Path(__file__).parent.parent
+    out_csv = tmp_path / "rep.csv"
+    r = subprocess.run(
+        [sys.executable, str(repo / "tools" / "sweep.py"), "--repeat", "3",
+         "--scene", "susane", "--steps", "4", "--out", str(out_csv)],
+        capture_output=True, text=True, cwd=repo, timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "CoV" in r.stdout
+    rows = [ln.split(";") for ln in out_csv.read_text().splitlines()
+            if ln and not ln.startswith("#") and not ln.startswith("Avg F")]
+    assert len(rows) == 6  # 2 anchors x 3 raw samples
+    stims = [float(row[15]) for row in rows]
+    assert stims == [500000.0] * 3 + [800000.0] * 3
+    # raw samples, not copies of one measurement
+    assert len({row[1] for row in rows[:3]}) > 1
+
+
+@pytest.mark.slow
 def test_sweep_dynamic_smoke(tmp_path):
     """tools/sweep.py --dynamic end-to-end at tiny size: one compiled
     program (XLA path on CPU) serves every grid row via traced params;

@@ -350,6 +350,15 @@ def main():
                          "rescale state.stim. Trades the fused step's "
                          "speed for zero per-config compiles — the whole "
                          "grid runs in minutes instead of hours")
+    ap.add_argument("--repeat", type=int, default=1, metavar="N",
+                    help="variance mode: run ONLY the two reference anchor "
+                         "configurations, N raw timed runs each, one row "
+                         "per run (no best-of filtering). This is the "
+                         "artifact shape the reference actually committed "
+                         "— results_171107/171114.csv are 108 + 132 "
+                         "repeats of one configuration each (run-to-run "
+                         "CoV 1.4%/1.5%) — so the TPU framework's timing "
+                         "stability is directly comparable")
     ap.add_argument("--summarize", action="store_true",
                     help="analyze an existing campaign CSV (no TPU work)")
     ap.add_argument("--summary-out", default=None, metavar="PATH.md")
@@ -367,8 +376,11 @@ def main():
                                                     report_row)
 
     base = SimConfig()
-    cfgs = reference_anchor_configs(base) + grid_configs(
-        base, full=args.grid == "full")
+    if args.repeat > 1:
+        cfgs = reference_anchor_configs(base)  # the committed campaign
+    else:
+        cfgs = reference_anchor_configs(base) + grid_configs(
+            base, full=args.grid == "full")
     if args.quick:
         cfgs = cfgs[:8]
     scene0 = smt.build_scene(args.scene, cfgs[0], fused_impl=args.impl)
@@ -420,8 +432,21 @@ def main():
             # is a static argument — dropping it would recompile INSIDE the
             # timing), re-fed with the fresh scene state so the row covers
             # the full stim-on -> stim-off protocol like the reference runs
-            avg_step = 1e9
-            for _ in range(2):
+            def emit(avg_step):
+                phases = dict(shared)
+                if fused and shared:
+                    head = (shared["find_neighbors"]
+                            + shared["corrected_velocity"]
+                            + shared["density_pressure"])
+                    phases["compute_force"] = max(avg_step - head, 0.0)
+                    phases.pop("total_step", None)
+                    phases.pop("raw_pipeline_s", None)
+                f.write(report_row(cfg, args.steps, avg_step, phases)
+                        + "\n")
+                f.flush()
+
+            samples = []
+            for rep in range(max(args.repeat, 2)):
                 t0 = time.time()
                 out = smt.simulate(state, cfg, sc.cell_capacity,
                                    sc.neighbor_capacity,
@@ -432,18 +457,25 @@ def main():
                                    sub_q=(sc.sub_block or None),
                                    impl=sc.fused_impl, pack_cap=sc.pack_cap)
                 fetch(out[0])
-                avg_step = min(avg_step, (time.time() - t0) / args.steps)
-            phases = dict(shared)
-            if fused and shared:
-                head = (shared["find_neighbors"]
-                        + shared["corrected_velocity"]
-                        + shared["density_pressure"])
-                phases["compute_force"] = max(avg_step - head, 0.0)
-                phases.pop("total_step", None)
-                phases.pop("raw_pipeline_s", None)
-            row = report_row(cfg, args.steps, avg_step, phases)
-            f.write(row + "\n")
-            f.flush()
+                samples.append((time.time() - t0) / args.steps)
+                if args.repeat > 1:
+                    # variance mode: one RAW row per run, like the
+                    # reference's committed repeat files
+                    emit(samples[-1])
+            if args.repeat > 1:
+                m = sum(samples) / len(samples)
+                sd = (sum((s - m) ** 2 for s in samples)
+                      / max(len(samples) - 1, 1)) ** 0.5
+                print(f"[{i + 1}/{len(cfgs)}] anchor "
+                      f"sigma={cfg.sigma:.3f} stim={cfg.stim_strength:g}: "
+                      f"n={len(samples)} mean={m*1e3:.3f} ms/step "
+                      f"sd={sd*1e3:.3f} CoV={sd/m*100:.2f}% "
+                      f"min={min(samples)*1e3:.3f} "
+                      f"max={max(samples)*1e3:.3f} "
+                      f"(reference files: CoV 1.4% / 1.5%)", flush=True)
+                continue
+            avg_step = min(samples)
+            emit(avg_step)
             print(f"[{i + 1}/{len(cfgs)}] K={cfg.k_stiffness} "
                   f"a={cfg.sm_alpha} b={cfg.sm_beta} mu={cfg.mu_viscosity} "
                   f"sigma={cfg.sigma:.3f} stim={cfg.stim_strength:g}: "
