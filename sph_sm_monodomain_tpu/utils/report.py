@@ -96,7 +96,17 @@ def profile_phases(state: ParticleState, cfg: SimConfig, cell_capacity: int,
     return out
 
 
-def profile_phases_fused(scene, length: int = 250) -> dict:
+def _iter_cost(body: Callable, init, l0: int = 2, l1: int = 8) -> float:
+    """Per-iteration device cost of `body` from the WALL DIFFERENCE of two
+    scan lengths of the same program (the fixed per-dispatch floor and host
+    overhead cancel in the difference — the same trick the roofline
+    microbench uses, DEVELOPMENT.md)."""
+    w0 = _scan_time(body, init, length=l0, reps=2) * l0
+    w1 = _scan_time(body, init, length=l1, reps=2) * l1
+    return max((w1 - w0) / (l1 - l0), 1e-7)
+
+
+def profile_phases_fused(scene, length: int | None = 250) -> dict:
     """Scan-amortized per-phase seconds for the PRODUCTION fused path.
 
     The v4 step has only four separable stages (bookkeeping, shape
@@ -120,6 +130,14 @@ def profile_phases_fused(scene, length: int = 250) -> dict:
     the tunnel regardless of the program (DEVELOPMENT.md): at 250
     iterations the fixed floor adds only ~0.13 ms to each stage and
     cancels in the stage DIFFERENCES.
+
+    `length=None` picks the length from the scene's own measured cost: long
+    enough that the cheapest pipeline (bookkeeping alone) accumulates
+    ~50 ms of device time per scan — so the stage deltas dominate dispatch
+    jitter instead of drowning in it — while capping the full-step
+    pipeline's scan at a bounded wall. Use this for CPU smoke runs instead
+    of a hand-picked tiny length (a 2-iteration profile is wall-clock-noise
+    bound under suite contention).
     """
     import jax.numpy as jnp
     from ..models.monodomain import step_fused
@@ -179,6 +197,16 @@ def profile_phases_fused(scene, length: int = 250) -> dict:
         out, _ = step_fused(s, cfg, qb, wc, sub_q, impl=impl,
                             sm_inv=sm_inv, pack_cap=pack_cap)
         return out
+
+    if length is None:
+        # auto: size from the scene's own measured per-iteration cost.
+        # Target ~50 ms of accumulated device time for the CHEAPEST
+        # pipeline (bookkeeping), bound the most expensive one (full step,
+        # ~2.5x the sum of all four) to a few seconds per scan rep.
+        t1_est = _iter_cost(stage1, state)
+        t4_est = _iter_cost(stage4, state)
+        length = min(250.0, max(4.0, 0.05 / t1_est), 3.0 / t4_est)
+        length = max(4, int(length))
 
     t1 = _scan_time(stage1, state, length=length)
     t2 = _scan_time(stage2, state, length=length)

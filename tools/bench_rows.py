@@ -79,9 +79,11 @@ def main():
     ap.add_argument("--scenes", default=None,
                     help="comma list of name[:replicate[:steps]] overriding "
                          "the default row set")
-    ap.add_argument("--profile-length", type=int, default=None,
-                    help="scan length per profiled stage (default: the "
-                         "profiler's own 250; use 2 for CPU smoke runs)")
+    ap.add_argument("--profile-length", default=None,
+                    help="scan length per profiled stage: an integer, or "
+                         "'auto' to size it from the scene's measured cost "
+                         "(use auto for CPU smoke runs; default: the "
+                         "profiler's own 250)")
     args = ap.parse_args()
 
     import sph_sm_monodomain_tpu as smt
@@ -110,8 +112,11 @@ def main():
         sc = smt.build_scene(name, replicate=rep)
         n = sc.num_particles
         log(f"{_row_name(name, rep)}: n={n}")
-        pk = ({"length": args.profile_length} if args.profile_length
-              else {})
+        pk = {}
+        if args.profile_length == "auto":
+            pk = {"length": None}
+        elif args.profile_length:
+            pk = {"length": int(args.profile_length)}
         if n <= 200_000:
             # full protocol (stim off at half) + scan-amortized profile
             _state, aux, _ = smt.run_protocol(sc, num_steps=steps,

@@ -329,6 +329,13 @@ def run_dynamic(args, cfgs, scene0) -> int:
     return 0
 
 
+def _at_least_one(s: str) -> int:
+    v = int(s)
+    if v < 1:
+        raise argparse.ArgumentTypeError(f"must be >= 1 (got {v})")
+    return v
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--scene", default="biceps_18475",
@@ -350,7 +357,7 @@ def main():
                          "rescale state.stim. Trades the fused step's "
                          "speed for zero per-config compiles — the whole "
                          "grid runs in minutes instead of hours")
-    ap.add_argument("--repeat", type=int, default=1, metavar="N",
+    ap.add_argument("--repeat", type=_at_least_one, default=1, metavar="N",
                     help="variance mode: run ONLY the two reference anchor "
                          "configurations, N raw timed runs each, one row "
                          "per run (no best-of filtering). This is the "
@@ -366,6 +373,12 @@ def main():
 
     if args.summarize:
         return summarize(args.out, args.summary_out)
+    if args.dynamic and args.repeat > 1:
+        # run_dynamic emits its own best-of rows and never reads --repeat;
+        # silently dropping variance mode would produce the wrong artifact
+        raise SystemExit("--repeat is not supported with --dynamic (the "
+                         "one-compile campaign emits best-of rows); run "
+                         "variance mode without --dynamic")
 
     import jax
     import numpy as np
