@@ -50,6 +50,22 @@ from .pallas_sweeps import (_COORD_SENTINEL, _RUN_OFFSETS,
 # dynamic buffer-slot indexing only adds overhead (measured, DEVELOPMENT.md)
 DB_FEATS_MIN_BYTES = 32 * 2 ** 20
 
+# chunks per async copy on the double-buffered HBM-feats path: each DMA
+# fills G compute chunks' worth of scratch, so the per-chunk ISSUE latency
+# (the dominant HBM-path cost at 1M+ particles — see the roofline section
+# of DEVELOPMENT.md; the raw bytes would be <1 ms at peak bandwidth)
+# amortizes G-ways while the (sub_q, w_chunk) accumulator tiles — whose
+# widening was measured as a 2.55 -> 3.07 ms ALU loss — stay untouched.
+# Extra bytes DMA'd past a window's end are latency-free on this
+# latency-bound path and land on lanes the stencil mask / inert-feature
+# contract already zeroes.
+# Measured same-session at x56 (1.03M particles, 20-step scans, 2026-08-19):
+# G=1 231.3 / G=2 192.1 / G=4 184.3 / G=8 187.3 ms/step — G=4 wins
+# (-20.3% vs G=1); at G=8 the over-computed masked lanes past each
+# window's end (avg window ~6 chunks -> cdiv rounds to 8 either way, but
+# G=8 over-copies short windows too) eat the remaining issue savings.
+DB_GROUP_CHUNKS = 4
+
 
 # --- dynamic physics parameters (config.PARAM_FIELDS) in-kernel -------------
 # Slot layout of the optional (1, 16) f32 SMEM operand carrying the physics
@@ -200,9 +216,6 @@ def _gather_loop4(blk_lo_ref, blk_hi_ref, feats_ref, scratch, w_chunk,
     reference's 27-cell truncation (cpp:562-563) is NOT implied by the
     weight — B keeps the full test for fidelity."""
     gm = cfg.grid_size[hash_axis_perm(cfg)[1]]
-    # last lane-aligned column of the zero-padded tail: a always-valid DMA
-    # target for the one-past-the-end prefetch (inert lanes, mass/vol = 0)
-    pad_off = feats_ref.shape[1] - w_chunk
     for r in range(3):
         qd = qcyz + jnp.float32((r - 1) * gm)
         w_lo = blk_lo_ref[base * 4 + r]
@@ -217,39 +230,57 @@ def _gather_loop4(blk_lo_ref, blk_hi_ref, feats_ref, scratch, w_chunk,
             return pair_fn(cand, stencil, carry)
 
         if hbm_feats and db_feats:
-            # double-buffered DMA: chunk c+1 streams into the other buffer
-            # while chunk c computes. Engaged only for very large candidate
-            # arrays (>= DB_FEATS_MIN_BYTES): at 1.03M particles the 66 MB
-            # array spans enough DRAM rows that the blocking copy costs
-            # ~0.4 us latency per chunk (272 -> 240 ms/step with this);
-            # at 129k the latency is already hidden and the dynamic
-            # buffer-slot indexing measured 33% SLOWER (23.7 -> 31.4).
+            # double-buffered GROUP DMA: one async copy fills G compute
+            # chunks of scratch (group g streams into the other buffer
+            # while group g-1's G chunks compute), so the per-copy issue
+            # latency amortizes G-ways with zero extra accumulator ALU.
+            # Engaged only for very large candidate arrays
+            # (>= DB_FEATS_MIN_BYTES): at 1.03M particles the 66 MB array
+            # spans enough DRAM rows that a blocking per-chunk copy costs
+            # ~0.4 us latency each (272 -> 240 ms/step from plain
+            # double-buffering alone); at 129k the latency is already
+            # hidden and the dynamic buffer-slot indexing measured 33%
+            # SLOWER (23.7 -> 31.4). G = group width / w_chunk comes from
+            # the scratch shape (_call_kernel3 sizes it; DB_GROUP_CHUNKS).
             buf, sems = scratch
+            gw = buf.shape[2]                          # G * w_chunk
+            ng = gw // w_chunk
+            # clamp target so a one-past-the-end prefetch of FULL group
+            # width stays inside the zero-padded tail
+            pad_clamp = ((feats_ref.shape[1] - gw) // 128) * 128
 
-            def copy(c, slot, start=start):
+            def copy(g, slot, start=start):
                 # floor-align the pad clamp so the 128-multiple promise
                 # holds for ANY capacity; an under-aligned clamp may read a
                 # few real rows into the dead prefetch, which is harmless
                 off = pl.multiple_of(
-                    jnp.minimum(start + c * w_chunk,
-                                (pad_off // 128) * 128), 128)
+                    jnp.minimum(start + g * gw, pad_clamp), 128)
                 return pltpu.make_async_copy(
-                    feats_ref.at[:, pl.ds(off, w_chunk)],
+                    feats_ref.at[:, pl.ds(off, gw)],
                     buf.at[slot], sems.at[slot])
 
             copy(0, 0).start()
+            groups = pl.cdiv(w_hi - start, gw)
 
-            def chunk_db(c, carry):
-                cur = jax.lax.rem(c, 2)
-                copy(c, cur).wait()
-                copy(c + 1, 1 - cur).start()
-                return mask_pairs(buf[cur], carry)
+            def group_db(g, carry):
+                cur = jax.lax.rem(g, 2)
+                copy(g, cur).wait()
+                copy(g + 1, 1 - cur).start()
+                # all G sub-chunks compute (even past w_hi): over-read
+                # lanes are rows outside this run's window — the cyz test
+                # re-derives the bounds, so they never pass — or the inert
+                # zero-padded tail; branching on the tail count was the
+                # measured accumulator-eviction loss (DEVELOPMENT.md)
+                for k in range(ng):
+                    carry = mask_pairs(
+                        buf[cur][:, k * w_chunk:(k + 1) * w_chunk], carry)
+                return carry
 
-            accs = jax.lax.fori_loop(0, trips, chunk_db, accs)
+            accs = jax.lax.fori_loop(0, groups, group_db, accs)
             # exactly one prefetch is still in flight (the prologue's for
             # an empty window): retire it so the semaphores stay balanced
             # for the next window
-            tail = jnp.maximum(trips, 0)
+            tail = jnp.maximum(groups, 0)
             copy(tail, jax.lax.rem(tail, 2)).wait()
         elif hbm_feats:
             buf, sem = scratch
@@ -587,9 +618,15 @@ def _call_kernel3(kernel, feats_t, qmat, blk_lo, blk_hi, q_block, w_chunk,
         raise ValueError(f"query rows {n} not divisible by q_block="
                          f"{q_block}; pad the state capacity")
     b = n // q_block
-    feats_t = jnp.pad(feats_t, ((0, 0), (0, w_chunk)))
-    hbm_feats = feats_t.size * 4 > VMEM_FEATS_LIMIT_BYTES
-    db_feats = feats_t.size * 4 > DB_FEATS_MIN_BYTES
+    padded = feats_t.size + 16 * w_chunk
+    hbm_feats = padded * 4 > VMEM_FEATS_LIMIT_BYTES
+    db_feats = padded * 4 > DB_FEATS_MIN_BYTES
+    # group-DMA width on the double-buffered HBM path (DB_GROUP_CHUNKS):
+    # the zero-padded tail must cover one FULL group so the one-past-the-
+    # end prefetch always lands on inert lanes
+    group = DB_GROUP_CHUNKS if (stencil == "xyz3" and hbm_feats
+                                and db_feats) else 1
+    feats_t = jnp.pad(feats_t, ((0, 0), (0, w_chunk * group)))
     in_specs = [
         pl.BlockSpec((q_block, 16), lambda i, *_: (i, 0),
                      memory_space=pltpu.VMEM),
@@ -609,11 +646,12 @@ def _call_kernel3(kernel, feats_t, qmat, blk_lo, blk_hi, q_block, w_chunk,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((q_block, 16), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
-        # very large xyz3 candidate arrays double-buffer the DMA (two
-        # buffers + two sems, _gather_loop4); otherwise one blocking buffer
+        # very large xyz3 candidate arrays double-buffer a GROUP DMA (two
+        # group-wide buffers + two sems, _gather_loop4); otherwise one
+        # blocking chunk buffer
         scratch_shapes=(
             [] if not hbm_feats
-            else [pltpu.VMEM((2, 16, w_chunk), jnp.float32),
+            else [pltpu.VMEM((2, 16, w_chunk * group), jnp.float32),
                   pltpu.SemaphoreType.DMA((2,))]
             if (stencil == "xyz3" and db_feats)
             else [pltpu.VMEM((16, w_chunk), jnp.float32),
