@@ -388,16 +388,17 @@ def _step_with_protocol(state: ParticleState, i: jax.Array, cfg: SimConfig,
                 params=params)
 
 
-@partial(jax.jit, static_argnames=("cfg", "cell_capacity",
-                                   "neighbor_capacity", "num_steps",
-                                   "stim_off_step", "record_every", "impl",
-                                   "fused", "q_block", "w_window", "sub_q",
-                                   "pack_cap"))
-def simulate(state: ParticleState, cfg: SimConfig, cell_capacity: int,
-             neighbor_capacity: int, num_steps: int, stim_off_step: int = -1,
-             record_every: int = 0, fused: bool = False, q_block: int = 128,
-             w_window: int = 512, sub_q: int | None = None,
-             impl: str = "v3", pack_cap: int = 0, params=None):
+_SIM_STATIC = ("cfg", "cell_capacity", "neighbor_capacity", "num_steps",
+               "stim_off_step", "record_every", "impl", "fused", "q_block",
+               "w_window", "sub_q", "pack_cap", "unroll")
+
+
+def _simulate(state: ParticleState, cfg: SimConfig, cell_capacity: int,
+              neighbor_capacity: int, num_steps: int, stim_off_step: int = -1,
+              record_every: int = 0, fused: bool = False, q_block: int = 128,
+              w_window: int = 512, sub_q: int | None = None,
+              impl: str = "v3", pack_cap: int = 0, params=None,
+              unroll: int = 1):
     """Run `num_steps` coupled steps under lax.scan.
 
     `stim_off_step` mirrors the reference app protocol: turnOffStim fires
@@ -418,6 +419,13 @@ def simulate(state: ParticleState, cfg: SimConfig, cell_capacity: int,
     `record_every` steps), so trajectory memory scales with
     num_steps / record_every, not num_steps; leftover steps past the last
     full block run unrecorded.
+
+    `unroll`: lax.scan unroll factor for the step loop. XLA's while-loop
+    buffer assignment cannot share the fused step's big temps across the
+    backedge as well as straight-line code (measured: the scan-wrapped
+    chunk claims ~2.9x the single step's HBM per particle; unrolling
+    recovers most of it), so large-scene drivers pass unroll=4 to push the
+    single-chip particle ceiling up at the cost of a longer compile.
     """
 
     # rest-shape SM moments are run constants: hoisted out of the scan
@@ -440,26 +448,39 @@ def simulate(state: ParticleState, cfg: SimConfig, cell_capacity: int,
                                                         record_every)
 
         def block_body(c, ii):
-            c, _ = jax.lax.scan(one_step, c, ii)
+            c, _ = jax.lax.scan(one_step, c, ii, unroll=unroll)
             return c, (c[0].pos, c[0].vm)
 
         carry, (pos_t, vm_t) = jax.lax.scan(block_body, carry, idx)
         if rest:
             carry, _ = jax.lax.scan(
                 one_step, carry,
-                jnp.arange(blocks * record_every, num_steps))
+                jnp.arange(blocks * record_every, num_steps),
+                unroll=unroll)
         state, max_overflow = carry
         return state, StepAux(overflow=max_overflow), {"pos": pos_t,
                                                        "vm": vm_t}
-    carry, _ = jax.lax.scan(one_step, carry, jnp.arange(num_steps))
+    carry, _ = jax.lax.scan(one_step, carry, jnp.arange(num_steps),
+                            unroll=unroll)
     state, max_overflow = carry
     return state, StepAux(overflow=max_overflow)
+
+
+simulate = partial(jax.jit, static_argnames=_SIM_STATIC)(_simulate)
+
+# `simulate` with the STATE DONATED: XLA reuses the input state's buffers
+# for the outputs and loop carries, cutting the chunk program's HBM claim
+# (measured at 1.03M particles: 3925 -> 2912 B/particle). The input state
+# is dead after the call — callers must not reuse it (run_protocol copies
+# its first chunk's input so the caller's scene stays alive).
+simulate_donated = partial(jax.jit, static_argnames=_SIM_STATIC,
+                           donate_argnums=(0,))(_simulate)
 
 
 def run_protocol(scene, num_steps: int = 500, stim_off_step: int | None = None,
                  chunk: int = 100, record_every: int = 0, callback=None,
                  fused: bool | None = None, impl: str | None = None,
-                 params=None):
+                 params=None, unroll: int | None = None):
     """Host-side chunked driver for long runs.
 
     Replays the reference app's experiment protocol (main.cpp:73, 329-334):
@@ -473,6 +494,19 @@ def run_protocol(scene, num_steps: int = 500, stim_off_step: int | None = None,
     commands applied between chunks — {"stim_off": True} fires turnOffStim
     immediately (key 'q'), {"stop": True} ends the run early (ESC);
     pausing (SPACE) is the callback simply blocking before it returns.
+
+    `unroll`: scan unroll factor per chunk (None = auto: 4 on very large
+    fused scenes, where the while-loop buffer overhead otherwise caps the
+    single-chip particle count — see `simulate`; 1 elsewhere, because the
+    unrolled body compiles several times longer).
+
+    Memory: on the fused v1-v4 paths (whose chunked candidate windows
+    cannot overflow, so a chunk is never redone) the chunk dispatches
+    donate their input state, letting XLA reuse its buffers across the
+    call. The caller's `scene.state` is copied once up front and stays
+    valid; a `callback` must not retain the state object past its return
+    (the next chunk donates those buffers — materialize with np.asarray
+    inside the callback, as cli.py's render/checkpoint hooks do).
 
     Returns (state, StepAux, traj|None).
     """
@@ -500,6 +534,19 @@ def run_protocol(scene, num_steps: int = 500, stim_off_step: int | None = None,
         # keep the global frame spacing exact across chunk boundaries:
         # each chunk must hold a whole number of record blocks
         chunk = max(record_every, chunk - chunk % record_every)
+    run_impl = impl or getattr(scene, "fused_impl", "v3")
+    # the v1-v4 fused paths never redo a chunk (no candidate capacity to
+    # overflow), so their dispatches can safely donate the input state;
+    # copy the caller's state once so scene.state survives the donation
+    donate = (fused and run_impl in ("v1", "v2", "v3", "v4")
+              and jax.default_backend() == "tpu")
+    if donate:
+        state = jax.tree_util.tree_map(jnp.copy, state)
+    if unroll is None:
+        # auto: unroll only where the while-loop buffer overhead would cap
+        # the particle count (the unrolled body compiles ~5x longer)
+        unroll = 4 if donate and state.capacity > 4_200_000 else 1
+    sim_fn = simulate_donated if donate else simulate
     trajs = []
     max_overflow = 0
     regrow = 0
@@ -508,16 +555,15 @@ def run_protocol(scene, num_steps: int = 500, stim_off_step: int | None = None,
         n = min(chunk, num_steps - done)
         # map the global stim-off index into this chunk (or disable)
         off = stim_off_step - done if done <= stim_off_step < done + n else -1
-        run_impl = impl or getattr(scene, "fused_impl", "v3")
-        out = simulate(state, cfg, scene.cell_capacity,
-                       scene.neighbor_capacity, num_steps=n,
-                       stim_off_step=off, record_every=record_every,
-                       fused=fused, q_block=scene.q_block,
-                       w_window=scene.block_window,
-                       sub_q=(scene.sub_block or None),
-                       impl=run_impl,
-                       pack_cap=getattr(scene, "pack_cap", 0),
-                       params=params)
+        out = sim_fn(state, cfg, scene.cell_capacity,
+                     scene.neighbor_capacity, num_steps=n,
+                     stim_off_step=off, record_every=record_every,
+                     fused=fused, q_block=scene.q_block,
+                     w_window=scene.block_window,
+                     sub_q=(scene.sub_block or None),
+                     impl=run_impl,
+                     pack_cap=getattr(scene, "pack_cap", 0),
+                     params=params, unroll=unroll)
         if record_every:
             new_state, aux, traj = out
         else:
