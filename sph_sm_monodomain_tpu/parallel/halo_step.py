@@ -41,22 +41,20 @@ then re-shard — the same elastic-recovery pattern as run_protocol):
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding
 
-from ..config import SimConfig
+from ..config import SimConfig, resolve_params
 from ..state import ParticleState
-from ..ops.fused_step import (apply_out_fused, feats_a_from_fs,
+from ..ops.fused_step import (apply_out_fused, build_dynp, feats_a_from_fs,
                               feats_from_out_a, sweep_a3, sweep_b3)
 from ..ops.pallas_sweeps import hash_axis_perm
 from ..ops.shape_matching import (corrected_velocity, sm_invariants,
                                   sm_rebind_rows)
 from ..ops.electrophysiology import turn_off_stim
-from .sharded_step import AXIS, state_pspec
+from .sharded_step import AXIS, _wrap_sharded, state_pspec
 
 _SENTINEL = -1048576.0  # matches pallas_sweeps._COORD_SENTINEL
 
@@ -166,7 +164,12 @@ def _shift(x, axis, direction, n_devices):
 
 def _halo_body(state: ParticleState, cfg: SimConfig, q_block: int,
                w_chunk: int, sub_q: int, mig_cap: int, halo_cap: int,
-               n_devices: int, sm_inv, axis: str):
+               n_devices: int, sm_inv, axis: str, params=None):
+    # dynamic physics params (config.PARAM_FIELDS): same contract as
+    # _step_fused_v4 — traced overrides ride into the sweep kernels as one
+    # (1, 16) SMEM operand; slab geometry/capacities stay static cfg
+    cfg_eff = resolve_params(cfg, params)
+    dynp = build_dynp(cfg_eff) if params else None
     s_cap = state.pos.shape[0]
     fa, ma, _sa = hash_axis_perm(cfg)
     gf, gm = cfg.grid_size[fa], cfg.grid_size[ma]
@@ -269,7 +272,7 @@ def _halo_body(state: ParticleState, cfg: SimConfig, q_block: int,
     # ---- 3. shape matching (global psums) ---------------------------------
     # the hoisted invariants' per-row members must follow the migrated rows
     sm_inv = sm_rebind_rows(sm_inv, state, cfg)
-    state = corrected_velocity(state, cfg, axis_name=axis, sm_inv=sm_inv)
+    state = corrected_velocity(state, cfg_eff, axis_name=axis, sm_inv=sm_inv)
 
     # ---- 4. sweep A with one boundary-plane halo exchange -----------------
     act_end2 = jnp.searchsorted(ids2_s, num_cells).astype(jnp.int32)
@@ -336,13 +339,18 @@ def _halo_body(state: ParticleState, cfg: SimConfig, q_block: int,
     # halo]: clamp the core's inactive sentinel ids (num_cells, which would
     # sort AFTER the right halo's >= my_hi ids) down to my_hi - 1. Their
     # feature hash stays the sentinel, so the stencil test still ignores
-    # them — the clamp only affects window bounds.
-    # (known perf headroom: this clamp makes pure-padding sub-blocks sweep
-    # real last-plane windows every step; probing _window_bounds with the
-    # UNCLAMPED ids would empty them, but merged_ids must stay sorted and
-    # the halo buffers interleave sentinel rows — revisit together)
+    # them — the clamp only affects the CANDIDATE-side window bounds.
     win_ids = jnp.where(ids2_s < num_cells, ids2_s, my_hi - 1)
     merged_ids = jnp.concatenate([l_ids, win_ids, r_ids])
+    # QUERY-side probe ids are a separate array, so padding rows need no
+    # clamp: pure-padding sub-blocks probe far past every real plane and
+    # get EMPTY windows (clipped probes land at num_cells, whose first
+    # merged occurrence is past all real and clamped-padding candidates)
+    # instead of sweeping real last-plane windows every step — the clamp
+    # bloat VERDICT r3 flagged. Only the one sub-block straddling the
+    # active/padding boundary keeps a window reaching the array's end.
+    probe_ids = jnp.where(ids2_s < num_cells, ids2_s,
+                          jnp.int32(num_cells + 2 * gplane))
     # halo feature matrices already carry sentinel hashes on every row the
     # receiver must ignore (inactive senders' rows; edge devices get a
     # whole-sentinel block), so no fix-up pass is needed here
@@ -351,14 +359,14 @@ def _halo_body(state: ParticleState, cfg: SimConfig, q_block: int,
     overflow = overflow + _plane_overflow(ids2_s, act_end2, my_lo, my_hi,
                                           gplane, halo_cap, d, n_devices)
 
-    blk_lo, blk_hi = _window_bounds3(win_ids, merged_ids, cfg, sub_q)
+    blk_lo, blk_hi = _window_bounds3(probe_ids, merged_ids, cfg, sub_q)
 
     # sweep-A inert-lane contract: single shared implementation (dead rows
     # here = inactive core padding, invalid exchanged halo rows, edge
     # devices' all-sentinel blocks — all carry the cx sentinel)
     feats_a = feats_a_from_fs(merged_fs)
     out_a = sweep_a3(fields, feats_a, blk_lo, blk_hi, q_block, w_chunk,
-                     cfg, sub_q=sub_q, stencil="xyz3")
+                     cfg, sub_q=sub_q, stencil="xyz3", dynp=dynp)
 
     # ---- 5. sweep B with the second halo exchange -------------------------
     la, li, ra, ri = exchange_halo(out_a, ids2_s)
@@ -367,7 +375,7 @@ def _halo_body(state: ParticleState, cfg: SimConfig, q_block: int,
                         merged_a[:, 10] / merged_a[:, 8], 0.0)
     feats_b = feats_from_out_a(merged_a, vol_now)
     out_b = sweep_b3(out_a, feats_b, blk_lo, blk_hi, q_block, w_chunk,
-                     cfg, sub_q=sub_q, stencil="xyz3")
+                     cfg, sub_q=sub_q, stencil="xyz3", dynp=dynp)
 
     # ---- 6. final state (device-sorted layout, no unsort) -----------------
     state = apply_out_fused(state, out_a, out_b)
@@ -482,41 +490,40 @@ def unshard_state_halo(state: ParticleState, num_particles: int,
 
 def make_halo_step(mesh: Mesh, cfg: SimConfig, mig_cap: int, halo_cap: int,
                    q_block: int = 128, w_chunk: int = 128, sub_q: int = 128,
-                   axis: str = AXIS):
+                   axis: str = AXIS, dynamic_params: bool = False):
     """Build the jitted halo-exchange step: state -> (state, overflow).
 
     The per-device capacity (state.capacity / n_devices) must be a
     multiple of q_block. State must come from shard_state_halo.
+    With dynamic_params=True the returned fn is (state, params) ->
+    (state, i32): params is a dict of replicated traced physics-constant
+    overrides (config.PARAM_FIELDS), riding into the sweep kernels as the
+    same SMEM operand the single-chip and gather-sharded v4 paths use —
+    one compiled halo program serves every parameter value.
     """
     n_devices = mesh.devices.size
-    spec = state_pspec(axis)
 
-    @jax.jit
-    @partial(jax.shard_map, mesh=mesh, in_specs=(spec,),
-             out_specs=(spec, P()), check_vma=False)
-    def halo_step(state):
+    def impl(state, params=None):
         sm_inv = sm_invariants(state, cfg, axis_name=axis)
         return _halo_body(state, cfg, q_block, w_chunk, sub_q, mig_cap,
-                          halo_cap, n_devices, sm_inv, axis)
+                          halo_cap, n_devices, sm_inv, axis, params=params)
 
-    return halo_step
+    return _wrap_sharded(impl, mesh, axis, dynamic_params, check_vma=False)
 
 
 def make_halo_simulate(mesh: Mesh, cfg: SimConfig, mig_cap: int,
                        halo_cap: int, num_steps: int,
                        stim_off_step: int = -1, q_block: int = 128,
                        w_chunk: int = 128, sub_q: int = 128,
-                       axis: str = AXIS):
+                       axis: str = AXIS, dynamic_params: bool = False):
     """N halo-exchange steps under lax.scan with the reference stim-off
     protocol; SM rest-shape moments hoisted out of the scan (they are
-    migration-invariant: psums are permutation-independent)."""
+    migration-invariant: psums are permutation-independent). With
+    dynamic_params=True the returned fn is (state, params) -> (state, i32)
+    — see make_halo_step."""
     n_devices = mesh.devices.size
-    spec = state_pspec(axis)
 
-    @jax.jit
-    @partial(jax.shard_map, mesh=mesh, in_specs=(spec,),
-             out_specs=(spec, P()), check_vma=False)
-    def halo_simulate(state):
+    def impl(state, params=None):
         sm_inv = sm_invariants(state, cfg, axis_name=axis)
 
         def body(carry, i):
@@ -526,7 +533,8 @@ def make_halo_simulate(mesh: Mesh, cfg: SimConfig, mig_cap: int,
                                   lambda s: turn_off_stim(s, cfg),
                                   lambda s: s, st)
             st, o = _halo_body(st, cfg, q_block, w_chunk, sub_q, mig_cap,
-                               halo_cap, n_devices, sm_inv, axis)
+                               halo_cap, n_devices, sm_inv, axis,
+                               params=params)
             return (st, jnp.maximum(ovf, o)), None
 
         (state, overflow), _ = jax.lax.scan(
@@ -534,4 +542,4 @@ def make_halo_simulate(mesh: Mesh, cfg: SimConfig, mig_cap: int,
             jnp.arange(num_steps))
         return state, overflow
 
-    return halo_simulate
+    return _wrap_sharded(impl, mesh, axis, dynamic_params, check_vma=False)

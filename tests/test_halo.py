@@ -267,3 +267,40 @@ def test_unshard_state_halo_roundtrip(rng, mesh):
         H.unshard_state_halo(halo, n + 1, CFG)
     lossy = H.unshard_state_halo(halo, n + 1, CFG, allow_loss=True)
     assert int(np.asarray(lossy.active).sum()) == n
+
+@pytest.mark.slow
+def test_halo_dynamic_params_match_baked(rng, mesh):
+    """Dynamic physics params on the halo path (make_halo_step
+    dynamic_params=True): traced PARAM_FIELDS overrides riding into the
+    sweep kernels as the SMEM operand must reproduce the same trajectory
+    as a halo step whose config bakes those values as immediates — the
+    parity the single-chip and gather-sharded v4 paths already pin."""
+    n = 700
+    pts = rng.uniform(0.06, 1.44, size=(n, 3)).astype(np.float32)
+    overrides = {"k_stiffness": 0.8, "mu_viscosity": 150.0,
+                 "sm_alpha": 0.5, "fh_c1": 0.2}
+    cfg_baked = CFG.replace(**overrides)
+
+    st = init_fluid(pts, CFG)
+    st = turn_on_stim_mesh(st, pts, CFG)
+
+    halo_d, s_cap, mig_cap, halo_cap = H.shard_state_halo(st, mesh, CFG)
+    halo_b = halo_d
+    dyn_fn = H.make_halo_step(mesh, CFG, mig_cap, halo_cap, q_block=128,
+                              w_chunk=128, sub_q=64, dynamic_params=True)
+    baked_fn = H.make_halo_step(mesh, cfg_baked, mig_cap, halo_cap,
+                                q_block=128, w_chunk=128, sub_q=64)
+    import jax.numpy as jnp
+    params = {k: jnp.float32(v) for k, v in overrides.items()}
+    for _ in range(3):
+        halo_d, ovf_d = dyn_fn(halo_d, params)
+        halo_b, ovf_b = baked_fn(halo_b)
+    assert int(ovf_d) == int(ovf_b) == 0
+    fields = ("pos", "vel", "vm", "dens", "iion", "w")
+    d, n_d = _sorted_by_identity(halo_d, fields)
+    b, n_b = _sorted_by_identity(halo_b, fields)
+    assert n_d == n_b == n
+    for f in fields:
+        np.testing.assert_allclose(
+            d[f], b[f], atol=1e-6, rtol=1e-6,
+            err_msg=f"{f}: dynamic params diverged from baked constants")
