@@ -106,6 +106,16 @@ def _iter_cost(body: Callable, init, l0: int = 2, l1: int = 8) -> float:
     return max((w1 - w0) / (l1 - l0), 1e-7)
 
 
+def _auto_length(cheap_body: Callable, full_body: Callable, init) -> int:
+    """Profile scan length sized from the scene's own measured cost: long
+    enough that the CHEAPEST pipeline accumulates ~50 ms of device time per
+    scan (stage deltas then dominate dispatch jitter), short enough that
+    the full-step pipeline stays a few seconds per rep."""
+    t_cheap = _iter_cost(cheap_body, init)
+    t_full = _iter_cost(full_body, init)
+    return max(4, int(min(250.0, max(4.0, 0.05 / t_cheap), 3.0 / t_full)))
+
+
 def profile_phases_fused(scene, length: int | None = 250) -> dict:
     """Scan-amortized per-phase seconds for the PRODUCTION fused path.
 
@@ -199,14 +209,7 @@ def profile_phases_fused(scene, length: int | None = 250) -> dict:
         return out
 
     if length is None:
-        # auto: size from the scene's own measured per-iteration cost.
-        # Target ~50 ms of accumulated device time for the CHEAPEST
-        # pipeline (bookkeeping), bound the most expensive one (full step,
-        # ~2.5x the sum of all four) to a few seconds per scan rep.
-        t1_est = _iter_cost(stage1, state)
-        t4_est = _iter_cost(stage4, state)
-        length = min(250.0, max(4.0, 0.05 / t1_est), 3.0 / t4_est)
-        length = max(4, int(length))
+        length = _auto_length(stage1, stage4, state)
 
     t1 = _scan_time(stage1, state, length=length)
     t2 = _scan_time(stage2, state, length=length)
@@ -230,7 +233,7 @@ def profile_phases_fused(scene, length: int | None = 250) -> dict:
     }
 
 
-def profile_phases_sph_fused(scene, length: int = 250) -> dict:
+def profile_phases_sph_fused(scene, length: int | None = 250) -> dict:
     """Scan-amortized per-phase seconds for the fused SPH-only mode
     (variants.step_sph_only_fused — the v4 sweeps with with_ep=False;
     BASELINE config 2). Incremental pipeline attribution like
@@ -267,6 +270,8 @@ def profile_phases_sph_fused(scene, length: int = 250) -> dict:
         out, _ = step_sph_only_fused(s, cfg, qb, wc, sub_q)
         return out
 
+    if length is None:
+        length = _auto_length(stage1, stage3, state)
     t1 = _scan_time(stage1, state, length=length)
     t2 = _scan_time(stage2, state, length=length)
     t3 = _scan_time(stage3, state, length=length)
@@ -283,7 +288,7 @@ def profile_phases_sph_fused(scene, length: int = 250) -> dict:
     }
 
 
-def profile_phases_monodomain_fused(scene, length: int = 250) -> dict:
+def profile_phases_monodomain_fused(scene, length: int | None = 250) -> dict:
     """Scan-amortized per-phase seconds for the fused monodomain-only mode
     (variants.simulate_monodomain_only_fused): per step only the FHN
     reaction ODEs ("Cell model" column) and the Laplacian-only sweep
@@ -300,14 +305,16 @@ def profile_phases_monodomain_fused(scene, length: int = 250) -> dict:
     jax.tree_util.tree_map(lambda x: jnp.asarray(x).block_until_ready(),
                            tables)
 
-    t_cell = _scan_time(lambda s: fhn_cell_model(s, cfg).replace(
-        vm=s.vm * 0.9999), state, length=length)
+    cell = lambda s: fhn_cell_model(s, cfg).replace(vm=s.vm * 0.9999)
 
     def full(s):
         return variants.simulate_monodomain_only_fused(
             s, tables, cfg, num_steps=1, q_block=qb, w_chunk=wc,
             sub_q=sub_q)
 
+    if length is None:
+        length = _auto_length(cell, full, state)
+    t_cell = _scan_time(cell, state, length=length)
     t_full = _scan_time(full, state, length=length)
     return {
         "find_neighbors": 0.0,

@@ -8,12 +8,21 @@ scan-amortized fused phase profiler; --big adds the 1M+ chunk-wall rows
 incremental-pipeline attribution rescaled to the chunk wall — the same
 discipline as the committed rows; see results_tpu.csv header).
 
+--modes sph,monodomain adds the per-variant rows (BASELINE configs 2-3):
+SPH-only runs on susane + biceps_full, monodomain-only (frozen-cloud FHN
+wave) at 5k/18k/1M; each uses its mode-specific profiler
+(utils/report.profile_phases_{sph,monodomain}_fused) and is tagged
+"scene[mode]" in the scene column.
+
 Timings drift day-to-day on the HBM path through the remote tunnel
 (DEVELOPMENT.md "Same-day isolation note"), so regenerate ALL rows you
-intend to compare, in one session.
+intend to compare, in one session. With --big (or --anchor) every row also
+carries a SAME-SESSION biceps_full chunk-wall anchor column ("Anchor18k
+ms") so future comparisons can normalize out the tunnel drift.
 
 Usage:
   python tools/bench_rows.py [--out results_tpu_regen.csv] [--big]
+      [--modes coupled,sph,monodomain]
       [--scenes biceps_full,biceps_18475,...] [--steps 500]
 """
 
@@ -30,6 +39,12 @@ SMALL = [("biceps_full", 1, 500), ("biceps_18475", 1, 500),
          ("biceps_4944", 1, 500), ("biceps_full", 7, 200)]
 BIG = [("biceps_full", 56, 60), ("biceps_full", 112, 60),
        ("biceps_full", 224, 60)]
+# per-variant default row sets (BASELINE configs 2-3)
+VARIANT_ROWS = {
+    "sph": [("susane", 1, 500), ("biceps_full", 1, 500)],
+    "monodomain": [("biceps_18475", 1, 500), ("biceps_full", 1, 500),
+                   ("biceps_full", 56, 100)],
+}
 
 
 def _row_name(name, replicate):
@@ -69,6 +84,41 @@ def _chunk_wall(scene, reps=6, length=10):
     return best
 
 
+def _variant_row(sc, mode, steps, pk):
+    """(avg_step_s, phases, row_cfg) for one SPH-only / monodomain-only row
+    — each mode runs its real scan driver end-to-end first (so the row is
+    backed by an executed run, not just the profiler), then takes the
+    scan-amortized mode profiler's attribution."""
+    import jax
+    from sph_sm_monodomain_tpu.models import variants
+    from sph_sm_monodomain_tpu.utils.report import (
+        profile_phases_monodomain_fused, profile_phases_sph_fused)
+
+    fused = jax.default_backend() == "tpu"
+    state, cfg = sc.state, sc.cfg
+    sub_q = sc.sub_block or 128
+    if mode == "sph":
+        row_cfg = variants.sph_only_config(cfg)
+        out = variants.simulate_sph_only(
+            state, row_cfg, sc.cell_capacity, sc.neighbor_capacity,
+            num_steps=min(steps, 500), fused=fused, q_block=sc.q_block,
+            w_window=sc.block_window, sub_q=sub_q)
+        assert int(out[1].overflow) == 0, "overflow during SPH-only run"
+        phases = profile_phases_sph_fused(sc, **pk)
+    elif mode == "monodomain":
+        row_cfg = cfg
+        tables = variants.monodomain_prepare_fused(
+            state, cfg, sc.q_block, sc.block_window, sub_q=sub_q)
+        st = variants.simulate_monodomain_only_fused(
+            state, tables, cfg, num_steps=min(steps, 500),
+            q_block=sc.q_block, w_chunk=sc.block_window, sub_q=sub_q)
+        float(st.vm[0])  # sync
+        phases = profile_phases_monodomain_fused(sc, **pk)
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    return phases["total_step"], phases, row_cfg
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--out", default="results_tpu_regen.csv")
@@ -76,6 +126,14 @@ def main():
                     help="include the 1M+ chunk-wall rows (several extra "
                          "minutes of remote compile each)")
     ap.add_argument("--big-reps", type=int, default=6)
+    ap.add_argument("--modes", default="coupled",
+                    help="comma list of coupled,sph,monodomain — variant "
+                         "rows (BASELINE configs 2-3) are tagged "
+                         "'scene[mode]' and use their mode profilers")
+    ap.add_argument("--anchor", action="store_true",
+                    help="measure a same-session biceps_full chunk-wall "
+                         "anchor and append it as a drift-normalizer "
+                         "column (implied by --big)")
     ap.add_argument("--scenes", default=None,
                     help="comma list of name[:replicate[:steps]] overriding "
                          "the default row set")
@@ -91,56 +149,89 @@ def main():
                                                     profile_phases_fused,
                                                     report_row)
 
+    modes = [m.strip() for m in args.modes.split(",") if m.strip()]
+    for m in modes:
+        if m not in ("coupled",) + tuple(VARIANT_ROWS):
+            raise SystemExit(f"unknown mode {m!r} (coupled/sph/monodomain)")
+
     rows = SMALL + (BIG if args.big else [])
+    scene_rows = None
     if args.scenes:
-        rows = []
+        scene_rows = []
         for spec in args.scenes.split(","):
             parts = spec.split(":")
-            rows.append((parts[0],
-                         int(parts[1]) if len(parts) > 1 and parts[1]
-                         else 1,
-                         int(parts[2]) if len(parts) > 2 and parts[2]
-                         else 500))
+            scene_rows.append((parts[0],
+                               int(parts[1]) if len(parts) > 1 and parts[1]
+                               else 1,
+                               int(parts[2]) if len(parts) > 2 and parts[2]
+                               else 500))
+        rows = scene_rows
 
     t0 = time.time()
 
     def log(m):
         print(f"[{time.time() - t0:7.1f}s] {m}", flush=True)
 
+    anchor_ms = None
+    if args.big or args.anchor:
+        # same-session drift normalizer: the flagship chunk wall, measured
+        # FIRST so every row in this file shares one anchor (the HBM-path
+        # tier drifts ~13% day-to-day through the tunnel; VMEM-path scales
+        # are stable — DEVELOPMENT.md drift log)
+        sc_a = smt.build_scene("biceps_full")
+        anchor_ms = _chunk_wall(sc_a, reps=3) * 1e3
+        log(f"same-session anchor biceps_full: {anchor_ms:.3f} ms/step")
+
+    pk = {}
+    if args.profile_length == "auto":
+        pk = {"length": None}
+    elif args.profile_length:
+        pk = {"length": int(args.profile_length)}
+
     out_rows = []
-    for name, rep, steps in rows:
-        sc = smt.build_scene(name, replicate=rep)
-        n = sc.num_particles
-        log(f"{_row_name(name, rep)}: n={n}")
-        pk = {}
-        if args.profile_length == "auto":
-            pk = {"length": None}
-        elif args.profile_length:
-            pk = {"length": int(args.profile_length)}
-        if n <= 200_000:
-            # full protocol (stim off at half) + scan-amortized profile
-            _state, aux, _ = smt.run_protocol(sc, num_steps=steps,
-                                              chunk=min(100, steps))
-            assert int(aux.overflow) == 0, "overflow during protocol run"
-            phases = profile_phases_fused(sc, **pk)
-            avg = phases["total_step"]
-        else:
-            # chunk-wall timing + incremental attribution rescaled so the
-            # phase columns sum to the measured wall (committed-row rule)
-            avg = _chunk_wall(sc, reps=args.big_reps)
-            phases = profile_phases_fused(sc, **(pk or {"length": 8}))
-            s = sum(phases[k] for k in
-                    ("find_neighbors", "corrected_velocity",
-                     "density_pressure", "compute_force"))
-            scale = avg / s if s > 0 else 0.0
-            phases = {k: (v * scale if isinstance(v, float) else v)
-                      for k, v in phases.items()}
-        row = report_row(sc.cfg, steps, avg, phases)
-        out_rows.append(f"{_row_name(name, rep)};{n};{row}")
-        log(f"  {avg * 1e3:.3f} ms/step")
+    for mode in modes:
+        mode_rows = rows if mode == "coupled" \
+            else (scene_rows or VARIANT_ROWS[mode])
+        for name, rep, steps in mode_rows:
+            sc = smt.build_scene(name, replicate=rep)
+            n = sc.num_particles
+            tag = _row_name(name, rep) + (
+                "" if mode == "coupled" else f"[{mode}]")
+            log(f"{tag}: n={n}")
+            big = n > 200_000
+            if mode != "coupled":
+                avg, phases, row_cfg = _variant_row(
+                    sc, mode, steps, pk if not big else (pk
+                                                         or {"length": 8}))
+            elif not big:
+                # full protocol (stim off at half) + scan-amortized profile
+                _state, aux, _ = smt.run_protocol(sc, num_steps=steps,
+                                                  chunk=min(100, steps))
+                assert int(aux.overflow) == 0, "overflow during protocol"
+                phases = profile_phases_fused(sc, **pk)
+                avg = phases["total_step"]
+                row_cfg = sc.cfg
+            else:
+                # chunk-wall timing + incremental attribution rescaled so
+                # the phase columns sum to the measured wall (committed-row
+                # rule)
+                avg = _chunk_wall(sc, reps=args.big_reps)
+                phases = profile_phases_fused(sc, **(pk or {"length": 8}))
+                s = sum(phases[k] for k in
+                        ("find_neighbors", "corrected_velocity",
+                         "density_pressure", "compute_force"))
+                scale = avg / s if s > 0 else 0.0
+                phases = {k: (v * scale if isinstance(v, float) else v)
+                          for k, v in phases.items()}
+                row_cfg = sc.cfg
+            row = report_row(row_cfg, steps, avg, phases)
+            suffix = f";{anchor_ms:g}" if anchor_ms is not None else ""
+            out_rows.append(f"{tag};{n};{row}{suffix}")
+            log(f"  {avg * 1e3:.3f} ms/step")
 
     with open(args.out, "w") as f:
-        f.write("scene;particles;" + REPORT_HEADER + "\n")
+        f.write("scene;particles;" + REPORT_HEADER
+                + (";Anchor18k ms" if anchor_ms is not None else "") + "\n")
         for r in out_rows:
             f.write(r + "\n")
     log(f"{len(out_rows)} rows -> {args.out}")
