@@ -1,0 +1,147 @@
+"""Flagship-scale differentiable simulation: recover the material
+constants (EOS stiffness K and viscosity mu) at the FULL biceps cloud
+(18,475 particles) by gradient descent through a long stimulated coupled
+rollout — the scale the headline benchmarks are quoted at.
+
+This is the TPU-native answer to the reference's 242-run manual parameter
+search (results_171114.csv): where the reference re-compiles and re-runs
+the whole app per constant (SPH_SM_monodomain.cpp:13-79 bakes every value
+in the constructor), here the constants are traced inputs
+(config.PARAM_FIELDS / resolve_params) and `jax.grad` differentiates the
+entire rollout w.r.t. them.
+
+What makes the FLAGSHIP scale work (vs examples/fit_material_demo.py's
+507-particle toy) is the rematerialization policy: the scan body is
+wrapped in `jax.checkpoint`, so the adjoint stores ONE state carry per
+step (~0.9 MB at 18,475 particles) and recomputes the step's
+internals — neighbor windows, per-pair kernel sums — during the backward
+sweep. Without it XLA must keep every step's pair-interaction residuals
+live across the whole rollout and a 250-step adjoint does not fit HBM;
+the script prints the compiled grad program's memory analysis so the
+fit is a measured fact, not a claim.
+
+Parameters are optimized in log-space (positive scale factors spanning
+decades); the observable is the active-particle displacement field after
+the rollout (stim stays on throughout, as in the reference experiment's
+first half, main.cpp:329-334).
+
+Run: python examples/fit_material_flagship.py [scene] [steps] [iters]
+Defaults: biceps_full 250 30 (real TPU, a few minutes; most of it is the
+one-off remote compile). The CPU smoke in tests/test_examples.py runs
+`susane 4 40`.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import sph_sm_monodomain_tpu as smt
+from sph_sm_monodomain_tpu.models.monodomain import step
+from sph_sm_monodomain_tpu.ops.shape_matching import sm_invariants
+
+
+def main():
+    scene = sys.argv[1] if len(sys.argv) > 1 else "biceps_full"
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 250
+    iters = int(sys.argv[3]) if len(sys.argv) > 3 else 30
+
+    sc = smt.build_scene(scene)
+    st0, cfg = sc.state, sc.cfg
+    n = sc.num_particles
+    print(f"{scene}: {n} particles, {steps}-step stim-on rollout, "
+          f"{iters} Adam iters ({jax.default_backend()})", flush=True)
+
+    # rest-shape SM moments are rollout constants (same hoist as
+    # models.monodomain.simulate) and carry no theta dependence
+    sm_inv = jax.jit(lambda s: sm_invariants(s, cfg))(st0)
+
+    def rollout_disp(log_theta):
+        """Active-particle displacement field after `steps` coupled steps
+        under material constants theta = (K, mu) = exp(log_theta)."""
+        params = {"k_stiffness": jnp.exp(log_theta[0]),
+                  "mu_viscosity": jnp.exp(log_theta[1])}
+
+        @jax.checkpoint
+        def body(s, _):
+            s, _aux = step(s, cfg, sc.cell_capacity, sc.neighbor_capacity,
+                           sm_inv=sm_inv, params=params)
+            return s, ()
+
+        s, _ = jax.lax.scan(body, st0, None, length=steps)
+        return jnp.where(s.active[:, None], s.pos - s.orig_pos, 0.0)
+
+    true_k, true_mu = 0.9, 40.0              # hidden material
+    theta_true = jnp.log(jnp.asarray([true_k, true_mu]))
+    fwd = jax.jit(rollout_disp)
+
+    t0 = time.time()
+    target = fwd(theta_true)
+    # value fetch, not block_until_ready: the only reliable sync through
+    # the remote tunnel (DEVELOPMENT.md "Benchmarking on the remote TPU")
+    disp_mean = float(jnp.abs(target).mean())
+    compile_fwd = time.time() - t0
+    t0 = time.time()
+    float(jnp.abs(fwd(theta_true)).mean())
+    fwd_ms = (time.time() - t0) / steps * 1e3
+    print(f"target: displacement field from hidden K={true_k} mu={true_mu} "
+          f"(|disp| mean {disp_mean:.2e}); forward {fwd_ms:.3f} ms/step "
+          f"(compile {compile_fwd:.0f}s)", flush=True)
+
+    def loss(log_theta):
+        d = rollout_disp(log_theta) - target
+        return jnp.sum(d * d) * 1e6          # mm^2-scale for readable logs
+
+    theta0 = jnp.log(jnp.asarray([0.3, 150.0]))      # poor initial guess
+    f_and_df = jax.jit(jax.value_and_grad(loss))
+
+    t0 = time.time()
+    compiled = f_and_df.lower(theta0).compile()
+    ma = compiled.memory_analysis()
+    if ma is not None:
+        print(f"grad program: temps "
+              f"{ma.temp_size_in_bytes / 2**30:.2f} GiB, args+outs "
+              f"{(ma.argument_size_in_bytes + ma.output_size_in_bytes) / 2**30:.2f} GiB "
+              f"(compile {time.time() - t0:.0f}s) — the {steps}-step "
+              f"adjoint fits because jax.checkpoint stores one carry per "
+              f"step and rematerializes the pair sums", flush=True)
+
+    val, g = compiled(theta0)
+    float(val)
+    t0 = time.time()
+    val, g = compiled(theta0)
+    float(val)
+    grad_ms = (time.time() - t0) / steps * 1e3
+    print(f"value_and_grad: {grad_ms:.3f} ms/step "
+          f"({grad_ms / max(fwd_ms, 1e-9):.2f}x forward)", flush=True)
+
+    log_theta = theta0
+    m = v = jnp.zeros(2)                             # Adam state
+    lr, b1, b2, eps = 0.15, 0.9, 0.999, 1e-8
+    for i in range(iters):
+        val, g = compiled(log_theta)
+        m = b1 * m + (1 - b1) * g
+        v = b2 * v + (1 - b2) * g * g
+        mh, vh = m / (1 - b1 ** (i + 1)), v / (1 - b2 ** (i + 1))
+        log_theta = log_theta - lr * mh / (jnp.sqrt(vh) + eps)
+        if i % 5 == 0 or i == iters - 1:
+            k, mu = [float(x) for x in jnp.exp(log_theta)]
+            print(f"iter {i:3d}: loss {float(val):10.4e}  "
+                  f"K {k:7.4f}  mu {mu:8.3f}", flush=True)
+
+    k, mu = [float(x) for x in jnp.exp(log_theta)]
+    err_k = abs(k - true_k) / true_k
+    err_mu = abs(mu - true_mu) / true_mu
+    print(f"recovered K={k:.4f} (true {true_k}, {err_k*100:.1f}% off), "
+          f"mu={mu:.3f} (true {true_mu}, {err_mu*100:.1f}% off)")
+    if iters >= 20 and max(err_k, err_mu) > 0.2:
+        raise SystemExit("material recovery did not converge")
+
+
+if __name__ == "__main__":
+    main()

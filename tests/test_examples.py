@@ -59,6 +59,22 @@ def test_fit_material_demo_recovers(capsys):
 
 
 @pytest.mark.slow
+def test_fit_material_flagship_smoke(capsys):
+    # the flagship-scale variant of the material fit: per-step
+    # jax.checkpoint rematerialization so long adjoints fit HBM. The CPU
+    # smoke guards the checkpointed-grad path against API rot on the toy
+    # cloud; iters=12 keeps the convergence SystemExit disarmed (a 6-step
+    # rollout cannot identify mu — convergence is covered at 6 steps/100
+    # iters by test_fit_material_demo_recovers and at flagship scale by
+    # the committed TPU run in DEVELOPMENT.md)
+    _run("fit_material_flagship.py", "susane", 6, 12)
+    out = capsys.readouterr().out
+    assert "value_and_grad:" in out, out[-300:]
+    m = re.search(r"recovered K=([\d.]+) .*mu=([\d.]+)", out)
+    assert m, f"demo output changed: {out[-300:]}"
+
+
+@pytest.mark.slow
 def test_fit_stimulus_demo_recovers(capsys):
     # Newton on jax.grad of a 4-step rollout: the scalar inverse problem
     # is near-linear in the amplitude, so 3 iterations must land within

@@ -1,0 +1,139 @@
+"""Price the ppermute-halo path COMPILED on the real TPU (1-device mesh).
+
+Until round 4 every halo artifact was CPU interpret mode (tests force
+jax_platforms=cpu; the driver dryrun runs in a CPU-forced subprocess), so
+the Mosaic compilability of the halo kernels' machinery — bitcast id
+transport, dynamic-slice halo packing, shard_map+Pallas composition — was
+unproven, and the slab overhead (2 local sorts + 2 plane exchanges per
+step on top of the v4 sweeps) was unpriced. A 1-device mesh compiles the
+IDENTICAL shard_map program (ppermute with a single participant is a
+self-copy; every capacity/padding path is exercised) on the real chip.
+
+Outputs, per scene scale:
+  - numerics: 3 halo steps vs 3 single-chip v4 steps, matched by particle
+    identity after unshard (catches Mosaic-only miscompiles)
+  - halo ms/step (scan-amortized, best-of), v4 ms/step same-session, and
+    the overhead ratio
+
+Usage: python tools/halo_tpu.py [replicate] [scan_length] [--check]
+       (flagship tiers: replicate 7 = 129k particles, 56 = 1.03M)
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+
+import sph_sm_monodomain_tpu as smt
+from sph_sm_monodomain_tpu.models.monodomain import step_fused
+from sph_sm_monodomain_tpu.ops.shape_matching import sm_invariants
+from sph_sm_monodomain_tpu.parallel import halo_step as H
+from sph_sm_monodomain_tpu.parallel.sharded_step import make_mesh
+
+
+def _by_identity(state, n_expect):
+    """Active rows sorted by particle identity (orig_pos is unique per
+    particle and migration-invariant), for layout-free comparison."""
+    act = np.asarray(state.active)
+    op = np.asarray(state.orig_pos)[act]
+    order = np.lexsort((op[:, 2], op[:, 1], op[:, 0]))
+    assert op.shape[0] == n_expect, (op.shape[0], n_expect)
+    return {f: np.asarray(getattr(state, f))[act][order]
+            for f in ("pos", "vel", "vm", "dens", "iion", "w")}
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    rep = int(args[0]) if args else 7
+    length = int(args[1]) if len(args) > 1 else 20
+    check = "--check" in sys.argv
+
+    sc = smt.build_scene("biceps_full", replicate=rep)
+    cfg, n = sc.cfg, sc.num_particles
+    sub_q = sc.sub_block or 128
+    wc = sc.block_window
+    mesh = make_mesh(jax.devices()[:1])
+    print(f"x{rep}: N={n} backend={jax.default_backend()} "
+          f"qb={sc.q_block} wc={wc} subq={sub_q}", flush=True)
+
+    halo0, s_cap, mig, hcap = H.shard_state_halo(sc.state, mesh, cfg,
+                                                 q_block=sc.q_block)
+    print(f"halo capacities: S={s_cap} ({s_cap / max(n, 1):.2f}x rows) "
+          f"mig={mig} halo={hcap}", flush=True)
+
+    if check:
+        t0 = time.time()
+        step_fn = H.make_halo_step(mesh, cfg, mig, hcap, q_block=sc.q_block,
+                                   w_chunk=wc, sub_q=sub_q)
+        h = halo0
+        for _ in range(3):
+            h, ovf = step_fn(h)
+        assert int(ovf) == 0, f"halo overflow {int(ovf)}"
+        dense = H.unshard_state_halo(h, n, cfg)
+        print(f"halo 3-step + unshard ok ({time.time() - t0:.0f}s incl "
+              f"Mosaic compile)", flush=True)
+
+        sm_inv = jax.jit(lambda s: sm_invariants(s, cfg))(sc.state)
+        st = sc.state
+        for _ in range(3):
+            st, _ = step_fused(st, cfg, sc.q_block, wc, sub_q,
+                               impl="v4", sm_inv=sm_inv)
+        a, b = _by_identity(dense, n), _by_identity(st, n)
+        for f, tol in (("pos", 2e-5), ("vel", 2e-3), ("vm", 2e-3),
+                       ("dens", 2e-1), ("iion", 2e-3), ("w", 2e-4)):
+            err = float(np.abs(a[f] - b[f]).max())
+            print(f"  max|halo - v4| {f}: {err:.2e}", flush=True)
+            assert err < tol, f"{f} diverged on hardware: {err}"
+        print("numerics: halo matches single-chip v4 on TPU", flush=True)
+
+    # --- scan-amortized halo ms/step -----------------------------------
+    sim = H.make_halo_simulate(mesh, cfg, mig, hcap, num_steps=length,
+                               q_block=sc.q_block, w_chunk=wc, sub_q=sub_q)
+    t0 = time.time()
+    h, ovf = sim(halo0)
+    assert int(ovf) == 0
+    compile_s = time.time() - t0
+    best = float("inf")
+    for _ in range(4):
+        t0 = time.time()
+        h, ovf = sim(halo0)
+        int(ovf)
+        best = min(best, (time.time() - t0) / length)
+    halo_ms = best * 1e3
+    print(f"halo_d1: {halo_ms:.2f} ms/step (compile {compile_s:.0f}s, "
+          f"scan {length})", flush=True)
+
+    # --- same-session v4 single-chip anchor ----------------------------
+    sm_inv = jax.jit(lambda s: sm_invariants(s, cfg))(sc.state)
+
+    @jax.jit
+    def run_v4(st):
+        def body(c, _):
+            out, _aux = step_fused.__wrapped__(c, cfg, sc.q_block, wc,
+                                               sub_q, impl="v4",
+                                               sm_inv=sm_inv)
+            return out, None
+        out, _ = jax.lax.scan(body, st, None, length=length)
+        return out
+
+    out = run_v4(sc.state)
+    float(out.pos[0, 0])
+    best = float("inf")
+    for _ in range(4):
+        t0 = time.time()
+        out = run_v4(sc.state)
+        float(out.pos[0, 0])
+        best = min(best, (time.time() - t0) / length)
+    v4_ms = best * 1e3
+    print(f"v4 single-chip anchor: {v4_ms:.2f} ms/step", flush=True)
+    print(f"slab overhead: {halo_ms / v4_ms:.2f}x "
+          f"(sorts + exchanges + {s_cap / max(n, 1):.2f}x padded rows)",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

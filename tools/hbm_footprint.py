@@ -27,12 +27,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 DEFAULT = "biceps_full,biceps_full:7,biceps_full:56,biceps_full:224"
 
 
-def footprint(scene, scan: int = 0):
+def footprint(scene, scan: int = 0, donate: bool = False, unroll: int = 1):
     """(arg, out, temp, code) bytes of the compiled fused step — or, with
     scan > 0, of the scan-wrapped simulate program (the one production
     chunks actually run; its carry copies are what hit the HBM wall
     first, which is why the empirical OOM scale sits below the
-    single-step projection)."""
+    single-step projection).
+
+    donate/unroll reproduce the round-4 production large-scene dispatch
+    (models.monodomain.run_protocol: donated input state + unrolled scan
+    body): donation lets XLA alias the input state into outputs/carries,
+    and unrolling gives buffer assignment straight-line code it can share
+    temps across — together they are what lifted the one-chip ceiling
+    past x224."""
     import jax
     from sph_sm_monodomain_tpu.models.monodomain import step_fused
     from sph_sm_monodomain_tpu.ops.shape_matching import sm_invariants
@@ -46,16 +53,24 @@ def footprint(scene, scan: int = 0):
                                impl=scene.fused_impl or "v4", sm_inv=sm_inv)
         return out
 
+    dargs = (0,) if donate else ()
     if scan > 0:
         def run(st):
             out, _ = jax.lax.scan(lambda c, _: (step(c), None), st, None,
-                                  length=scan)
+                                  length=scan, unroll=unroll)
             return out
-        compiled = jax.jit(run).lower(scene.state).compile()
+        compiled = jax.jit(run, donate_argnums=dargs) \
+            .lower(scene.state).compile()
     else:
-        compiled = jax.jit(step).lower(scene.state).compile()
+        compiled = jax.jit(step, donate_argnums=dargs) \
+            .lower(scene.state).compile()
     ma = compiled.memory_analysis()
-    return (int(ma.argument_size_in_bytes), int(ma.output_size_in_bytes),
+    # donated inputs alias into outputs; memory_analysis reports the alias
+    # bytes separately — subtract them so the total is live HBM, not
+    # double-counted buffers
+    alias = int(getattr(ma, "alias_size_in_bytes", 0) or 0)
+    return (int(ma.argument_size_in_bytes),
+            int(ma.output_size_in_bytes) - alias,
             int(ma.temp_size_in_bytes), int(ma.generated_code_size_in_bytes))
 
 
@@ -68,6 +83,12 @@ def main():
     ap.add_argument("--scan", type=int, default=0,
                     help="compile a scan of this many steps instead of "
                          "one step (the production chunk program)")
+    ap.add_argument("--donate", action="store_true",
+                    help="donate the input state (run_protocol's "
+                         "large-scene dispatch)")
+    ap.add_argument("--unroll", type=int, default=1,
+                    help="scan unroll factor (run_protocol auto-uses 4 "
+                         "on very large scenes)")
     args = ap.parse_args()
 
     import sph_sm_monodomain_tpu as smt
@@ -82,7 +103,8 @@ def main():
         sc = smt.build_scene(parts[0], replicate=rep)
         n = sc.num_particles
         try:
-            a, o, t, c = footprint(sc, scan=args.scan)
+            a, o, t, c = footprint(sc, scan=args.scan, donate=args.donate,
+                                   unroll=args.unroll)
         except Exception as e:  # OOM at compile is a valid data point
             msg = str(e).split("\n")[0][:70]
             print(f"{spec:>20} {n:>9} compile failed: {msg}")
