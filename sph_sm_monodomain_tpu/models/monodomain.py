@@ -468,6 +468,16 @@ def _simulate(state: ParticleState, cfg: SimConfig, cell_capacity: int,
 
 simulate = partial(jax.jit, static_argnames=_SIM_STATIC)(_simulate)
 
+# Above this capacity the non-donated scan-carry program's HBM claim
+# (~3.9 kB/particle; tools/hbm_footprint.py --scan) exceeds the chip, so
+# large-scene drivers donate the state AND unroll the scan (donation
+# alone measures WORSE at 4.1M: aliasing constraints inhibit XLA's temp
+# sharing across the backedge — 3941 -> 4817 B/particle — but together
+# with unroll=4 the straight-line body shares temps: 1451 B/particle,
+# ceiling ~12M). The profilers and bench tools key off the same constant
+# so their timed programs match what run_protocol actually dispatches.
+VERY_LARGE_CAP = 4_200_000
+
 # `simulate` with the STATE DONATED: XLA reuses the input state's buffers
 # for the outputs and loop carries, cutting the chunk program's HBM claim
 # (measured at 1.03M particles: 3925 -> 2912 B/particle). The input state
@@ -545,7 +555,7 @@ def run_protocol(scene, num_steps: int = 500, stim_off_step: int | None = None,
     if unroll is None:
         # auto: unroll only where the while-loop buffer overhead would cap
         # the particle count (the unrolled body compiles ~5x longer)
-        unroll = 4 if donate and state.capacity > 4_200_000 else 1
+        unroll = 4 if donate and state.capacity > VERY_LARGE_CAP else 1
     sim_fn = simulate_donated if donate else simulate
     trajs = []
     max_overflow = 0

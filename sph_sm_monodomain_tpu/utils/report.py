@@ -34,25 +34,36 @@ REPORT_HEADER = ("Avg FPS;Avg Step Duration;Time Steps;Find neighbors;"
                  "sigma;Stim strength;FH_VT;FH_VP;FH_VR;C1;C2;C3;C4")
 
 
-def _scan_time(body: Callable, init, length: int = 20, reps: int = 3) -> float:
-    """Median seconds per iteration of `body` inside one lax.scan program."""
-    @jax.jit
-    def run(x):
+def _scan_time(body: Callable, init, length: int = 20, reps: int = 3,
+               donate: bool = False, unroll: int = 1) -> float:
+    """Best seconds per iteration of `body` inside one lax.scan program.
+
+    `donate`/`unroll` reproduce run_protocol's very-large-scene dispatch
+    (models.monodomain.VERY_LARGE_CAP): the init is donated (its buffers
+    alias into the outputs, halving the program's HBM claim) and the reps
+    CHAIN — each rep consumes the previous rep's output, like production's
+    chained chunks — because a donated input is dead after the call. The
+    caller's `init` survives (it is copied once up front)."""
+    def run_fn(x):
         out, _ = jax.lax.scan(lambda c, _: (body(c), None), x, None,
-                              length=length)
+                              length=length, unroll=unroll)
         return out
+
+    run = jax.jit(run_fn, donate_argnums=(0,) if donate else ())
 
     def fetch(x):
         # value fetch = the only reliable sync through remote-TPU tunnels
         leaf = jax.tree_util.tree_leaves(x)[0]
         return float(jnp.asarray(leaf).ravel()[0])
 
+    if donate:
+        init = jax.tree_util.tree_map(jnp.copy, init)
     out = run(init)
     fetch(out)
     best = float("inf")
     for _ in range(reps):
         t0 = time.time()
-        out = run(init)
+        out = run(out if donate else init)
         fetch(out)
         best = min(best, (time.time() - t0) / length)
     return best
@@ -96,23 +107,27 @@ def profile_phases(state: ParticleState, cfg: SimConfig, cell_capacity: int,
     return out
 
 
-def _iter_cost(body: Callable, init, l0: int = 2, l1: int = 8) -> float:
+def _iter_cost(body: Callable, init, l0: int = 2, l1: int = 8,
+               donate: bool = False, unroll: int = 1) -> float:
     """Per-iteration device cost of `body` from the WALL DIFFERENCE of two
     scan lengths of the same program (the fixed per-dispatch floor and host
     overhead cancel in the difference — the same trick the roofline
     microbench uses, DEVELOPMENT.md)."""
-    w0 = _scan_time(body, init, length=l0, reps=2) * l0
-    w1 = _scan_time(body, init, length=l1, reps=2) * l1
+    w0 = _scan_time(body, init, length=l0, reps=2, donate=donate,
+                    unroll=unroll) * l0
+    w1 = _scan_time(body, init, length=l1, reps=2, donate=donate,
+                    unroll=unroll) * l1
     return max((w1 - w0) / (l1 - l0), 1e-7)
 
 
-def _auto_length(cheap_body: Callable, full_body: Callable, init) -> int:
+def _auto_length(cheap_body: Callable, full_body: Callable, init,
+                 donate: bool = False, unroll: int = 1) -> int:
     """Profile scan length sized from the scene's own measured cost: long
     enough that the CHEAPEST pipeline accumulates ~50 ms of device time per
     scan (stage deltas then dominate dispatch jitter), short enough that
     the full-step pipeline stays a few seconds per rep."""
-    t_cheap = _iter_cost(cheap_body, init)
-    t_full = _iter_cost(full_body, init)
+    t_cheap = _iter_cost(cheap_body, init, donate=donate, unroll=unroll)
+    t_full = _iter_cost(full_body, init, donate=donate, unroll=unroll)
     return max(4, int(min(250.0, max(4.0, 0.05 / t_cheap), 3.0 / t_full)))
 
 
@@ -208,13 +223,21 @@ def profile_phases_fused(scene, length: int | None = 250) -> dict:
                             sm_inv=sm_inv, pack_cap=pack_cap)
         return out
 
-    if length is None:
-        length = _auto_length(stage1, stage4, state)
+    # very large scenes: profile with the SAME donated+unrolled dispatch
+    # run_protocol uses there — the plain scan-carry program would not fit
+    # HBM (models.monodomain.VERY_LARGE_CAP; hbm_footprint --scan)
+    from ..models.monodomain import VERY_LARGE_CAP
+    donate = (jax.default_backend() == "tpu"
+              and state.capacity > VERY_LARGE_CAP)
+    dk = {"donate": donate, "unroll": 4 if donate else 1}
 
-    t1 = _scan_time(stage1, state, length=length)
-    t2 = _scan_time(stage2, state, length=length)
-    t3 = _scan_time(stage3, state, length=length)
-    t4 = _scan_time(stage4, state, length=length)
+    if length is None:
+        length = _auto_length(stage1, stage4, state, **dk)
+
+    t1 = _scan_time(stage1, state, length=length, **dk)
+    t2 = _scan_time(stage2, state, length=length, **dk)
+    t3 = _scan_time(stage3, state, length=length, **dk)
+    t4 = _scan_time(stage4, state, length=length, **dk)
     # raw per-pipeline times ride along under non-schema keys so callers
     # can print them next to the attributed (clamped-difference) columns
     # and spot compile-noise-driven negative deltas instead of having them

@@ -52,36 +52,30 @@ def _row_name(name, replicate):
 
 
 def _chunk_wall(scene, reps=6, length=10):
-    """Best steady chained chunk wall (value-fetch synced), ms/step."""
+    """Best steady chained chunk wall (value-fetch synced), seconds/step.
+
+    Very large scenes (> models.monodomain.VERY_LARGE_CAP) time the SAME
+    donated+unrolled dispatch run_protocol uses there — the plain
+    scan-carry program would not fit HBM (hbm_footprint --scan)."""
     import jax
-    from sph_sm_monodomain_tpu.models.monodomain import step_fused
+    from sph_sm_monodomain_tpu.models.monodomain import (VERY_LARGE_CAP,
+                                                         step_fused)
     from sph_sm_monodomain_tpu.ops.shape_matching import sm_invariants
+    from sph_sm_monodomain_tpu.utils.report import _scan_time
 
     state, cfg = scene.state, scene.cfg
     sm_inv = jax.block_until_ready(
         jax.jit(lambda s: sm_invariants(s, cfg))(state))
 
-    @jax.jit
-    def run(st):
-        def body(c, _):
-            out, _aux = step_fused(c, cfg, scene.q_block,
-                                   scene.block_window,
-                                   scene.sub_block or 128,
-                                   impl=scene.fused_impl or "v4",
-                                   sm_inv=sm_inv)
-            return out, None
-        out, _ = jax.lax.scan(body, st, None, length=length)
+    def body(c):
+        out, _aux = step_fused(c, cfg, scene.q_block, scene.block_window,
+                               scene.sub_block or 128,
+                               impl=scene.fused_impl or "v4", sm_inv=sm_inv)
         return out
 
-    out = run(state)
-    float(out.pos[0, 0])
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.time()
-        out = run(state)
-        float(out.pos[0, 0])
-        best = min(best, (time.time() - t0) / length)
-    return best
+    donate = state.capacity > VERY_LARGE_CAP
+    return _scan_time(body, state, length=length, reps=reps,
+                      donate=donate, unroll=4 if donate else 1)
 
 
 def _variant_row(sc, mode, steps, pk):
