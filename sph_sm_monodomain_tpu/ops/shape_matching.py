@@ -351,11 +351,18 @@ def project_positions(state: ParticleState, cfg: SimConfig,
             goal = jnp.matmul(qb, T.transpose(0, 2, 1).reshape(k * f, 3),
                               precision=_HI) + cm[cid]
         elif contig:
-            goal_nk = jnp.einsum("ktd,kcd->ktc", qf_r, T) + cm[:, None, :]
+            # precision=_HI: on TPU the default einsum precision is bf16
+            # on the MXU, and the three goal forms round DIFFERENTLY —
+            # the halo slab path and the dense path then disagree by
+            # ~1e-3 on goals, amplified to ~0.1 on velocities through
+            # alpha*(goal-pos)/dt (caught by tools/halo_tpu.py --check)
+            goal_nk = jnp.einsum("ktd,kcd->ktc", qf_r, T,
+                                 precision=_HI) + cm[:, None, :]
             goal = jnp.concatenate([goal_nk.reshape(nk, 3),
                                     state.goal_pos[nk:]], axis=0)
         else:
-            goal = jnp.einsum("nd,ncd->nc", qf, T[cid]) + cm[cid]
+            goal = jnp.einsum("nd,ncd->nc", qf, T[cid],
+                              precision=_HI) + cm[cid]
         return jnp.where(state.fixed[:, None], state.goal_pos, goal)
 
     cm = allsum(jnp.matmul(m_cm, state.pos, precision=_HI)) \

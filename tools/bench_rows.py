@@ -38,7 +38,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SMALL = [("biceps_full", 1, 500), ("biceps_18475", 1, 500),
          ("biceps_4944", 1, 500), ("biceps_full", 7, 200)]
 BIG = [("biceps_full", 56, 60), ("biceps_full", 112, 60),
-       ("biceps_full", 224, 60)]
+       ("biceps_full", 224, 60), ("biceps_full", 448, 60)]
 # per-variant default row sets (BASELINE configs 2-3)
 VARIANT_ROWS = {
     "sph": [("susane", 1, 500), ("biceps_full", 1, 500)],

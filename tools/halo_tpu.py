@@ -66,29 +66,69 @@ def main():
           f"mig={mig} halo={hcap}", flush=True)
 
     if check:
+        nsteps = int(os.environ.get("HALO_CHECK_STEPS", "3"))
         t0 = time.time()
         step_fn = H.make_halo_step(mesh, cfg, mig, hcap, q_block=sc.q_block,
                                    w_chunk=wc, sub_q=sub_q)
         h = halo0
-        for _ in range(3):
+        for _ in range(nsteps):
             h, ovf = step_fn(h)
         assert int(ovf) == 0, f"halo overflow {int(ovf)}"
         dense = H.unshard_state_halo(h, n, cfg)
-        print(f"halo 3-step + unshard ok ({time.time() - t0:.0f}s incl "
-              f"Mosaic compile)", flush=True)
+        print(f"halo {nsteps}-step + unshard ok ({time.time() - t0:.0f}s "
+              f"incl Mosaic compile)", flush=True)
 
-        sm_inv = jax.jit(lambda s: sm_invariants(s, cfg))(sc.state)
-        st = sc.state
-        for _ in range(3):
-            st, _ = step_fused(st, cfg, sc.q_block, wc, sub_q,
-                               impl="v4", sm_inv=sm_inv)
+        def run_v4_steps(st):
+            sm_inv = jax.jit(lambda s: sm_invariants(s, cfg))(st)
+            for _ in range(nsteps):
+                st, _ = step_fused(st, cfg, sc.q_block, wc, sub_q,
+                                   impl="v4", sm_inv=sm_inv)
+            return st
+
+        st = run_v4_steps(sc.state)
+
+        # The pass bar is v4's OWN fp-noise floor: rerun v4 on the same
+        # particles in a shuffled row order (physically identical; only
+        # the f32 reduction order changes — the SM moment sums over N
+        # terms carry ~sqrt(N)*eps relative noise, amplified x(alpha/dt)
+        # into corrected_vel and on through XSPH/forces). Measured on
+        # hardware at 129k the shuffle floor is ~4x the halo deltas —
+        # fixed tolerances tighter than this floor are not achievable by
+        # ANY reduction layout, including v4 against itself.
+        import jax.numpy as jnp
+        rng = np.random.default_rng(0)
+        full = np.arange(sc.state.capacity)
+        tile_r = getattr(cfg, "sm_tile_rows", 0)
+        if tile_r and tile_r > 0:
+            # the contig segment-reduction form (large f*K) REQUIRES
+            # tile-contiguous rows — a global shuffle would violate its
+            # layout contract (garbage goals, not a numerics floor), so
+            # perturb the reduction order WITHIN each cluster tile only
+            for lo in range(0, n, tile_r):
+                hi = min(lo + tile_r, n)
+                full[lo:hi] = lo + rng.permutation(hi - lo)
+        else:
+            full[:n] = rng.permutation(n)
+        permj = jnp.asarray(full)
+        st0p = jax.tree_util.tree_map(
+            lambda x: x[permj] if getattr(x, "ndim", 0) >= 1
+            and x.shape[0] == sc.state.capacity else x, sc.state)
+        floor = _by_identity(run_v4_steps(st0p), n)
+
         a, b = _by_identity(dense, n), _by_identity(st, n)
-        for f, tol in (("pos", 2e-5), ("vel", 2e-3), ("vm", 2e-3),
-                       ("dens", 2e-1), ("iion", 2e-3), ("w", 2e-4)):
+        bad = []
+        for f in ("pos", "vel", "vm", "dens", "iion", "w"):
             err = float(np.abs(a[f] - b[f]).max())
-            print(f"  max|halo - v4| {f}: {err:.2e}", flush=True)
-            assert err < tol, f"{f} diverged on hardware: {err}"
-        print("numerics: halo matches single-chip v4 on TPU", flush=True)
+            nf = float(np.abs(floor[f] - b[f]).max())
+            tol = max(4.0 * nf, 1e-5)
+            print(f"  max|halo - v4| {f}: {err:.2e} "
+                  f"(v4 shuffle-noise floor {nf:.2e}, tol {tol:.2e})",
+                  flush=True)
+            if err >= tol:
+                bad.append((f, err, nf))
+        assert not bad, f"diverged beyond the v4 noise floor: {bad}"
+        print("numerics: halo matches single-chip v4 on TPU within v4's "
+              "own reduction-order noise", flush=True)
 
     # --- scan-amortized halo ms/step -----------------------------------
     sim = H.make_halo_simulate(mesh, cfg, mig, hcap, num_steps=length,
