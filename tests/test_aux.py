@@ -168,6 +168,43 @@ def test_committed_results_rows_phase_sum():
             f"{scene}: phases {phase_sum:.6f} vs step {avg:.6f}")
 
 
+def test_halo_row_artifact_format(tmp_path):
+    """append_halo_row writes a parseable pricing row (header once, then
+    rows); the committed results_tpu_halo.csv — the halo-on-real-TPU
+    artifact (VERDICT r3 item 3) — satisfies the same invariants."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from halo_tpu import HALO_ROW_HEADER, append_halo_row
+
+    def check(path, min_rows):
+        lines = [l for l in open(path) if l.strip()
+                 and not l.startswith("#")]
+        assert lines[0].strip() == HALO_ROW_HEADER
+        rows = lines[1:]
+        assert len(rows) >= min_rows
+        for l in rows:
+            c = l.strip().split(";")
+            scene, n, dev = c[0], int(c[1]), int(c[2])
+            halo_s, v4_s, ratio = float(c[3]), float(c[4]), float(c[5])
+            assert scene.startswith("halo_d") and n > 0 and dev >= 1
+            assert halo_s > v4_s > 0  # slab rent is real
+            assert abs(ratio - halo_s / v4_s) < 1e-3 * ratio
+
+    p = tmp_path / "halo.csv"
+    append_halo_row(str(p), "halo_d1_x7", 129325, 1, 0.0924, 0.0211,
+                    1.70, 20, 18.0, "tpu")
+    append_halo_row(str(p), "halo_d1_x56", 1034600, 1, 0.642, 0.1857,
+                    1.70, 10, 60.0, "tpu")
+    check(str(p), 2)
+
+    committed = os.path.join(os.path.dirname(__file__), "..",
+                             "results_tpu_halo.csv")
+    if os.path.exists(committed):
+        check(committed, 1)
+
+
 def test_profile_phases_sph_fused_schema():
     """The SPH-fused profiler: no SM / EP columns, bookkeeping + sweep
     attribution sums to the measured full step."""

@@ -16,7 +16,11 @@ Outputs, per scene scale:
     the overhead ratio
 
 Usage: python tools/halo_tpu.py [replicate] [scan_length] [--check]
+                                [--row OUT.csv]
        (flagship tiers: replicate 7 = 129k particles, 56 = 1.03M)
+
+--row appends the measurement as one line of results_tpu_halo.csv (the
+committed artifact for the halo-on-TPU pricing; see that file's header).
 """
 
 import os
@@ -46,11 +50,47 @@ def _by_identity(state, n_expect):
             for f in ("pos", "vel", "vm", "dens", "iion", "w")}
 
 
+HALO_ROW_HEADER = ("scene;particles;devices;Halo Step Duration;"
+                   "v4 Anchor Step;Overhead;Padded Rows;Scan Length;"
+                   "Compile s;backend")
+
+
+def append_halo_row(path, scene, n, devices, halo_s, v4_s, pad_factor,
+                    length, compile_s, backend):
+    """Append one halo pricing row (report-style ;-separated, %g values).
+
+    Kept as a function so tests can exercise the artifact format without
+    a TPU run."""
+    new = not os.path.exists(path)
+    with open(path, "a") as f:
+        if new:
+            f.write("# ppermute-halo path priced COMPILED on real hardware"
+                    " (tools/halo_tpu.py).\n"
+                    "# Overhead = halo/v4 same-session; it buys O(N/D) "
+                    "state+compute per device\n"
+                    "# (break-even D ~= Overhead). Durations in seconds"
+                    " per step, scan-amortized.\n")
+            f.write(HALO_ROW_HEADER + "\n")
+        f.write(f"{scene};{n};{devices};{halo_s:g};{v4_s:g};"
+                f"{halo_s / v4_s:g};{pad_factor:g};{length};"
+                f"{compile_s:g};{backend}\n")
+
+
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    row_out = None
+    if "--row" in argv:
+        i = argv.index("--row")
+        if i + 1 < len(argv) and not argv[i + 1].startswith("--"):
+            row_out = argv[i + 1]
+            del argv[i:i + 2]
+        else:
+            row_out = "results_tpu_halo.csv"
+            del argv[i]
+    check = "--check" in argv
+    args = [a for a in argv if not a.startswith("--")]
     rep = int(args[0]) if args else 7
     length = int(args[1]) if len(args) > 1 else 20
-    check = "--check" in sys.argv
 
     sc = smt.build_scene("biceps_full", replicate=rep)
     cfg, n = sc.cfg, sc.num_particles
@@ -173,6 +213,11 @@ def main():
     print(f"slab overhead: {halo_ms / v4_ms:.2f}x "
           f"(sorts + exchanges + {s_cap / max(n, 1):.2f}x padded rows)",
           flush=True)
+    if row_out:
+        append_halo_row(row_out, f"halo_d1_x{rep}", n, 1, halo_ms / 1e3,
+                        v4_ms / 1e3, s_cap / max(n, 1), length, compile_s,
+                        jax.default_backend())
+        print(f"row appended to {row_out}", flush=True)
 
 
 if __name__ == "__main__":
