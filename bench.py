@@ -57,9 +57,14 @@ def main():
     # trustworthy through remote-TPU tunnels)
     out = run(steps)
     state = out[0]
-    t0 = time.time()
-    reps = 3
+    # BEST-of-N chained reps (VERDICT r4 item 5): the tunnel adds one-sided
+    # positive noise (dispatch floor + day drift), so the minimum chained
+    # wall is the honest device estimate; per-rep walls go to stderr as the
+    # session's drift anchor so future numbers can be normalized.
+    reps = int(os.environ.get("BENCH_REPS", "5"))
+    rep_s = []
     for _ in range(reps):
+        t0 = time.time()
         out = smt.simulate(state, cfg, sc.cell_capacity,
                            sc.neighbor_capacity, num_steps=steps,
                            fused=fused, q_block=sc.q_block,
@@ -68,7 +73,8 @@ def main():
                            impl=sc.fused_impl, pack_cap=sc.pack_cap)
         state = out[0]
         fetch(state)   # force real completion every rep
-    dt = (time.time() - t0) / reps
+        rep_s.append(time.time() - t0)
+    dt = min(rep_s)
     ms_per_step = dt / steps * 1e3
     pstep_per_s = sc.num_particles / (dt / steps)
 
@@ -80,8 +86,11 @@ def main():
         "unit": "particle-steps/s",
         "vs_baseline": round(pstep_per_s / baseline_pstep_per_s, 3),
     }))
-    # extra diagnostics on stderr (not part of the contract)
-    print(f"# {ms_per_step:.2f} ms/step over {steps} scanned steps; "
+    # extra diagnostics on stderr (not part of the contract): per-rep walls
+    # are the session drift anchor (tunnel drift is ~13% day-to-day on HBM
+    # scales; see DEVELOPMENT.md "Same-day isolation note")
+    print(f"# {ms_per_step:.2f} ms/step best-of-{reps} over {steps} scanned "
+          f"steps; rep walls {['%.3f' % r for r in rep_s]} s; "
           f"overflow={int(out[1].overflow)}", file=sys.stderr)
 
 

@@ -46,10 +46,35 @@ from sph_sm_monodomain_tpu.models.monodomain import step
 from sph_sm_monodomain_tpu.ops.shape_matching import sm_invariants
 
 
+FIT_ROW_HEADER = ("scene;particles;rollout_steps;adam_iters;"
+                  "fwd_ms_per_step;grad_ms_per_step;grad_over_fwd;"
+                  "adjoint_temps_gib;K_true;K_recovered;mu_true;"
+                  "mu_recovered;err_K;err_mu;backend")
+
+
+def append_fit_row(path, vals):
+    """Append one fit-evidence row (the committed artifact for the
+    flagship-fit done-criterion, VERDICT r4 item 3); header once."""
+    new = not os.path.exists(path) or os.path.getsize(path) == 0
+    with open(path, "a") as f:
+        if new:
+            f.write("# Executed flagship material fits: gradient descent "
+                    "through the full coupled rollout\n# (examples/"
+                    "fit_material_flagship.py). The reference's analog is "
+                    "a 242-run manual search\n# (results_171114.csv) at "
+                    "one compile+run per constant.\n")
+            f.write(FIT_ROW_HEADER + "\n")
+        f.write(";".join(f"{v:g}" if isinstance(v, float) else str(v)
+                         for v in vals) + "\n")
+
+
 def main():
-    scene = sys.argv[1] if len(sys.argv) > 1 else "biceps_full"
-    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 250
-    iters = int(sys.argv[3]) if len(sys.argv) > 3 else 30
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    csv_out = next((a.split("=", 1)[1] for a in sys.argv[1:]
+                    if a.startswith("--csv=")), None)
+    scene = argv[0] if argv else "biceps_full"
+    steps = int(argv[1]) if len(argv) > 1 else 250
+    iters = int(argv[2]) if len(argv) > 2 else 30
 
     sc = smt.build_scene(scene)
     st0, cfg = sc.state, sc.cfg
@@ -103,6 +128,7 @@ def main():
     t0 = time.time()
     compiled = f_and_df.lower(theta0).compile()
     ma = compiled.memory_analysis()
+    temps_gib = (ma.temp_size_in_bytes / 2 ** 30) if ma is not None else -1.0
     if ma is not None:
         print(f"grad program: temps "
               f"{ma.temp_size_in_bytes / 2**30:.2f} GiB, args+outs "
@@ -139,6 +165,13 @@ def main():
     err_mu = abs(mu - true_mu) / true_mu
     print(f"recovered K={k:.4f} (true {true_k}, {err_k*100:.1f}% off), "
           f"mu={mu:.3f} (true {true_mu}, {err_mu*100:.1f}% off)")
+    if csv_out:
+        append_fit_row(csv_out, [
+            scene, n, steps, iters, round(fwd_ms, 4), round(grad_ms, 4),
+            round(grad_ms / max(fwd_ms, 1e-9), 3), round(temps_gib, 3),
+            true_k, round(k, 5), true_mu, round(mu, 4),
+            round(err_k, 5), round(err_mu, 5), jax.default_backend()])
+        print(f"fit row appended to {csv_out}", flush=True)
     if iters >= 20 and max(err_k, err_mu) > 0.2:
         raise SystemExit("material recovery did not converge")
 

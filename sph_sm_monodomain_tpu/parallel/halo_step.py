@@ -13,12 +13,17 @@ docs/halo_exchange_design.md:
     O(tile) fast x mid cross-section; the standard cubic world keeps the
     reference's z-plane split, SPH_SM_monodomain.cpp:142). Concatenating
     the devices' locally-sorted slabs yields a globally-sorted array.
-  - per step, each device locally sorts its S rows, ppermutes emigrants
+  - per step, each device identifies emigrants elementwise on the hash
     (rows whose hash left its interval — after integration a particle
     moves less than one cell per CFL step, so only adjacent slabs ever
-    receive) to its neighbors, merges immigrants with a second local sort,
-    and exchanges one boundary PLANE of candidate features with each
-    neighbor per sweep. All bookkeeping (sorts, searchsorted windows) is
+    receive), compacts them with a cumsum-rank scatter, ppermutes them to
+    its neighbors, then restores the slab-sorted layout with ONE argsort
+    over the merged (S + 2M) rows and ONE wide-matrix row gather (the
+    carried fields travel as columns of a single (S+2M, 20) matrix — on
+    TPU gathers pay per-row issue cost regardless of row width, so one
+    wide gather beats the 19 per-field gathers a state permute costs).
+    One boundary PLANE of candidate features is exchanged with each
+    neighbor per sweep. All bookkeeping (sort, searchsorted windows) is
     O(S log S) per device; the only O(N) collectives left are the tiny
     psums of the shape-matching moments.
   - the sweeps are the v4 fused kernels (ops/fused_step.py, xyz3 merged
@@ -83,8 +88,9 @@ def _hash_ids(pos, active, cfg: SimConfig):
 
 
 def shard_state_halo(state: ParticleState, mesh: Mesh, cfg: SimConfig,
-                     mig_cap: int = 0, halo_cap: int = 0, slack: float = 1.5,
-                     axis: str = AXIS, q_block: int = 128):
+                     mig_cap: int = 0, halo_cap: int = 0,
+                     slack: float = 1.2, axis: str = AXIS,
+                     q_block: int = 128):
     """Re-layout a single-device state into slow-axis slab ownership.
 
     Returns (sharded_state, S, mig_cap, halo_cap): a NEW state of capacity
@@ -92,7 +98,14 @@ def shard_state_halo(state: ParticleState, mesh: Mesh, cfg: SimConfig,
     padded with inactive rows. Capacities are auto-sized from the initial
     distribution with `slack` headroom when not given. S is rounded up to
     a multiple of `q_block` (the fused kernels' program block).
-    """
+
+    Sizing policy (round 5): S = max slab occupancy * slack + 2*mig_cap,
+    mig_cap = one boundary plane's occupancy * 1.25 (the CFL bound — see
+    below). slack=1.2 trades the round-4 1.70x padded-row rent for a
+    tighter fit; occupancy GROWTH past it surfaces through the step's
+    overflow counter, on which the host re-shards elastically (the same
+    recovery pattern as run_protocol's regrow — overflow never corrupts,
+    it only reports)."""
     d = mesh.devices.size
     sb = slab_bounds(cfg, d)
     fa, ma, _sa = hash_axis_perm(cfg)
@@ -104,12 +117,20 @@ def shard_state_halo(state: ParticleState, mesh: Mesh, cfg: SimConfig,
     starts = np.searchsorted(ids_s, sb.astype(np.int64) * gplane)
     n_act = int(np.searchsorted(ids_s, cfg.num_cells))
     counts = np.diff(np.append(starts[:-1], n_act))
+    # occupancy of each slow-axis cell plane: sizes both exchange caps
+    plane = np.maximum(ids_s[:n_act] // gplane, 0)
+    plane_counts = np.bincount(plane.astype(np.int64), minlength=gs)
     if not mig_cap:
-        mig_cap = max(128, int(-(-int(counts.max() * 0.1) // 128) * 128))
+        # CFL bound (round 5): a particle moves less than one cell per step
+        # (cfg.time_delta sizing; SURVEY §7), so only rows currently in a
+        # slab's boundary plane can leave it before the next sort — ONE
+        # plane's max occupancy (plus headroom) bounds per-direction
+        # migration. The round-4 default (10% of the slab) was ~10x larger
+        # and its 2*mig_cap term dominated the padded-row capacity.
+        mig_cap = max(128, int(-(-int(plane_counts.max() * 1.25)
+                                 // 128) * 128))
     if not halo_cap:
         # max particles in any single boundary slow-plane, with slack
-        plane = np.maximum(ids_s[:n_act] // gplane, 0)
-        plane_counts = np.bincount(plane.astype(np.int64), minlength=gs)
         halo_cap = int(-(-int(plane_counts.max() * slack) // 128) * 128)
     align = max(128, q_block)
     s_cap = int(-(-int(counts.max() * slack + 2 * mig_cap) // align)
@@ -179,95 +200,86 @@ def _halo_body(state: ParticleState, cfg: SimConfig, q_block: int,
     my_lo = sb[d] * gplane
     my_hi = sb[d + 1] * gplane
     num_cells = cfg.num_cells
-    iota_s = jnp.arange(s_cap, dtype=jnp.int32)
 
-    # ---- 1. local sort ----------------------------------------------------
+    # ---- 1+2. migration + ONE local sort (round-5 redesign) ----------------
+    # The round-4 body argsorted + whole-state-permuted TWICE per step: once
+    # to make emigrant rows contiguous for dynamic-slice packing, then again
+    # after landing immigrants. Each permute was 19 separate narrow row
+    # gathers, and on TPU gathers pay ~per-ROW issue cost regardless of row
+    # width (the v5 packed-slab measurements, DEVELOPMENT.md), so 38 narrow
+    # gathers + 2 argsorts dominated the slab rent at the 1M tier. The
+    # redesign: emigrant identification is elementwise on the hash, packing
+    # is a cumsum-rank scatter into the fixed (mig_cap, C) buffer (no sorted
+    # order needed), and ONE argsort over the merged (S + 2M) rows restores
+    # the slab-sorted layout with ONE wide (S+2M, 20)-column matrix gather —
+    # the carried fields travel as columns of a single matrix, exactly like
+    # the migration pack itself.
     ids = _hash_ids(state.pos, state.active, cfg)
-    order = jnp.argsort(ids, stable=True).astype(jnp.int32)
-    ids_s = ids[order]
-
-    # permute the WHOLE state into local sorted order (one fused gather)
-    state = jax.tree_util.tree_map(
-        lambda a: a[order] if a.ndim and a.shape[0] == s_cap else a, state)
-
-    # ---- 2. migration -----------------------------------------------------
-    count_lo = jnp.searchsorted(ids_s, my_lo).astype(jnp.int32)
-    hi_start = jnp.searchsorted(ids_s, my_hi).astype(jnp.int32)
-    act_end = jnp.searchsorted(ids_s, num_cells).astype(jnp.int32)
-    count_hi = act_end - hi_start
+    # inactive rows hash to the num_cells sentinel: never left-emigrants,
+    # excluded from the right test explicitly
+    left_flag = ids < my_lo
+    right_flag = (ids >= my_hi) & (ids < num_cells)
+    count_lo = jnp.sum(left_flag.astype(jnp.int32))
+    count_hi = jnp.sum(right_flag.astype(jnp.int32))
     overflow = jnp.maximum(count_lo - mig_cap, 0) \
         + jnp.maximum(count_hi - mig_cap, 0)
 
     mig_fields = ("pos", "vel", "orig_pos", "goal_pos", "mass", "dens",
                   "vm", "iion", "stim", "w")
+    cols = [getattr(state, f) for f in mig_fields]
+    cols = [c[:, None] if c.ndim == 1 else c for c in cols]
+    core_valid = state.active & ~left_flag & ~right_flag
+    mat = jnp.concatenate(
+        cols + [state.fixed[:, None].astype(jnp.float32),
+                core_valid.astype(jnp.float32)[:, None]], axis=1)
 
-    def pack(lo_row, valid):
-        cols = [getattr(state, f) for f in mig_fields]
-        cols = [c[:, None] if c.ndim == 1 else c for c in cols]
-        mat = jnp.concatenate(cols + [state.fixed[:, None].astype(jnp.float32),
-                                      valid.astype(jnp.float32)[:, None]],
-                              axis=1)
-        return jax.lax.dynamic_slice(
-            mat, (lo_row, 0), (mig_cap, mat.shape[1]))
+    def pack(flag):
+        """Compact flagged rows to the head of a (mig_cap, C) buffer:
+        cumsum ranks + one scatter (rows past mig_cap land on the dump row
+        and are counted by the overflow above); the valid column marks the
+        first min(count, mig_cap) rows for the receiver."""
+        rank = jnp.cumsum(flag.astype(jnp.int32)) - 1
+        idx = jnp.where(flag & (rank < mig_cap), rank, mig_cap)
+        buf = jnp.zeros((mig_cap + 1, mat.shape[1]), mat.dtype)
+        buf = buf.at[idx].set(mat)[:mig_cap]
+        cnt = jnp.sum(flag.astype(jnp.int32))
+        valid = jnp.arange(mig_cap, dtype=jnp.int32) < cnt
+        return buf.at[:, -1].set(valid.astype(jnp.float32))
 
-    left_valid = (iota_s < jnp.minimum(count_lo, mig_cap)) & state.active
-    right_lo = jnp.maximum(act_end - mig_cap, 0)
-    right_valid = ((iota_s >= act_end - jnp.minimum(count_hi, mig_cap))
-                   & (iota_s < act_end) & state.active)
-    left_out = pack(jnp.zeros((), jnp.int32), left_valid)
-    right_out = pack(right_lo, right_valid)
+    left_out = pack(left_flag)
+    right_out = pack(right_flag)
     left_in = _shift(right_out, axis, +1, n_devices)   # from d-1's tail
     right_in = _shift(left_out, axis, -1, n_devices)   # from d+1's head
 
-    # deactivate emigrant rows in place
-    emigrant = (iota_s < count_lo) | ((iota_s >= hi_start)
-                                      & (iota_s < act_end))
-    state = state.replace(active=state.active & ~emigrant)
-
-    # land immigrants: merge (S + 2M) rows, re-sort, keep the first S
-    def unpack(mat):
-        c = {}
-        k = 0
-        for f in mig_fields:
-            w = 3 if getattr(state, f).ndim == 2 else 1
-            c[f] = mat[:, k:k + w] if w == 3 else mat[:, k]
-            k += w
-        fixed = mat[:, k] > 0.5
-        valid = mat[:, k + 1] > 0.5
-        return c, fixed, valid
-
-    lc, lfix, lval = unpack(left_in)
-    rc, rfix, rval = unpack(right_in)
-
-    def merged(f):
-        a = getattr(state, f)
-        return jnp.concatenate([a, lc[f].astype(a.dtype).reshape(
-            (mig_cap,) + a.shape[1:]), rc[f].astype(a.dtype).reshape(
-            (mig_cap,) + a.shape[1:])], axis=0)
-
-    parts = {f: merged(f) for f in mig_fields}
-    m_fixed = jnp.concatenate([state.fixed, lfix, rfix])
-    m_active = jnp.concatenate([state.active, lval, rval])
-    m_zero1 = jnp.zeros((s_cap + 2 * mig_cap,), jnp.float32)
-    m_zero3 = jnp.zeros((s_cap + 2 * mig_cap, 3), jnp.float32)
-    mstate = ParticleState(
-        pos=parts["pos"], vel=parts["vel"], predicted_vel=m_zero3,
-        corrected_vel=m_zero3, inter_vel=m_zero3, acc=m_zero3,
-        orig_pos=parts["orig_pos"], goal_pos=parts["goal_pos"],
-        mass=parts["mass"], dens=parts["dens"], pres=m_zero1,
-        vm=parts["vm"], inter_vm=m_zero1, iion=parts["iion"],
-        stim=parts["stim"], w=parts["w"], fixed=m_fixed, active=m_active,
-        is_stim_on=state.is_stim_on)
-
-    ids2 = _hash_ids(mstate.pos, mstate.active, cfg)
+    # land immigrants: merge (S + 2M) rows, sort ONCE, keep the first S
+    merged = jnp.concatenate([mat, left_in, right_in], axis=0)
+    ids2 = _hash_ids(merged[:, 0:3], merged[:, -1] > 0.5, cfg)
     order2 = jnp.argsort(ids2, stable=True).astype(jnp.int32)[:s_cap]
     ids2_s = ids2[order2]
     # active rows beyond S are LOST: surface through the overflow counter
     overflow = overflow + jnp.maximum(
         jnp.sum((ids2 < num_cells).astype(jnp.int32)) - s_cap, 0)
-    state = jax.tree_util.tree_map(
-        lambda a: a[order2] if a.ndim and a.shape[0] == s_cap + 2 * mig_cap
-        else a, mstate)
+    ms = merged[order2]                     # the ONE wide row gather
+    actj = ms[:, -1] > 0.5
+    parts = {}
+    k = 0
+    for f in mig_fields:
+        w = 3 if getattr(state, f).ndim == 2 else 1
+        parts[f] = ms[:, k:k + w] if w == 3 else ms[:, k]
+        k += w
+    zero1 = jnp.zeros((s_cap,), jnp.float32)
+    zero3 = jnp.zeros((s_cap, 3), jnp.float32)
+    state = ParticleState(
+        pos=parts["pos"], vel=parts["vel"], predicted_vel=zero3,
+        corrected_vel=zero3, inter_vel=zero3, acc=zero3,
+        orig_pos=parts["orig_pos"], goal_pos=parts["goal_pos"],
+        # padding rows keep nonzero mass / rest density (the shard-time
+        # invariant: zero mass turns dt/m into inf upstream of masking)
+        mass=jnp.where(actj, parts["mass"], cfg.particle_mass),
+        dens=jnp.where(actj, parts["dens"], cfg.stand_density),
+        pres=zero1, vm=parts["vm"], inter_vm=zero1, iion=parts["iion"],
+        stim=parts["stim"], w=parts["w"], fixed=ms[:, -2] > 0.5,
+        active=actj, is_stim_on=state.is_stim_on)
 
     # ---- 3. shape matching (global psums) ---------------------------------
     # the hoisted invariants' per-row members must follow the migrated rows

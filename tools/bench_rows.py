@@ -182,6 +182,14 @@ def main():
     elif args.profile_length:
         pk = {"length": int(args.profile_length)}
 
+    # incremental writes: a multi-hour remote regen must not lose completed
+    # rows to a tunnel drop on the last scene — header first, append per row
+    hdr = ("scene;particles;" + REPORT_HEADER
+           + (";Anchor18k ms" if anchor_ms is not None else "")
+           + ";Phase Provenance")
+    with open(args.out, "w") as f:
+        f.write(hdr + "\n")
+
     out_rows = []
     for mode in modes:
         mode_rows = rows if mode == "coupled" \
@@ -193,6 +201,13 @@ def main():
                 "" if mode == "coupled" else f"[{mode}]")
             log(f"{tag}: n={n}")
             big = n > 200_000
+            # phase-attribution provenance, machine-readable per row
+            # (ADVICE r4): "measured" = the scan-amortized profiler's own
+            # numbers; "rescaled-to-wall" = same-session incremental
+            # attribution rescaled so columns sum to the chunk wall (the
+            # big-row rule — the sum check is then true by construction).
+            prov = "rescaled-to-wall" if (big and mode == "coupled") \
+                else "measured"
             if mode != "coupled":
                 avg, phases, row_cfg = _variant_row(
                     sc, mode, steps, pk if not big else (pk
@@ -220,14 +235,12 @@ def main():
                 row_cfg = sc.cfg
             row = report_row(row_cfg, steps, avg, phases)
             suffix = f";{anchor_ms:g}" if anchor_ms is not None else ""
-            out_rows.append(f"{tag};{n};{row}{suffix}")
-            log(f"  {avg * 1e3:.3f} ms/step")
+            line = f"{tag};{n};{row}{suffix};{prov}"
+            out_rows.append(line)
+            with open(args.out, "a") as f:
+                f.write(line + "\n")
+            log(f"  {avg * 1e3:.3f} ms/step [{prov}]")
 
-    with open(args.out, "w") as f:
-        f.write("scene;particles;" + REPORT_HEADER
-                + (";Anchor18k ms" if anchor_ms is not None else "") + "\n")
-        for r in out_rows:
-            f.write(r + "\n")
     log(f"{len(out_rows)} rows -> {args.out}")
     return 0
 

@@ -61,7 +61,7 @@ def append_halo_row(path, scene, n, devices, halo_s, v4_s, pad_factor,
 
     Kept as a function so tests can exercise the artifact format without
     a TPU run."""
-    new = not os.path.exists(path)
+    new = not os.path.exists(path) or os.path.getsize(path) == 0
     with open(path, "a") as f:
         if new:
             f.write("# ppermute-halo path priced COMPILED on real hardware"
@@ -78,16 +78,22 @@ def append_halo_row(path, scene, n, devices, halo_s, v4_s, pad_factor,
 
 def main():
     argv = sys.argv[1:]
+    # --row takes its path only via --row=PATH; bare --row means the default
+    # artifact. (A space-separated value would swallow the next positional —
+    # `halo_tpu.py --row 56` must mean replicate=56, not out-file "56".)
     row_out = None
-    if "--row" in argv:
-        i = argv.index("--row")
-        if i + 1 < len(argv) and not argv[i + 1].startswith("--"):
-            row_out = argv[i + 1]
-            del argv[i:i + 2]
-        else:
+    kept = []
+    for a in argv:
+        if a == "--row":
             row_out = "results_tpu_halo.csv"
-            del argv[i]
+        elif a.startswith("--row="):
+            row_out = a.split("=", 1)[1] or "results_tpu_halo.csv"
+        else:
+            kept.append(a)
+    argv = kept
     check = "--check" in argv
+    slack = next((float(a.split("=", 1)[1]) for a in argv
+                  if a.startswith("--slack=")), 1.2)
     args = [a for a in argv if not a.startswith("--")]
     rep = int(args[0]) if args else 7
     length = int(args[1]) if len(args) > 1 else 20
@@ -101,6 +107,7 @@ def main():
           f"qb={sc.q_block} wc={wc} subq={sub_q}", flush=True)
 
     halo0, s_cap, mig, hcap = H.shard_state_halo(sc.state, mesh, cfg,
+                                                 slack=slack,
                                                  q_block=sc.q_block)
     print(f"halo capacities: S={s_cap} ({s_cap / max(n, 1):.2f}x rows) "
           f"mig={mig} halo={hcap}", flush=True)
