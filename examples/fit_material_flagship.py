@@ -49,7 +49,7 @@ from sph_sm_monodomain_tpu.ops.shape_matching import sm_invariants
 FIT_ROW_HEADER = ("scene;particles;rollout_steps;adam_iters;"
                   "fwd_ms_per_step;grad_ms_per_step;grad_over_fwd;"
                   "adjoint_temps_gib;K_true;K_recovered;mu_true;"
-                  "mu_recovered;err_K;err_mu;backend")
+                  "mu_recovered;err_K;err_mu;backend;grad_path")
 
 
 def append_fit_row(path, vals):
@@ -72,6 +72,7 @@ def main():
     argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     csv_out = next((a.split("=", 1)[1] for a in sys.argv[1:]
                     if a.startswith("--csv=")), None)
+    fused = "--fused" in sys.argv[1:]
     scene = argv[0] if argv else "biceps_full"
     steps = int(argv[1]) if len(argv) > 1 else 250
     iters = int(argv[2]) if len(argv) > 2 else 30
@@ -86,6 +87,14 @@ def main():
     # models.monodomain.simulate) and carry no theta dependence
     sm_inv = jax.jit(lambda s: sm_invariants(s, cfg))(st0)
 
+    if fused:
+        # hand-adjoint fused path (ops/fused_adjoint.py): the production v4
+        # Pallas sweeps forward, one extra backward sweep per kernel —
+        # gradients at fused speed instead of the XLA autodiff step
+        from sph_sm_monodomain_tpu.ops.fused_adjoint import step_fused_diff
+        sub_q = sc.sub_block or 128
+        print("path: fused hand-adjoint (step_fused_diff)", flush=True)
+
     def rollout_disp(log_theta):
         """Active-particle displacement field after `steps` coupled steps
         under material constants theta = (K, mu) = exp(log_theta)."""
@@ -94,8 +103,13 @@ def main():
 
         @jax.checkpoint
         def body(s, _):
-            s, _aux = step(s, cfg, sc.cell_capacity, sc.neighbor_capacity,
-                           sm_inv=sm_inv, params=params)
+            if fused:
+                s = step_fused_diff(s, cfg, sc.q_block, sc.block_window,
+                                    sub_q, sm_inv=sm_inv, params=params)
+            else:
+                s, _aux = step(s, cfg, sc.cell_capacity,
+                               sc.neighbor_capacity, sm_inv=sm_inv,
+                               params=params)
             return s, ()
 
         s, _ = jax.lax.scan(body, st0, None, length=steps)
@@ -170,7 +184,8 @@ def main():
             scene, n, steps, iters, round(fwd_ms, 4), round(grad_ms, 4),
             round(grad_ms / max(fwd_ms, 1e-9), 3), round(temps_gib, 3),
             true_k, round(k, 5), true_mu, round(mu, 4),
-            round(err_k, 5), round(err_mu, 5), jax.default_backend()])
+            round(err_k, 5), round(err_mu, 5), jax.default_backend(),
+            "fused-hand-adjoint" if fused else "xla-autodiff"])
         print(f"fit row appended to {csv_out}", flush=True)
     if iters >= 20 and max(err_k, err_mu) > 0.2:
         raise SystemExit("material recovery did not converge")

@@ -58,114 +58,6 @@ def cell_hash(coords: jax.Array, cfg: SimConfig) -> jax.Array:
     return jnp.where(inside, h, -1)
 
 
-def build_buckets(cell_ids: jax.Array, active: jax.Array, cfg: SimConfig,
-                  capacity: int):
-    """Bin particle indices into a (num_cells, capacity) table.
-
-    Replaces Find_neighbors (cpp:199-213). The sort is stable so bucket
-    order matches the reference's insertion order (particle index order),
-    keeping float summation order comparable.
-    """
-    n = cell_ids.shape[0]
-    num_cells = cfg.num_cells
-    ids = jnp.where((cell_ids >= 0) & active, cell_ids, num_cells)
-    order = jnp.argsort(ids, stable=True).astype(jnp.int32)
-    sorted_ids = ids[order]
-    first = jnp.searchsorted(sorted_ids, sorted_ids, side="left")
-    rank = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
-    live = sorted_ids < num_cells
-    keep = live & (rank < capacity)
-    # one trash slot at the end absorbs overflow + inactive scatter writes
-    slot = jnp.where(keep, sorted_ids * capacity + rank, num_cells * capacity)
-    flat = jnp.full((num_cells * capacity + 1,), n, dtype=jnp.int32)
-    flat = flat.at[slot].set(order)
-    buckets = flat[: num_cells * capacity].reshape(num_cells, capacity)
-    overflow = jnp.sum(live & (rank >= capacity)).astype(jnp.int32)
-    return buckets, overflow
-
-
-# 27-cell stencil in the reference's loop order: k (z) outer, j (y), i (x)
-# inner, offset = (i, j, k) (cpp:462-466).
-_OFFSETS = np.array(
-    [(i, j, k) for k in (-1, 0, 1) for j in (-1, 0, 1) for i in (-1, 0, 1)],
-    dtype=np.int32,
-)
-
-
-def gather_candidates(pos_q: jax.Array, buckets: jax.Array, sentinel: int,
-                      cfg: SimConfig) -> tuple[jax.Array, jax.Array]:
-    """Raw candidate indices over the 27-cell stencil (cpp:462-481).
-
-    `pos_q` are the query particles (a shard under multi-chip sharding);
-    bucket entries are GLOBAL particle indices with `sentinel` (= global
-    particle count) marking empty slots.
-
-    Returns (idx (Nq, 27*C) int32, mask (Nq, 27*C) bool). Candidate order is
-    the reference's iteration order: stencil cells z-major (cpp:462-464),
-    insertion order within a cell — so masked float sums reassociate the
-    same way the serial loops do.
-    """
-    n = pos_q.shape[0]
-    coords = cell_coords(pos_q, cfg)                     # (Nq, 3)
-    ncoords = coords[:, None, :] + jnp.asarray(_OFFSETS)[None, :, :]  # (N,27,3)
-    nhash = cell_hash(ncoords, cfg)                      # (N, 27)
-    valid_cell = nhash >= 0
-    cand = buckets[jnp.where(valid_cell, nhash, 0)]      # (Nq, 27, C)
-    mask = valid_cell[:, :, None] & (cand < sentinel)
-    idx = jnp.where(mask, cand, 0)
-    k = cand.shape[1] * cand.shape[2]
-    return idx.reshape(n, k), mask.reshape(n, k)
-
-
-def compact_candidates(pos_q: jax.Array, pos_g: jax.Array, idx: jax.Array,
-                       mask: jax.Array, cfg: SimConfig, k_max: int):
-    """Distance-filter + left-compact the raw candidate table to (N, k_max).
-
-    Every SPH kernel in the model has support <= 2h (B-spline family,
-    SPH_SM_monodomain.cpp:166-197), so stencil candidates with r > 2h
-    contribute exactly zero to every phase and can be dropped without
-    changing the physics. This cuts the per-particle width from
-    27*cell_capacity (max-occupancy bound) to ~the real neighbor count.
-
-    Entries beyond k_max are dropped and counted in the returned overflow.
-    """
-    n = pos_q.shape[0]
-    d = pos_q[:, None, :] - pos_g[idx]                   # (Nq, 27C, 3)
-    r2 = jnp.sum(d * d, axis=-1)
-    support = (2.0 * cfg.kernel_h) ** 2
-    keep = mask & (r2 <= support)                        # self (r2=0) kept
-    count = jnp.sum(keep, axis=1).astype(jnp.int32)
-    pos_in_row = jnp.cumsum(keep, axis=1).astype(jnp.int32) - 1
-    dest = jnp.where(keep & (pos_in_row < k_max), pos_in_row, k_max)
-    rows = jax.lax.broadcasted_iota(jnp.int32, idx.shape, 0)
-    out = jnp.zeros((n, k_max + 1), jnp.int32).at[rows, dest].set(
-        idx, mode="drop")
-    out = out[:, :k_max]
-    cols = jax.lax.broadcasted_iota(jnp.int32, (n, k_max), 1)
-    out_mask = cols < jnp.minimum(count, k_max)[:, None]
-    overflow = jnp.sum(jnp.maximum(count - k_max, 0)).astype(jnp.int32)
-    return out, out_mask, overflow
-
-
-def build_neighbor_table_bucketed(pos_q: jax.Array, pos_g: jax.Array,
-                                  active_g: jax.Array, cfg: SimConfig,
-                                  cell_capacity: int, neighbor_capacity: int
-                                  ) -> NeighborTable:
-    """Bucket + scatter-compaction neighbor table (reference-ordered).
-
-    Kept for exact fp-sum-order parity with the reference's insertion-order
-    iteration; the default `build_neighbor_table` below uses the
-    scatter-free sorted-window construction, which is ~100x faster on TPU
-    (XLA serializes the (N, 27C) compaction scatter).
-    """
-    ids = cell_hash(cell_coords(pos_g, cfg), cfg)
-    buckets, overflow = build_buckets(ids, active_g, cfg, cell_capacity)
-    raw_idx, raw_mask = gather_candidates(pos_q, buckets, pos_g.shape[0], cfg)
-    idx, mask, dropped = compact_candidates(pos_q, pos_g, raw_idx, raw_mask,
-                                            cfg, neighbor_capacity)
-    return NeighborTable(idx=idx, mask=mask, overflow=overflow + dropped)
-
-
 # (dy, dz) offsets of the 9 x-contiguous stencil runs, z-major like the
 # reference loop order (cpp:462-464).
 _RUN_OFFSETS = np.array([(dy, dz) for dz in (-1, 0, 1) for dy in (-1, 0, 1)],

@@ -94,7 +94,9 @@ def test_overflow_counted(rng):
 def test_overflow_counted_bucketed(rng):
     # legacy bucketed path: cell capacity 8 -> 12 particles dropped
     pos = np.full((20, 3), 0.5, np.float32)
-    nbr = grid.build_neighbor_table_bucketed(
+    from sph_sm_monodomain_tpu.ablation.bucketed_grid import (
+        build_neighbor_table_bucketed)
+    nbr = build_neighbor_table_bucketed(
         jnp.asarray(pos), jnp.asarray(pos), jnp.ones(20, bool), CFG,
         cell_capacity=8, neighbor_capacity=64)
     assert int(nbr.overflow) == 12

@@ -9,9 +9,9 @@ import jax.numpy as jnp
 from sph_sm_monodomain_tpu import SimConfig, init_fluid
 from sph_sm_monodomain_tpu.models.monodomain import step, step_fused
 from sph_sm_monodomain_tpu.ops import grid, sph
-from sph_sm_monodomain_tpu.ops.pallas_sweeps import (auto_block_window,
-                                                     sweep_a, sweep_b,
-                                                     sweep_bookkeeping)
+from sph_sm_monodomain_tpu.ops.pallas_sweeps import auto_block_window
+from sph_sm_monodomain_tpu.ablation.legacy_sweeps import (sweep_a, sweep_b,
+                                                          sweep_bookkeeping)
 from sph_sm_monodomain_tpu.ops.electrophysiology import set_stim
 
 CFG = SimConfig()

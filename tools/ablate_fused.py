@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 import sph_sm_monodomain_tpu as smt
-from sph_sm_monodomain_tpu.ops.pallas_sweeps import (
+from sph_sm_monodomain_tpu.ablation.legacy_sweeps import (
     sweep_a, sweep_b, sweep_bookkeeping)
 from sph_sm_monodomain_tpu.ops.shape_matching import corrected_velocity
 from sph_sm_monodomain_tpu.models.monodomain import step_fused
