@@ -95,9 +95,17 @@ def main():
         sub_q = sc.sub_block or 128
         print("path: fused hand-adjoint (step_fused_diff)", flush=True)
 
+    # The observable is the displacement field at SEVERAL times along the
+    # rollout, not just the endpoint: a contraction's endpoint is weakly
+    # sensitive to (K, mu) (stiff and viscous trajectories can end near the
+    # same place), while the PATH there is not — the multi-snapshot loss is
+    # what makes the 250-step flagship fit well-conditioned.
+    snaps = max(1, min(5, steps))
+    blk = steps // snaps
+
     def rollout_disp(log_theta):
-        """Active-particle displacement field after `steps` coupled steps
-        under material constants theta = (K, mu) = exp(log_theta)."""
+        """Active-particle displacement snapshots (snaps, N, 3) under
+        material constants theta = (K, mu) = exp(log_theta)."""
         params = {"k_stiffness": jnp.exp(log_theta[0]),
                   "mu_viscosity": jnp.exp(log_theta[1])}
 
@@ -112,8 +120,12 @@ def main():
                                params=params)
             return s, ()
 
-        s, _ = jax.lax.scan(body, st0, None, length=steps)
-        return jnp.where(s.active[:, None], s.pos - s.orig_pos, 0.0)
+        def block(s, _):
+            s, _ = jax.lax.scan(body, s, None, length=blk)
+            return s, jnp.where(s.active[:, None], s.pos - s.orig_pos, 0.0)
+
+        s, disp = jax.lax.scan(block, st0, None, length=snaps)
+        return disp
 
     true_k, true_mu = 0.9, 40.0              # hidden material
     theta_true = jnp.log(jnp.asarray([true_k, true_mu]))
@@ -162,8 +174,16 @@ def main():
 
     log_theta = theta0
     m = v = jnp.zeros(2)                             # Adam state
-    lr, b1, b2, eps = 0.15, 0.9, 0.999, 1e-8
+    lr0 = next((float(a.split("=", 1)[1]) for a in sys.argv[1:]
+                if a.startswith("--lr=")), 0.15)
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    import math
     for i in range(iters):
+        # cosine decay to lr0/20: the (K, mu) valley is coupled (K passes
+        # through its optimum while mu is still correcting), so a flat lr
+        # orbits the minimum instead of settling into it
+        lr = lr0 * (0.05 + 0.95 * 0.5
+                    * (1 + math.cos(math.pi * i / max(iters - 1, 1))))
         val, g = compiled(log_theta)
         m = b1 * m + (1 - b1) * g
         v = b2 * v + (1 - b2) * g * g

@@ -264,6 +264,7 @@ def test_bench_rows_tool_smoke(tmp_path):
         f"phase columns did not reconcile: sum {phase_sum} vs avg {avg}"
 
 
+@pytest.mark.slow
 def test_hbm_footprint_tool_smoke():
     """tools/hbm_footprint.py AOT-compiles the fused step and reports
     XLA's memory analysis (the tool-computed single-chip ceiling)."""
