@@ -271,6 +271,7 @@ def test_build_scene_smem_budget_widens_sub_blocks():
         assert smem_budget_sub_q(cap) == want, (cap, want)
 
 
+@pytest.mark.slow
 def test_fused_padded_lanes_inert(rng):
     st, pts = _state(rng, 150)  # capacity 256, 106 padded lanes
     w_win = auto_block_window(pts, CFG, QB)
@@ -417,6 +418,7 @@ def test_step_fused_sub_blocks_match(rng):
                                np.asarray(b.vm)[:200], atol=1e-3)
 
 
+@pytest.mark.slow
 def test_step_fused_v5_matches_step(rng):
     """The v5 packed-slab path (per-sub-block dilated-union candidate
     slabs, exact 3-axis cell mask) against the bucketed XLA step."""
@@ -437,6 +439,7 @@ def test_step_fused_v5_matches_step(rng):
                                np.asarray(b.dens)[:200], rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_step_fused_v5_overflow_counter(rng):
     """A deliberately undersized pack_cap must report overflow (the v5
     regrow signal) instead of silently truncating."""
@@ -445,6 +448,7 @@ def test_step_fused_v5_overflow_counter(rng):
     assert int(aux.overflow) > 0
 
 
+@pytest.mark.slow
 def test_step_fused_v5_wide_chunks_match(rng):
     """w_chunk != 128 must produce the SAME densities: the per-block trip
     counts are sized in w_chunk-wide chunks (a hard-coded 128 made every
