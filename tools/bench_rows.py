@@ -128,6 +128,13 @@ def main():
                     help="measure a same-session biceps_full chunk-wall "
                          "anchor and append it as a drift-normalizer "
                          "column (implied by --big)")
+    ap.add_argument("--campaign", action="store_true",
+                    help="add the two FULL-LENGTH reference-campaign "
+                         "reproduction rows (results_171107.csv: 2000 "
+                         "steps sigma=1 stim=500000; results_171114.csv: "
+                         "1000 steps sigma=0.383 stim=800000; both at the "
+                         "5,211-particle biceps_18475 scene with the "
+                         "campaign-era K=0.8 alpha=0.5 beta=0.2)")
     ap.add_argument("--scenes", default=None,
                     help="comma list of name[:replicate[:steps]] overriding "
                          "the default row set")
@@ -240,6 +247,40 @@ def main():
             with open(args.out, "a") as f:
                 f.write(line + "\n")
             log(f"  {avg * 1e3:.3f} ms/step [{prov}]")
+
+    if args.campaign:
+        # full-length reproductions of the two committed reference-campaign
+        # anchors (BASELINE.md): same scene (5,211 particles), same step
+        # counts, campaign-era constants (K=0.8, alpha=0.5, beta=0.2 —
+        # results_171107/171114.csv cols 11-14 predate the checked-in ctor
+        # defaults, SURVEY.md section 6)
+        from sph_sm_monodomain_tpu.config import SimConfig
+        era = dict(k_stiffness=0.8, sm_alpha=0.5, sm_beta=0.2)
+        # sigma is derived (sigma_i*sigma_e/(sigma_i+sigma_e)); the 171107
+        # era ran sigma=1 -> sigma_i=sigma_e=2, the 171114 era is the
+        # default 0.383
+        for steps, over in (
+                (2000, dict(sigma_i=2.0, sigma_e=2.0,
+                            stim_strength=500000.0, **era)),
+                (1000, dict(stim_strength=800000.0, **era))):
+            sc = smt.build_scene("biceps_18475",
+                                 cfg=SimConfig().replace(**over))
+            log(f"campaign biceps_18475 x{steps}: n={sc.num_particles} "
+                f"{over}")
+            # stim off at step 250 regardless of length, as the reference
+            # app does (main.cpp:329-334)
+            _state, aux, _ = smt.run_protocol(sc, num_steps=steps,
+                                              stim_off_step=250, chunk=100)
+            assert int(aux.overflow) == 0
+            phases = profile_phases_fused(sc, **pk)
+            avg = phases["total_step"]
+            row = report_row(sc.cfg, steps, avg, phases)
+            suffix = f";{anchor_ms:g}" if anchor_ms is not None else ""
+            line = f"biceps_18475;{sc.num_particles};{row}{suffix};measured"
+            out_rows.append(line)
+            with open(args.out, "a") as f:
+                f.write(line + "\n")
+            log(f"  {avg * 1e3:.3f} ms/step [measured]")
 
     log(f"{len(out_rows)} rows -> {args.out}")
     return 0
