@@ -149,6 +149,37 @@ def test_profile_phases_monodomain_fused_schema():
     assert attributed >= ph["total_step"] * 0.5
 
 
+def test_committed_results_row_inventory():
+    """The regenerated results_tpu.csv (round 5, one-session regen) must
+    keep its full row inventory: the coupled ladder 5k -> 8.28M, the
+    BASELINE config 2-3 variant rows, and the two FULL-LENGTH campaign
+    reproductions at campaign-era constants (K=0.8, sigma=1 for the
+    171107 era) — the committed-campaign discipline
+    (/root/reference/results_171107.csv, results_171114.csv)."""
+    import os
+    path = os.path.join(os.path.dirname(__file__), "..", "results_tpu.csv")
+    rows = {}
+    for l in open(path):
+        if l.strip() and not l.startswith(("#", "scene;")):
+            c = l.strip().split(";")
+            rows.setdefault(c[0], []).append(c)
+    for scene in ("biceps_full", "biceps_18475", "biceps_4944",
+                  "multi_muscle_x7", "multi_muscle_x56", "multi_muscle_x112",
+                  "multi_muscle_x224", "multi_muscle_x448", "susane[sph]",
+                  "biceps_full[sph]", "biceps_18475[monodomain]",
+                  "biceps_full[monodomain]", "multi_muscle_x56[monodomain]"):
+        assert scene in rows, f"missing committed row: {scene}"
+    # the x448 row is the 165x-beyond-reference-cap evidence
+    assert int(rows["multi_muscle_x448"][0][1]) == 8_276_800
+    # full-length campaign reproductions: steps 2000 (K=0.8, sigma=1) and
+    # 1000 (K=0.8, sigma=0.383)
+    camp = {c[4]: c for c in rows["biceps_18475"]}
+    assert "2000" in camp and "1000" in camp, camp.keys()
+    assert float(camp["2000"][12]) == 0.8 and float(camp["2000"][16]) == 1.0
+    assert float(camp["1000"][12]) == 0.8
+    assert abs(float(camp["1000"][16]) - 0.382796) < 1e-6
+
+
 def test_committed_results_rows_phase_sum():
     """Artifact invariant (VERDICT r2 item 3 done-criterion): every row of
     the committed results_tpu.csv has phase columns summing to ~ its avg
