@@ -163,7 +163,7 @@ def test_committed_results_row_inventory():
         if l.strip() and not l.startswith(("#", "scene;")):
             c = l.strip().split(";")
             rows.setdefault(c[0], []).append(c)
-    for scene in ("biceps_full", "biceps_18475", "biceps_4944",
+    for scene in ("biceps_full", "biceps_18475", "biceps_4944", "biceps_1",
                   "multi_muscle_x7", "multi_muscle_x56", "multi_muscle_x112",
                   "multi_muscle_x224", "multi_muscle_x448", "susane[sph]",
                   "biceps_full[sph]", "biceps_18475[monodomain]",
